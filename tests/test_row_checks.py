@@ -1,0 +1,138 @@
+"""Conformance of profile + row checks vs the numpy oracle on the
+reference's own inline-example vectors (FIXTURES.md F-STAT)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from autoprepad_ray.profile import POOLED, TableProfile, profile_arrays, profile_dataset
+from autoprepad_ray.validators import row_checks as rc
+from tests import oracle
+
+
+def _check_table(train_cols: dict, test_cols: dict, mode="per_column"):
+    prof = profile_arrays(train_cols, pooled=(mode == "pooled"))
+    states = rc.fence_states(prof, list(train_cols.keys()), mode=mode)
+    ds = rd.from_arrow(pa.table({k: pa.array(np.asarray(v, dtype=float))
+                                 for k, v in test_cols.items()}))
+    out = rc.check_rows(ds, states)
+    return out.to_pandas()
+
+
+def test_tukey_basic_reference_example():
+    # TukeyTransformer.py:70-76 — train [1..5], test [3,1000] -> flags [0,1]
+    df = _check_table({"x": [1, 2, 3, 4, 5]}, {"x": [3, 1000]})
+    assert df["x_TUKEY"].tolist() == [0, 1]
+
+
+def test_mad_basic_reference_example():
+    # MedianAbsolutDeviation.py:78-79 / testMAD.ipynb — [1,2,3,4,5,1000]
+    x = [1, 2, 3, 4, 5, 1000]
+    df = _check_table({"x": x}, {"x": x})
+    med, mad = oracle.mad_fit(np.array(x, dtype=float))
+    exp = oracle.mad_flags(np.array(x, dtype=float), med, mad)
+    assert df["x_Z_MOD"].tolist() == exp.tolist()
+    assert df["x_Z_MOD"].tolist() == [0, 0, 0, 0, 0, 1]
+
+
+def test_totals_two_columns():
+    # TukeyTransformerTotal.py:62-67 / MedianAbsolutDeviationTotal.py:64-66
+    a = [1, 2, 3, 4, 5, 6, 1000]
+    b = [1, 2, 3, 4, 50, 700, 1000]
+    df = _check_table({"a": a, "b": b}, {"a": a, "b": b})
+    fa = oracle.tukey_flags(np.array(a, float), *oracle.tukey_fit(np.array(a, float)))
+    fb = oracle.tukey_flags(np.array(b, float), *oracle.tukey_fit(np.array(b, float)))
+    assert df["Tukey_Total"].tolist() == (fa + fb).tolist()
+    ma, Ma = oracle.mad_fit(np.array(a, float))
+    mb, Mb = oracle.mad_fit(np.array(b, float))
+    exp_mad = (oracle.mad_flags(np.array(a, float), ma, Ma)
+               + oracle.mad_flags(np.array(b, float), mb, Mb))
+    assert df["MAD_Total"].tolist() == exp_mad.tolist()
+
+
+def test_pooled_mode_matches_flattened_reference():
+    # reference computes np.quantile over the FLATTENED 2-D array (§1.1)
+    a = [1.0, 2.0, 3.0, 4.0, 5.0]
+    b = [2.0, 3.0, 4.0, 5.0, 6.0]
+    prof = profile_arrays({"a": a, "b": b}, pooled=True)
+    flat = np.array(a + b)
+    assert np.isclose(prof[POOLED].quantile(0.25), np.quantile(flat, 0.25))
+    lo, hi = oracle.tukey_fit(flat)
+    states = rc.fence_states(prof, ["a", "b"], mode="pooled")
+    assert np.isclose(states["a"].lo, lo) and np.isclose(states["a"].hi, hi)
+    assert states["a"].lo == states["b"].lo  # one global fence for all cols
+
+
+def test_mad_zero_guard():
+    # constant column: mad == 0 -> all flags 0 (engine-defined, SURVEY F7)
+    df = _check_table({"x": [5.0] * 10}, {"x": [5.0, 99.0]})
+    assert df["x_Z_MOD"].tolist() == [0, 0]
+
+
+def test_nulls_not_flagged():
+    ds = rd.from_arrow(pa.table({"x": pa.array([1.0, None, 1000.0])}))
+    prof = profile_arrays({"x": [1, 2, 3, 4, 5]})
+    states = rc.fence_states(prof, ["x"])
+    df = rc.check_rows(ds, states).to_pandas()
+    assert df["x_TUKEY"].tolist() == [0, 0, 1]
+
+
+def test_profile_dataset_matches_profile_arrays():
+    rng = np.random.default_rng(3)
+    x = rng.normal(10, 2, 5000)
+    s = np.array([f"v{i % 17}" for i in range(5000)], dtype=object)
+    ds = rd.from_arrow(pa.table({"x": pa.array(x), "s": pa.array(s)})) \
+        .repartition(6)
+    p_ds = profile_dataset(ds, pooled=True)
+    p_np = profile_arrays({"x": x}, pooled=True)
+    assert p_ds.n_rows == 5000
+    for q in (0.25, 0.5, 0.75):
+        assert np.isclose(p_ds["x"].quantile(q), np.quantile(x, q))
+    assert np.isclose(p_ds["x"].moments.mean, x.mean())
+    assert p_ds["s"].distinct() == 17
+    assert p_ds["s"].mode()[0] == "v0"
+    assert np.isclose(p_ds[POOLED].quantile(0.5), p_np[POOLED].quantile(0.5))
+    # artifact round-trip
+    p2 = TableProfile.from_json(p_ds.to_json())
+    assert np.isclose(p2["x"].quantile(0.75), p_ds["x"].quantile(0.75))
+    assert p2["s"].distinct() == 17
+
+
+def test_scores_and_labels_match_oracle():
+    rng = np.random.default_rng(5)
+    x = np.concatenate([rng.normal(0, 1, 500), [50, 60, 70, 80, 90]])
+    ds = rd.from_arrow(pa.table({"x": pa.array(x)})).repartition(4)
+    prof = profile_dataset(ds)
+    states = rc.fence_states(prof, ["x"])
+    checked = rc.check_rows(ds, states)
+    scored = rc.attach_scores(checked, pct=0.10).to_pandas()
+    lo_, hi_ = oracle.tukey_fit(x)
+    med, mad = oracle.mad_fit(x)
+    raw = (oracle.tukey_flags(x, lo_, hi_)
+           + oracle.mad_flags(x, med, mad)).astype(float)
+    exp_score = oracle.minmax_scale(raw)
+    exp_label = oracle.percentile_labels(raw, 0.10)
+    got = scored.sort_values("x").reset_index(drop=True)
+    exp_order = np.argsort(x, kind="mergesort")
+    assert np.allclose(got["AnomalyScore"].to_numpy(),
+                       exp_score[exp_order])
+    assert got["AnomalyLabel"].tolist() == exp_label[exp_order].tolist()
+
+
+def test_partition_verdicts():
+    n = 1000
+    pid = np.repeat(np.arange(4), n // 4)
+    x = np.zeros(n)
+    x[pid == 2] = np.where(np.arange(250) < 50, 1000.0, 0.0)  # 20% outliers in p2
+    train = np.zeros(100)
+    train[:50] = 1.0  # iqr>0 so fences are finite
+    ds = rd.from_arrow(pa.table({"pid": pa.array(pid), "x": pa.array(x)})) \
+        .repartition(5)
+    prof = profile_arrays({"x": train})
+    states = rc.fence_states(prof, ["x"])
+    v = rc.partition_verdicts(rc.check_rows(ds, states), "pid", budget=0.05) \
+        .to_pandas().sort_values("pid").reset_index(drop=True)
+    assert v["fail"].tolist() == [0, 0, 1, 0]
+    assert v["n_rows"].tolist() == [250] * 4
+    assert v.loc[2, "n_viol"] == 50
