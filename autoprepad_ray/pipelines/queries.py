@@ -1,0 +1,708 @@
+"""Query registry: one entry per implemented operator (SURVEY §2), each a
+Ray Data pipeline over the driver's parquet tables plus (where the
+semantics are SQL-expressible) an equivalent DuckDB oracle query.
+
+Parity conventions shared by BOTH sides (engine + SQL):
+- every computed float column is rounded r6 (r2 for large monetary sums).
+  The grain is chosen so true values cannot sit exactly on a rounding
+  half-boundary (decimal-valued inputs over row counts keep a factor of
+  two in the scaled numerator at 1e-7), which keeps both engines'
+  last-ulp noise strictly inside one rounding cell;
+- means/averages over decimal data are computed as ROUND(SUM, 2)/COUNT on
+  BOTH sides: the rounded sum snaps to the data's own decimal grid
+  (bit-identical doubles), and IEEE division is deterministic, so the
+  quotient matches exactly with no outer rounding — immune to the
+  half-boundary problem that plain ROUND(AVG(x), d) hits;
+- quantiles are continuous/linear-interpolation (numpy default ==
+  DuckDB ``quantile_cont`` == the engine's exact ValueCounts path);
+- integer outputs are int64; SQL casts SUM/flags to BIGINT accordingly;
+- embeddings are cast to float64 on both sides before cosine math.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..functions import strings as sfn
+from ..functions.dates import date_encode
+from ..profile import profile_dataset
+from ..validators import drift, referential, row_checks as rc, uniqueness
+from ..validators.correlation import spearman
+
+HALF_TS = np.datetime64("2024-01-16T00:00:00", "us")  # events mid-month split
+
+
+@dataclass
+class Query:
+    fn: Callable[[str], Any]
+    sql: str | None
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = Query(fn=fn, sql=sql)
+        return fn
+    return deco
+
+
+def _t(sf_dir: str, name: str, cols: list[str] | None = None):
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=cols)
+
+
+def _i64(arr) -> pa.Array:
+    return pa.array(np.asarray(arr, dtype=np.int64))
+
+
+# ---------------------------------------------------------------------------
+# column-statistics profile (SURVEY F1-F3, A1-A3, A6, M11)
+
+
+@query("profile_lineitem_stats", sql=" UNION ALL ".join(
+    f"SELECT '{c}' AS col_name, COUNT({c}) AS n, "
+    f"COUNT(*) - COUNT({c}) AS null_count, "
+    f"ROUND(MIN({c}), 6) AS min_v, ROUND(MAX({c}), 6) AS max_v, "
+    f"ROUND(SUM({c}), 2) / COUNT({c}) AS mean_v, COUNT(DISTINCT {c}) AS distinct_v "
+    f"FROM lineitem"
+    for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]))
+def profile_lineitem_stats(sf_dir: str):
+    """Per-column statistical profile — the engine's fit-phase artifact."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    prof = profile_dataset(_t(sf_dir, "lineitem", cols), columns=cols)
+    rows = {"col_name": [], "n": [], "null_count": [], "min_v": [],
+            "max_v": [], "mean_v": [], "distinct_v": []}
+    for c in cols:
+        p = prof[c]
+        rows["col_name"].append(c)
+        rows["n"].append(p.count)
+        rows["null_count"].append(p.null_count)
+        rows["min_v"].append(round(p.moments.vmin, 6))
+        rows["max_v"].append(round(p.moments.vmax, 6))
+        rows["mean_v"].append(round(p.moments.total, 2) / p.count)
+        rows["distinct_v"].append(int(p.distinct()))
+    return pa.table({"col_name": pa.array(rows["col_name"]),
+                     "n": _i64(rows["n"]),
+                     "null_count": _i64(rows["null_count"]),
+                     "min_v": pa.array(rows["min_v"], type=pa.float64()),
+                     "max_v": pa.array(rows["max_v"], type=pa.float64()),
+                     "mean_v": pa.array(rows["mean_v"], type=pa.float64()),
+                     "distinct_v": _i64(rows["distinct_v"])})
+
+
+# ---------------------------------------------------------------------------
+# Tukey / MAD flags, scores, labels, verdicts (SURVEY F5-F8, M13, M14)
+
+_EVENTS_FENCE_SQL = """
+q AS (SELECT quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3 FROM events),
+m AS (SELECT median(value) AS med FROM events),
+d AS (SELECT median(abs(value - m.med)) AS mad FROM events, m)
+"""
+
+
+def _events_checked(sf_dir: str):
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "value"])
+    prof = profile_dataset(ds, columns=["value"])
+    states = rc.fence_states(prof, ["value"])
+    return rc.check_rows(ds, states)
+
+
+@query("tukey_flags_events", sql=f"""
+WITH {_EVENTS_FENCE_SQL}
+SELECT event_id,
+       CAST(CASE WHEN value < q.q1 - 1.5*(q.q3-q.q1)
+                   OR value > q.q3 + 1.5*(q.q3-q.q1)
+            THEN 1 ELSE 0 END AS BIGINT) AS tukey_flag
+FROM events, q, m, d""")
+def tukey_flags_events(sf_dir: str):
+    """Per-row Tukey fence flags (TukeyTransformer.py:36-54 semantics)."""
+    out = _events_checked(sf_dir).map_batches(
+        lambda t: pa.table({"event_id": t["event_id"],
+                            "tukey_flag": t["value" + rc.TUKEY_SUFFIX]
+                            .cast(pa.int64())}),
+        batch_format="pyarrow")
+    return out
+
+
+@query("mad_flags_events", sql=f"""
+WITH {_EVENTS_FENCE_SQL}
+SELECT event_id,
+       CAST(CASE WHEN d.mad > 0
+                   AND abs(0.6745 * (value - m.med) / d.mad) > 3.5
+            THEN 1 ELSE 0 END AS BIGINT) AS mad_flag
+FROM events, q, m, d""")
+def mad_flags_events(sf_dir: str):
+    """Per-row MAD modified-Z flags (MedianAbsolutDeviation.py:40-61)."""
+    return _events_checked(sf_dir).map_batches(
+        lambda t: pa.table({"event_id": t["event_id"],
+                            "mad_flag": t["value" + rc.MADZ_SUFFIX]
+                            .cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+@query("anomaly_scores_events", sql=f"""
+WITH {_EVENTS_FENCE_SQL},
+f AS (SELECT event_id,
+        CAST(CASE WHEN value < q.q1 - 1.5*(q.q3-q.q1)
+                    OR value > q.q3 + 1.5*(q.q3-q.q1) THEN 1 ELSE 0 END
+           + CASE WHEN d.mad > 0
+                    AND abs(0.6745 * (value - m.med) / d.mad) > 3.5
+             THEN 1 ELSE 0 END AS BIGINT) AS raw
+      FROM events, q, m, d),
+s AS (SELECT MIN(raw) AS mn, MAX(raw) AS mx,
+             quantile_cont(raw, 0.9) AS thr FROM f)
+SELECT event_id,
+       ROUND(CASE WHEN s.mx > s.mn
+             THEN (f.raw - s.mn) / CAST(s.mx - s.mn AS DOUBLE)
+             ELSE 0.0 END, 6) AS anomaly_score,
+       CAST(CASE WHEN f.raw > s.thr THEN 1 ELSE 0 END AS BIGINT)
+           AS anomaly_label
+FROM f, s""")
+def anomaly_scores_events(sf_dir: str):
+    """Min-max scaled anomaly score + percentile label
+    (runs.py:200-201, runs.py:211-214)."""
+    scored = rc.attach_scores(_events_checked(sf_dir), pct=0.10)
+    return scored.map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"],
+            "anomaly_score": pa.array(np.round(
+                t[rc.SCORE_COL].to_numpy(zero_copy_only=False), 6)),
+            "anomaly_label": t[rc.LABEL_COL].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+@query("partition_verdicts_events", sql=f"""
+WITH {_EVENTS_FENCE_SQL},
+f AS (SELECT user_id % 8 AS pid,
+        CASE WHEN value < q.q1 - 1.5*(q.q3-q.q1)
+               OR value > q.q3 + 1.5*(q.q3-q.q1)
+               OR (d.mad > 0 AND abs(0.6745*(value-m.med)/d.mad) > 3.5)
+        THEN 1 ELSE 0 END AS v
+      FROM events, q, m, d)
+SELECT pid, COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS n_viol,
+       CAST(CASE WHEN SUM(v) / CAST(COUNT(*) AS DOUBLE) > 0.05
+            THEN 1 ELSE 0 END AS BIGINT) AS fail
+FROM f GROUP BY pid""")
+def partition_verdicts_events(sf_dir: str):
+    """Per-partition pass/fail verdicts (OR-merge, experiment.py:441-445)."""
+    checked = _events_checked(sf_dir).map_batches(
+        lambda t: t.append_column(
+            "pid", pc.cast(pc.bit_wise_and(t["user_id"], 7), pa.int64())),
+        batch_format="pyarrow")
+    v = rc.partition_verdicts(checked, "pid", budget=0.05)
+    return v.map_batches(
+        lambda t: pa.table({"pid": t["pid"].cast(pa.int64()),
+                            "n_rows": t["n_rows"].cast(pa.int64()),
+                            "n_viol": t["n_viol"].cast(pa.int64()),
+                            "fail": t["fail"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+@query("robust_scale_quantity", sql="""
+WITH s AS (SELECT quantile_cont(l_quantity, 0.5) AS med,
+                  quantile_cont(l_quantity, 0.75)
+                  - quantile_cont(l_quantity, 0.25) AS iqr FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       ROUND((l_quantity - s.med) / s.iqr, 6) AS scaled_quantity
+FROM lineitem, s""")
+def robust_scale_quantity(sf_dir: str):
+    """RobustScaler semantics: (x - median)/IQR (configuration.py:193)."""
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    prof = profile_dataset(ds, columns=["l_quantity"])
+    p = prof["l_quantity"]
+    med = p.quantile(0.5)
+    iqr = p.quantile(0.75) - p.quantile(0.25)
+
+    def scale(t: pa.Table) -> pa.Table:
+        x = t["l_quantity"].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_linenumber": t["l_linenumber"],
+                         "scaled_quantity": pa.array(np.round((x - med) / iqr, 6))})
+
+    return ds.map_batches(scale, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# uniqueness / distinct / referential (SURVEY §2.7, §2.4)
+
+
+@query("duplicate_partsupp_keys", sql="""
+SELECT l_partkey, l_suppkey, COUNT(*) AS n
+FROM lineitem GROUP BY l_partkey, l_suppkey HAVING COUNT(*) >= 2""")
+def duplicate_partsupp_keys(sf_dir: str):
+    """Uniqueness violation listing on a composite key (FIXTURES R3 shape)."""
+    ds = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    return uniqueness.duplicate_keys(ds, ["l_partkey", "l_suppkey"])
+
+
+@query("distinct_counts_lineitem", sql="""
+SELECT COUNT(DISTINCT l_orderkey) AS n_orderkey,
+       COUNT(DISTINCT l_partkey) AS n_partkey,
+       COUNT(DISTINCT l_suppkey) AS n_suppkey,
+       COUNT(DISTINCT l_returnflag) AS n_returnflag
+FROM lineitem""")
+def distinct_counts_lineitem(sf_dir: str):
+    """Exact distinct counts (HLL approximate path tested in pytest)."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"])
+    d = uniqueness.distinct_counts(
+        ds, ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"])
+    return pa.table({"n_orderkey": _i64([d["l_orderkey"]]),
+                     "n_partkey": _i64([d["l_partkey"]]),
+                     "n_suppkey": _i64([d["l_suppkey"]]),
+                     "n_returnflag": _i64([d["l_returnflag"]])})
+
+
+@query("orphan_suppkeys", sql="""
+SELECT l_suppkey, COUNT(*) AS left_n
+FROM lineitem
+WHERE l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_suppkey % 3 <> 0)
+GROUP BY l_suppkey""")
+def orphan_suppkeys(sf_dir: str):
+    """Referential integrity anti-join: lineitem supplier keys with no
+    matching row in a filtered supplier dimension (tagged-union groupby)."""
+    def keep_non_mod3(t: pa.Table) -> pa.Table:
+        keys = t["s_suppkey"].to_numpy(zero_copy_only=False)
+        return (t.filter(pa.array(keys % 3 != 0))
+                .rename_columns(["l_suppkey"]))
+
+    left = _t(sf_dir, "lineitem", ["l_suppkey"])
+    right = _t(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+        keep_non_mod3, batch_format="pyarrow")
+    orp = referential.orphans(left, right, "l_suppkey", direction="left")
+    return orp.map_batches(
+        lambda t: pa.table({"l_suppkey": t["l_suppkey"],
+                            "left_n": t["left_n"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# classic shuffle aggregates (exercise partial+final groupby, broadcast join)
+
+
+@query("pricing_summary", sql="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_quantity), 2) / COUNT(*) AS avg_qty,
+       ROUND(SUM(l_extendedprice), 2) / COUNT(*) AS avg_price,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus""")
+def pricing_summary(sf_dir: str):
+    """Grouped aggregate with per-block pre-aggregation before the shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity",
+             "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t2 = t.append_column("disc_price", disc)
+        g = (t2.group_by(["l_returnflag", "l_linestatus"])
+             .aggregate([("l_quantity", "sum"), ("l_extendedprice", "sum"),
+                         ("disc_price", "sum"), ([], "count_all")]))
+        return g.rename_columns(["l_returnflag", "l_linestatus",
+                                 "s_qty", "s_price", "s_disc", "n"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("s_qty", alias_name="s_qty"),
+                      Sum("s_price", alias_name="s_price"),
+                      Sum("s_disc", alias_name="s_disc"),
+                      Sum("n", alias_name="n")))
+
+    def final(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sq = t["s_qty"].to_numpy(zero_copy_only=False)
+        sp = t["s_price"].to_numpy(zero_copy_only=False)
+        sd = t["s_disc"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": pa.array(np.round(sq, 2)),
+            "sum_base_price": pa.array(np.round(sp, 2)),
+            "sum_disc_price": pa.array(np.round(sd, 2)),
+            "avg_qty": pa.array(np.round(sq, 2) / n),
+            "avg_price": pa.array(np.round(sp, 2) / n),
+            "n": t["n"].cast(pa.int64())})
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+@query("top_customers", sql="""
+SELECT o.o_custkey, c.c_name,
+       ROUND(SUM(o.o_totalprice), 2) AS total_price,
+       COUNT(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY o.o_custkey, c.c_name
+ORDER BY SUM(o.o_totalprice) DESC, o.o_custkey LIMIT 10""")
+def top_customers(sf_dir: str):
+    """Top-k revenue customers: partial+final groupby, then a broadcast
+    dimension lookup (customer put in the object store ONCE) — no
+    row-shuffle join."""
+    from ray.data.aggregate import Sum
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    name_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (t.group_by(["o_custkey"])
+             .aggregate([("o_totalprice", "sum"), ([], "count_all")]))
+        return g.rename_columns(["o_custkey", "s_price", "n_orders"])
+
+    agg = (orders.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("o_custkey")
+           .aggregate(Sum("s_price", alias_name="s_price"),
+                      Sum("n_orders", alias_name="n_orders")))
+    top = agg.sort(["s_price", "o_custkey"], descending=[True, False]).limit(10)
+
+    def attach(t: pa.Table) -> pa.Table:
+        names = ray.get(name_ref)
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "c_name": pa.array([names[k] for k in keys.tolist()]),
+            "total_price": pa.array(np.round(
+                t["s_price"].to_numpy(zero_copy_only=False), 2)),
+            "n_orders": t["n_orders"].cast(pa.int64())})
+
+    return top.map_batches(attach, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# datetime expansion (M8 DateEncoder)
+
+
+@query("date_encode_events", sql="""
+SELECT event_id,
+       CAST(EXTRACT(year FROM ts) AS INTEGER) AS ts_year,
+       CAST(EXTRACT(month FROM ts) AS INTEGER) AS ts_month,
+       CAST(EXTRACT(isodow FROM ts) - 1 AS INTEGER) AS ts_wkday,
+       CAST(EXTRACT(hour FROM ts) AS INTEGER) AS ts_hour,
+       CAST(EXTRACT(minute FROM ts) AS INTEGER) AS ts_minute,
+       CAST(EXTRACT(second FROM ts) AS INTEGER) AS ts_second
+FROM events""")
+def date_encode_events(sf_dir: str):
+    """DateEncoder expansion (DateEncoder.py:30-48), Monday=0 weekday."""
+    ds = _t(sf_dir, "events", ["event_id", "ts"])
+
+    def enc(t: pa.Table) -> pa.Table:
+        t = date_encode(t, "ts")
+        return pa.table({
+            "event_id": t["event_id"],
+            "ts_year": t["ts_YEAR"], "ts_month": t["ts_MONTH"],
+            "ts_wkday": t["ts_WKDAY"], "ts_hour": t["ts_HOUR"],
+            "ts_minute": t["ts_MINUTE"], "ts_second": t["ts_SECOND"]})
+
+    return ds.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# drift (PSI numeric + categorical)
+
+_PSI_NUM_SQL = """
+WITH a AS (SELECT LEAST(GREATEST(CAST(FLOOR(value / 50) AS INT), 0), 9) AS b,
+                  COUNT(*) AS n
+           FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+c AS (SELECT LEAST(GREATEST(CAST(FLOOR(value / 50) AS INT), 0), 9) AS b,
+             COUNT(*) AS n
+      FROM events WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1),
+bins AS (SELECT range AS b FROM range(0, 10)),
+j AS (SELECT bins.b, COALESCE(a.n, 0) AS na, COALESCE(c.n, 0) AS nc
+      FROM bins LEFT JOIN a ON bins.b = a.b LEFT JOIN c ON bins.b = c.b),
+t AS (SELECT SUM(na) AS ta, SUM(nc) AS tc FROM j)
+SELECT ROUND(SUM(((na + 0.5) / (ta + 5.0) - (nc + 0.5) / (tc + 5.0))
+             * LN(((na + 0.5) / (ta + 5.0)) / ((nc + 0.5) / (tc + 5.0)))), 6)
+       AS psi
+FROM j, t"""
+
+
+@query("psi_events_value", sql=_PSI_NUM_SQL)
+def psi_events_value(sf_dir: str):
+    """Numeric PSI drift between the two halves of the events month —
+    the engine's replacement for the reference's learned outlier score."""
+    ds = _t(sf_dir, "events", ["ts", "value"])
+    ref = ds.map_batches(
+        lambda t: t.filter(pc.less(t["ts"], pa.scalar(HALF_TS))),
+        batch_format="pyarrow")
+    cur = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["ts"], pa.scalar(HALF_TS))),
+        batch_format="pyarrow")
+    edges = np.arange(0.0, 550.0, 50.0)
+    val = drift.psi_numeric(ref, cur, "value", edges)
+    return pa.table({"psi": pa.array([round(val, 6)], type=pa.float64())})
+
+
+_PSI_CAT_SQL = """
+WITH a AS (SELECT event_type, COUNT(*) AS n FROM events
+           WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+c AS (SELECT event_type, COUNT(*) AS n FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1),
+cats AS (SELECT DISTINCT event_type FROM events),
+j AS (SELECT cats.event_type, COALESCE(a.n, 0) AS na, COALESCE(c.n, 0) AS nc
+      FROM cats LEFT JOIN a USING (event_type) LEFT JOIN c USING (event_type)),
+t AS (SELECT SUM(na) AS ta, SUM(nc) AS tc, COUNT(*) AS nb FROM j)
+SELECT ROUND(SUM(((na + 0.5) / (ta + 0.5 * nb) - (nc + 0.5) / (tc + 0.5 * nb))
+             * LN(((na + 0.5) / (ta + 0.5 * nb))
+                  / ((nc + 0.5) / (tc + 0.5 * nb)))), 6) AS psi
+FROM j, t"""
+
+
+@query("psi_event_type", sql=_PSI_CAT_SQL)
+def psi_event_type(sf_dir: str):
+    """Categorical PSI drift on event_type between the two halves."""
+    ds = _t(sf_dir, "events", ["ts", "event_type"])
+    ref = ds.map_batches(
+        lambda t: t.filter(pc.less(t["ts"], pa.scalar(HALF_TS))),
+        batch_format="pyarrow")
+    cur = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["ts"], pa.scalar(HALF_TS))),
+        batch_format="pyarrow")
+    val = drift.psi_categorical(ref, cur, "event_type")
+    return pa.table({"psi": pa.array([round(val, 6)], type=pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# dedup / fingerprints / text analysis
+
+
+@query("exact_dedup_lineitem", sql="""
+SELECT l_quantity, l_discount, l_tax, l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       MIN(l_orderkey * 10 + l_linenumber) AS keep_rank
+FROM lineitem
+GROUP BY l_quantity, l_discount, l_tax, l_returnflag, l_linestatus""")
+def exact_dedup_lineitem(sf_dir: str):
+    """Exact dedup over projected content: one representative (min rank)
+    per distinct value combination — hash-partitioned groupby with
+    per-block pre-aggregation."""
+    from ray.data.aggregate import Min, Sum
+
+    cols = ["l_quantity", "l_discount", "l_tax", "l_returnflag",
+            "l_linestatus"]
+    ds = _t(sf_dir, "lineitem", cols + ["l_orderkey", "l_linenumber"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rank = pc.add(pc.multiply(t["l_orderkey"], 10),
+                      pc.cast(t["l_linenumber"], pa.int64()))
+        t2 = t.append_column("keep_rank", rank)
+        g = (t2.group_by(cols)
+             .aggregate([("keep_rank", "min"), ([], "count_all")]))
+        return g.rename_columns(cols + ["keep_rank", "n"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(cols)
+            .aggregate(Sum("n", alias_name="n"),
+                       Min("keep_rank", alias_name="keep_rank")))
+
+
+@query("doc_fingerprints", sql="SELECT doc_id, md5(text) AS fp FROM documents")
+def doc_fingerprints(sf_dir: str):
+    """Deterministic document fingerprints (md5) for dedup keying."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "fp": sfn.md5_fingerprint(df["text"])})
+
+    return ds.map_batches(fp, batch_format="pandas")
+
+
+@query("text_quality_docs", sql="""
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+            AS BIGINT) AS n_words,
+       ROUND(CASE WHEN trim(text) = '' THEN 0.0
+             ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  x -> x IN ('the', 'a', 'of', 'and', 'to')))
+                  / CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                         AS DOUBLE) END, 6) AS stop_ratio,
+       ROUND(CASE WHEN len(text) = 0 THEN 0.0
+             ELSE len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                  / CAST(len(text) AS DOUBLE) END, 6) AS punct_ratio,
+       CAST(len(text) AS BIGINT) AS n_chars_calc
+FROM documents""")
+def text_quality_docs(sf_dir: str):
+    """Text quality scoring: token count, stopword ratio, punctuation
+    ratio, length — vectorized pandas string kernels per batch."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def q(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_words": sfn.word_counts(df["text"]),
+            "stop_ratio": np.round(sfn.stopword_ratio(df["text"])
+                                   .astype(float), 6),
+            "punct_ratio": np.round(sfn.punct_ratio(df["text"])
+                                    .astype(float), 6),
+            "n_chars_calc": df["text"].str.len().astype("int64")})
+
+    return ds.map_batches(q, batch_format="pandas")
+
+
+@query("token_totals_by_lang", sql="""
+SELECT lang,
+       CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+            AS BIGINT) AS total_words,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang""")
+def token_totals_by_lang(sf_dir: str):
+    """Token counting rolled up by language (partial per block, then a
+    tiny keyed aggregate)."""
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = sfn.word_counts(df["text"])
+        g = (pd.DataFrame({"lang": df["lang"], "w": words, "d": 1})
+             .groupby("lang", as_index=False).sum())
+        return g
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("lang")
+            .aggregate(Sum("w", alias_name="total_words"),
+                       Sum("d", alias_name="n_docs")))
+
+
+@query("pattern_shapes_customer", sql="""
+SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           c_name, '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'),
+           '[0-9]', '9', 'g'), '[^Aa9]', '#', 'g') AS shape,
+       COUNT(*) AS n
+FROM customer GROUP BY 1""")
+def pattern_shapes_customer(sf_dir: str):
+    """Char-class shape histogram (CategoricalPatterns.py:46-83
+    re-expressed as a readable A/a/9/# alphabet)."""
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "customer", ["c_name"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = sfn.shape_pattern(df["c_name"])
+        g = s.value_counts().reset_index()
+        g.columns = ["shape", "n"]
+        return g
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("shape").aggregate(Sum("n", alias_name="n")))
+
+
+@query("nan_canonicalize_sources", sql="""
+SELECT doc_id,
+       CASE WHEN src IN ('NaN', 'nan', ' ', '') THEN NULL ELSE src END
+           AS src_canon
+FROM (SELECT doc_id, source AS src FROM documents
+      UNION ALL
+      SELECT * FROM (VALUES (-1, 'NaN'), (-2, 'nan'), (-3, ' '),
+                            (-4, ''), (-5, 'ok')) v(doc_id, src))""")
+def nan_canonicalize_sources(sf_dir: str):
+    """NaN-token canonicalization (XCopySchemaTransformer.py:55-63) over
+    the source column plus injected token rows."""
+    ds = _t(sf_dir, "documents", ["doc_id", "source"])
+    extra = rd.from_arrow(pa.table({
+        "doc_id": pa.array([-1, -2, -3, -4, -5], type=pa.int64()),
+        "source": pa.array(["NaN", "nan", " ", "", "ok"])}))
+
+    def canon(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "src_canon": sfn.canonicalize_nan_tokens(t["source"])})
+
+    return ds.union(extra).map_batches(canon, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# correlation + similarity search
+
+
+@query("spearman_quantity_price", sql="""
+WITH r AS (SELECT
+    rank() OVER (ORDER BY l_quantity)
+      + (COUNT(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rx,
+    rank() OVER (ORDER BY l_extendedprice)
+      + (COUNT(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS ry
+  FROM lineitem)
+SELECT ROUND(corr(rx, ry), 6) AS rho FROM r""")
+def spearman_quantity_price(sf_dir: str):
+    """Distributed exact Spearman rank correlation
+    (SpearmanCheck.py:23-41 duplicate-column heuristic)."""
+    ds = _t(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+    rho = spearman(ds, "l_quantity", "l_extendedprice")
+    return pa.table({"rho": pa.array([round(rho, 6)], type=pa.float64())})
+
+
+@query("ann_topk_embeddings", sql="""
+SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+       ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                    q.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings q, embeddings e
+WHERE q.vec_id < 3 AND e.vec_id >= 3
+QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                          q.embedding::DOUBLE[]), 6) DESC,
+             e.vec_id) <= 5""")
+def ann_topk_embeddings(sf_dir: str):
+    """Brute-force cosine top-k similarity search: query matrix broadcast
+    once, per-batch numpy matmul partial top-k, tiny per-query final
+    top-k (the IVF/LSH bucketed variant is the documented scale path)."""
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = (ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 3)), batch_format="pyarrow")
+        .take_all())
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in qrows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ref = ray.put((qids, Qn))
+    k = 5
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids_, Qn_ = ray.get(q_ref)
+        t = t.filter(pc.greater_equal(t["vec_id"], 3))
+        if t.num_rows == 0:
+            return pa.table({"query_id": _i64([]), "vec_id": _i64([]),
+                             "cos": pa.array([], type=pa.float64())})
+        vids = t["vec_id"].to_numpy(zero_copy_only=False)
+        M = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = Mn @ Qn_.T  # (rows, queries)
+        out_q, out_v, out_c = [], [], []
+        for j, qid in enumerate(ids_):
+            scores = np.round(S[:, j], 6)
+            order = np.lexsort((vids, -scores))[:k]
+            out_q.extend([qid] * len(order))
+            out_v.extend(vids[order].tolist())
+            out_c.extend(scores[order].tolist())
+        return pa.table({"query_id": _i64(out_q), "vec_id": _i64(out_v),
+                         "cos": pa.array(out_c, type=pa.float64())})
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "vec_id"],
+                          ascending=[False, True]).head(k)
+        return g
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("query_id").map_groups(final_topk,
+                                            batch_format="pandas"))

@@ -1,0 +1,72 @@
+"""Spearman rank correlation, distributed and exact.
+
+The reference's duplicate-COLUMN heuristic (SpearmanCheck.py:23-41) runs
+scipy.stats.spearmanr on the whole in-memory frame.  The engine computes
+the identical statistic distributively without materializing rows:
+
+1. one pass builds exact per-column value counts (the profile job);
+2. the driver derives the value -> average-rank map (ties get the mean
+   of their rank range — scipy/SQL ``rank() + (ties-1)/2`` semantics);
+3. the maps are broadcast and a second pass accumulates centered
+   Pearson partial sums over the mapped ranks.
+
+Centered sums keep magnitudes ~n^3/4 < 2^53 for n up to ~50M rows
+(documented bound); ranks are exact halves so the sums are exact.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..profile import profile_dataset
+
+
+def _rank_map(values: np.ndarray, counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """sorted values -> average 1-based rank per value."""
+    cum = np.cumsum(counts)
+    start = cum - counts + 1          # first rank of each tie-group
+    avg = start + (counts - 1) / 2.0  # average rank
+    return values.astype(np.float64), avg
+
+
+def spearman(ds, col_x: str, col_y: str, *, max_exact: int = 2_000_000) -> float:
+    prof = profile_dataset(ds, columns=[col_x, col_y], max_exact=max_exact)
+    n = prof[col_x].count
+    maps = {}
+    for c in (col_x, col_y):
+        if prof[c].values.overflow:
+            raise ValueError(
+                f"{c}: distinct count exceeds exact-rank bound {max_exact}; "
+                "use a sampled Spearman (reference runs on a sample anyway)")
+        vals, cnts = prof[c].values.sorted_arrays()
+        maps[c] = _rank_map(vals, cnts)
+    mean_rank = (n + 1) / 2.0
+    maps_ref = ray.put(maps)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = ray.get(maps_ref)
+        vx, rx_map = m[col_x]
+        vy, ry_map = m[col_y]
+        x = batch[col_x].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        y = batch[col_y].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        rx = rx_map[np.searchsorted(vx, x)] - mean_rank
+        ry = ry_map[np.searchsorted(vy, y)] - mean_rank
+        return pa.table({
+            "sxx": [float(np.sum(rx * rx))],
+            "syy": [float(np.sum(ry * ry))],
+            "sxy": [float(np.sum(rx * ry))],
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    sxx = sum(p["sxx"] for p in parts)
+    syy = sum(p["syy"] for p in parts)
+    sxy = sum(p["sxy"] for p in parts)
+    if sxx == 0 or syy == 0:
+        return float("nan")
+    return float(sxy / np.sqrt(sxx * syy))

@@ -1,0 +1,120 @@
+"""Distribution-drift validators: PSI and KS between a reference profile
+and a current partition (FIXTURES.md R6).
+
+These replace the reference's learned outlier-model score (pyod fit at
+runs.py:162 / score at runs.py:198) with deterministic distribution
+distances — the north rule's drift checks on w/h/fmt histograms and
+caption-length distributions.
+
+PSI uses +0.5 Laplace smoothing per bin (so empty bins are defined);
+the same formula is mirrored in the DuckDB oracle SQL, keeping the
+correctness gate exact.  Histogram counts are one ``map_batches``
+partial (np.histogram per block) summed on the driver — no shuffle.
+"""
+
+from __future__ import annotations
+
+import math
+import pickle
+
+import numpy as np
+import pyarrow as pa
+
+from ..sketches import ValueCounts
+
+
+def psi_from_counts(ref_counts, cur_counts) -> float:
+    """PSI with +0.5/bin smoothing: p=(c+0.5)/(N+0.5B);
+    sum((p-q)*ln(p/q))."""
+    ref_counts = np.asarray(ref_counts, dtype=float)
+    cur_counts = np.asarray(cur_counts, dtype=float)
+    b = len(ref_counts)
+    p = (ref_counts + 0.5) / (ref_counts.sum() + 0.5 * b)
+    q = (cur_counts + 0.5) / (cur_counts.sum() + 0.5 * b)
+    return float(np.sum((p - q) * np.log(p / q)))
+
+
+def histogram_counts(ds, col: str, edges: np.ndarray) -> np.ndarray:
+    """Fixed-edge histogram of one column, streaming (values outside the
+    edge range are clamped into the first/last bin)."""
+    edges = np.asarray(edges, dtype=float)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].cast(pa.float64()).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        idx = np.clip(np.searchsorted(edges, v, side="right") - 1,
+                      0, len(edges) - 2)
+        counts = np.bincount(idx, minlength=len(edges) - 1).astype(np.int64)
+        return pa.table({"counts": pa.array([counts.tolist()],
+                                            type=pa.list_(pa.int64()))})
+
+    total = np.zeros(len(edges) - 1, dtype=np.int64)
+    for row in ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all():
+        total += np.asarray(row["counts"], dtype=np.int64)
+    return total
+
+
+def categorical_counts(ds, col: str) -> dict:
+    """Value counts of a (modest-cardinality) categorical column,
+    pre-aggregated per block.  For hot-value skew, the per-block partial
+    IS the salt: each block contributes at most one row per category."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([col]).group_by([col]).aggregate([([], "count_all")])
+        return g.rename_columns([col, "n"])
+
+    from ray.data.aggregate import Sum
+    rows = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(col).aggregate(Sum("n", alias_name="n"))).take_all()
+    return {r[col]: int(r["n"]) for r in rows}
+
+
+def psi_numeric(ds_ref, ds_cur, col: str, edges) -> float:
+    return psi_from_counts(histogram_counts(ds_ref, col, edges),
+                           histogram_counts(ds_cur, col, edges))
+
+
+def psi_categorical(ds_ref, ds_cur, col: str) -> float:
+    a = categorical_counts(ds_ref, col)
+    b = categorical_counts(ds_cur, col)
+    cats = sorted(set(a) | set(b), key=lambda x: (x is None, x))
+    return psi_from_counts([a.get(c, 0) for c in cats],
+                           [b.get(c, 0) for c in cats])
+
+
+def ks_from_valuecounts(a: ValueCounts, b: ValueCounts) -> float:
+    """Exact two-sample KS statistic from exact value counts."""
+    va, ca = a.sorted_arrays()
+    vb, cb = b.sorted_arrays()
+    allv = np.unique(np.concatenate([va, vb]))
+    cum_a = np.cumsum(ca) / max(1, ca.sum())
+    cum_b = np.cumsum(cb) / max(1, cb.sum())
+    cdf_a = np.where(np.searchsorted(va, allv, side="right") > 0,
+                     cum_a[np.clip(np.searchsorted(va, allv, side="right") - 1,
+                                   0, len(va) - 1)], 0.0)
+    cdf_b = np.where(np.searchsorted(vb, allv, side="right") > 0,
+                     cum_b[np.clip(np.searchsorted(vb, allv, side="right") - 1,
+                                   0, len(vb) - 1)], 0.0)
+    return float(np.max(np.abs(cdf_a - cdf_b)))
+
+
+def ks_numeric(ds_ref, ds_cur, col: str, *, max_exact: int = 2_000_000) -> float:
+    """Exact KS via per-side exact value counts (documented bound:
+    flips to histogram-approximated KS past ``max_exact`` distinct)."""
+    from ..profile import profile_dataset
+    pa_ = profile_dataset(ds_ref, columns=[col], max_exact=max_exact)
+    pb_ = profile_dataset(ds_cur, columns=[col], max_exact=max_exact)
+    va, vb = pa_[col].values, pb_[col].values
+    if va.overflow or vb.overflow:
+        edges = np.linspace(
+            min(pa_[col].moments.vmin, pb_[col].moments.vmin),
+            max(pa_[col].moments.vmax, pb_[col].moments.vmax), 257)
+        ca = histogram_counts(ds_ref, col, edges).astype(float)
+        cb = histogram_counts(ds_cur, col, edges).astype(float)
+        return float(np.max(np.abs(np.cumsum(ca) / ca.sum()
+                                   - np.cumsum(cb) / cb.sum())))
+    return ks_from_valuecounts(va, vb)

@@ -1,0 +1,76 @@
+"""Mini-driver replica: every ``queries()`` entry runs at sf0.001 and,
+when an ``oracle_sql()`` entry exists, must match DuckDB exactly after
+canonical ordering (the real gate compares row-count + schema +
+order-insensitive value hash at sf0.01)."""
+
+import glob
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            pass
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype(np.float64)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype(np.int64)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def _to_pandas(res):
+    import pyarrow as pa
+    import ray.data
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES.keys()))
+def test_query_matches_oracle(name):
+    got = _canon(_to_pandas(QUERIES[name](SF)))
+    assert len(got) >= 0
+    if name not in ORACLES:
+        return  # rows-only check, like the driver's weaker path
+    con = _duck()
+    exp = _canon(con.execute(ORACLES[name]).df())
+    con.close()
+    assert list(got.columns) == list(exp.columns), (
+        f"{name}: columns {list(got.columns)} != {list(exp.columns)}")
+    assert len(got) == len(exp), f"{name}: {len(got)} rows != {len(exp)}"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  check_exact=True, obj=name)
+
+
+def test_entry_smoke():
+    ds = entrymod.entry()
+    df = _to_pandas(ds)
+    assert len(df) > 0
+    assert "AnomalyScore" in df.columns and "AnomalyLabel" in df.columns
