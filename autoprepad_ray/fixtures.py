@@ -1,0 +1,260 @@
+"""Deterministic F-IMG fixture generator (FIXTURES.md).
+
+One logical image+caption table in the exact BASELINE.json ``input_hint``
+shape — (image_id: string, bytes: binary, w: int32, h: int32, fmt:
+string, caption: string, phash: int64) — written as partitioned Parquet
+(``images/partition={pid}/part.parquet``, Lance-layout-compatible) plus a
+companion ``captions.parquet`` (image_id, caption) for referential
+integrity.  Everything is a pure function of (seed, partition_id,
+row_index); regenerating any scale yields identical tables.
+
+Injection recipes R1-R7 are applied when ``inject=True`` and the
+generator returns the exact expected outcomes so tests can pin verdicts.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .functions import imagecodec as ic
+from .sketches import hash64
+
+ADJS = ["quiet", "bright", "rusty", "smooth", "ancient", "tiny", "vast",
+        "pale", "bold", "curved"]
+NOUNS = ["harbor", "lantern", "valley", "engine", "forest", "window",
+         "bridge", "garden", "signal", "mirror"]
+VERBS = ["rests", "glows", "turns", "waits", "drifts", "hums", "leans",
+         "shines", "floats", "stands"]
+
+W_CHOICES = np.array([32, 64, 96, 128], dtype=np.int32)
+W_PROBS = np.array([0.4, 0.3, 0.2, 0.1])
+DRIFT_CHOICES = np.array([64, 96, 128, 192], dtype=np.int32)  # R6 shift
+
+
+@dataclass
+class FimgExpectations:
+    outlier_w_ids: list = field(default_factory=list)        # R1
+    null_caption_partition: int = 5                           # R2
+    dup_ids: list = field(default_factory=list)               # R3
+    orphan_image_ids: list = field(default_factory=list)      # R4 images w/o caption
+    orphan_caption_ids: list = field(default_factory=list)    # R4 captions w/o image
+    exact_pairs: list = field(default_factory=list)           # R5 same phash
+    hamming_pairs: list = field(default_factory=list)         # R5 (a, b, dist)
+    hot_phash: int | None = None                              # R5 skew value
+    hot_count: int = 0
+    drift_partition: int = 7                                  # R6
+    bad_decode_ids: list = field(default_factory=list)        # R7
+
+
+def _rng(seed: int, pid: int, i: int, tag: int = 0) -> np.random.Generator:
+    key = int(hash64([f"{seed}/{pid}/{i}/{tag}"])[0])
+    return np.random.default_rng(key)
+
+
+def _caption(seed: int, pid: int, i: int, stretch: float = 1.0) -> str:
+    rng = _rng(seed, pid, i, tag=1)
+    target = int(np.clip(rng.lognormal(3.4, 0.5) * stretch, 5, 200))
+    words = []
+    n = 0
+    while n < target:
+        w = f"a {ADJS[rng.integers(10)]} {NOUNS[rng.integers(10)]} {VERBS[rng.integers(10)]}"
+        words.append(w)
+        n += len(w) + 1
+    return " ".join(words)[:200]
+
+
+def _make_image(content_key: str, w: int, h: int, fmt: str, seed: int
+                ) -> tuple[bytes, int]:
+    img = ic.synth_image(content_key, w, h, seed=seed)
+    data = ic.encode_ppm(img) if fmt == "ppm" else ic.encode_qraw(img)
+    decoded = ic.decode(data, fmt)
+    return data, ic.average_hash(decoded)
+
+
+def generate_partition(pid: int, rows: int, seed: int = 42, *,
+                       inject: bool = True, partitions: int = 8
+                       ) -> tuple[pa.Table, list[tuple[str, str]], dict]:
+    """Build one partition table + its caption rows + local expectations."""
+    drift = inject and pid == 7 and partitions > 7
+    info: dict = {"outlier_ids": [], "dup_ids": [], "orphan_image_ids": [],
+                  "exact_pairs": [], "hamming_pairs": [], "hot": [],
+                  "bad_decode_ids": []}
+    ids, blobs, ws, hs, fmts, captions, phashes = [], [], [], [], [], [], []
+    n_outlier = max(1, rows // 100) if (inject and pid == 3) else 0
+    for i in range(rows):
+        image_id = f"img-{pid:04d}-{i:07d}"
+        rng = _rng(seed, pid, i)
+        choices = DRIFT_CHOICES if drift else W_CHOICES
+        w = int(choices[rng.choice(4, p=W_PROBS)])
+        h = int(choices[rng.choice(4, p=W_PROBS)])
+        if drift:
+            fmt = "ppm" if rng.random() < 0.5 else "qraw"
+        else:
+            fmt = "ppm" if rng.random() < 0.9 else "qraw"
+        content_key = image_id
+        stretch = 1.5 if drift else 1.0
+        caption = _caption(seed, pid, i, stretch)
+
+        if inject and pid == 3 and i < n_outlier:          # R1 outlier-w
+            w, h = 4096, 32
+            info["outlier_ids"].append(image_id)
+        if inject and pid == 6 and i < 10 and partitions > 6:  # R3 dup ids
+            image_id = f"img-{1:04d}-{i:07d}"
+            info["dup_ids"].append(image_id)
+        if inject and pid == 4 and i < 40 and partitions > 4:  # R5 exact pairs
+            content_key = f"pair-{pid}-{i // 2}"
+            if i % 2 == 1:
+                info["exact_pairs"].append(
+                    (f"img-{pid:04d}-{i-1:07d}", image_id))
+        if inject and i >= rows - 30 and pid < min(7, partitions):  # R5 hot
+            content_key = "hot-phash-content"
+            w = h = 64
+            fmt = "ppm"
+            info["hot"].append(image_id)
+
+        data, ph = _make_image(content_key, w, h, fmt, seed)
+
+        if inject and pid == 4 and 40 <= i < 60 and partitions > 4:
+            # R5 hamming pairs: same content, flip a few pixels
+            base_key = f"ham-{i // 2}"
+            img = ic.synth_image(base_key, 64, 64, seed=seed)
+            if i % 2 == 1:
+                img = img.copy()
+                img[0:8, 0:8, :] ^= 255  # invert one hash cell -> dist ~1-3
+            w = h = 64
+            fmt = "ppm"
+            data = ic.encode_ppm(img)
+            ph = ic.average_hash(img)
+            if i % 2 == 1:
+                prev = phashes[-1]
+                dist = int(ic.hamming64(np.int64(prev), np.int64(ph))[0])
+                info["hamming_pairs"].append(
+                    (f"img-{pid:04d}-{i-1:07d}", image_id, dist))
+
+        if inject and pid == 2 and partitions > 2:
+            if 200 <= i < 205:                              # R7 truncated
+                data = data[:max(8, len(data) // 2)]
+                info["bad_decode_ids"].append(image_id)
+            elif 205 <= i < 210:                            # R7 fmt lies
+                img = ic.synth_image(content_key, w, h, seed=seed)
+                data = ic.encode_qraw(img)
+                fmt = "ppm"
+                info["bad_decode_ids"].append(image_id)
+
+        if inject and pid == 5 and i % 5 == 0 and partitions > 5:  # R2 nulls
+            caption = None if i % 10 == 0 else "NaN"
+
+        ids.append(image_id)
+        blobs.append(data)
+        ws.append(w)
+        hs.append(h)
+        fmts.append(fmt)
+        captions.append(caption)
+        phashes.append(ph)
+
+    table = pa.table({
+        "image_id": pa.array(ids, type=pa.string()),
+        "bytes": pa.array(blobs, type=pa.large_binary()),
+        "w": pa.array(ws, type=pa.int32()),
+        "h": pa.array(hs, type=pa.int32()),
+        "fmt": pa.array(fmts, type=pa.string()),
+        "caption": pa.array(captions, type=pa.string()),
+        "phash": pa.array(phashes, type=pa.int64()),
+        "partition_id": pa.array(np.full(rows, pid, dtype=np.int32)),
+    })
+
+    cap_rows = []
+    for image_id, caption in zip(ids, captions):
+        if inject and pid == 2 and partitions > 2:
+            idx = int(image_id.split("-")[-1])
+            if 100 <= idx < 125:                            # R4 orphan images
+                info["orphan_image_ids"].append(image_id)
+                continue
+        cap_rows.append((image_id, caption if caption is not None else ""))
+    return table, cap_rows, info
+
+
+def generate_fimg(out_dir: str, *, partitions: int = 8, rows: int = 5000,
+                  seed: int = 42, inject: bool = True,
+                  use_ray: bool = False) -> FimgExpectations:
+    """Generate the partitioned image table + captions; returns expected
+    outcomes.  ``use_ray=True`` fans partition generation out as Ray
+    tasks (bench-scale path)."""
+    os.makedirs(out_dir, exist_ok=True)
+    exp = FimgExpectations()
+    results = []
+    if use_ray:
+        import ray
+
+        @ray.remote
+        def gen(pid):
+            return generate_partition(pid, rows, seed, inject=inject,
+                                      partitions=partitions)
+
+        results = ray.get([gen.remote(p) for p in range(partitions)])
+    else:
+        results = [generate_partition(p, rows, seed, inject=inject,
+                                      partitions=partitions)
+                   for p in range(partitions)]
+
+    all_caps: list[tuple[str, str]] = []
+    hot_hashes = []
+    for pid, (table, caps, info) in enumerate(results):
+        pdir = os.path.join(out_dir, "images", f"partition={pid}")
+        os.makedirs(pdir, exist_ok=True)
+        pq.write_table(table, os.path.join(pdir, "part.parquet"))
+        all_caps.extend(caps)
+        exp.outlier_w_ids.extend(info["outlier_ids"])
+        exp.dup_ids.extend(info["dup_ids"])
+        exp.orphan_image_ids.extend(info["orphan_image_ids"])
+        exp.exact_pairs.extend(info["exact_pairs"])
+        exp.hamming_pairs.extend(info["hamming_pairs"])
+        exp.bad_decode_ids.extend(info["bad_decode_ids"])
+        if info["hot"]:
+            exp.hot_count += len(info["hot"])
+            hot_hashes.append(
+                table.filter(pa.array(
+                    [i in set(info["hot"]) for i in
+                     table["image_id"].to_pylist()]))["phash"][0].as_py())
+    if hot_hashes:
+        exp.hot_phash = hot_hashes[0]
+
+    # R4: caption-side orphans (ids that never existed as images)
+    if inject:
+        for k in range(5):
+            oid = f"img-orph-{k:07d}"
+            all_caps.append((oid, f"orphan caption {k}"))
+            exp.orphan_caption_ids.append(oid)
+
+    cap_table = pa.table({
+        "image_id": pa.array([c[0] for c in all_caps], type=pa.string()),
+        "caption": pa.array([c[1] for c in all_caps], type=pa.string()),
+    })
+    pq.write_table(cap_table, os.path.join(out_dir, "captions.parquet"))
+    return exp
+
+
+def fimg_cache_dir(base: str, partitions: int, rows: int, seed: int,
+                   inject: bool) -> str:
+    return os.path.join(
+        base, f"fimg_p{partitions}_r{rows}_s{seed}_{'inj' if inject else 'clean'}")
+
+
+def ensure_fimg(base: str = "/tmp/autoprepad_fimg", *, partitions: int = 8,
+                rows: int = 5000, seed: int = 42, inject: bool = True,
+                use_ray: bool = False) -> tuple[str, FimgExpectations | None]:
+    """Generate-once cache: returns (dir, expectations-or-None-if-cached)."""
+    d = fimg_cache_dir(base, partitions, rows, seed, inject)
+    done = os.path.join(d, "_DONE")
+    if os.path.exists(done):
+        return d, None
+    exp = generate_fimg(d, partitions=partitions, rows=rows, seed=seed,
+                        inject=inject, use_ray=use_ray)
+    with open(done, "w") as f:
+        f.write("ok")
+    return d, exp

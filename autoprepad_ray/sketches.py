@@ -60,6 +60,7 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
 
 def popcount64(x: np.ndarray) -> np.ndarray:
     """Exact vectorized popcount for uint64 (numpy<2 has no bitwise_count)."""
+    x = np.atleast_1d(np.asarray(x))
     b = x.astype(np.uint64).view(np.uint8).reshape(*x.shape, 8)
     return _POP8[b].sum(axis=-1).astype(np.int64)
 

@@ -1,0 +1,101 @@
+"""Actor-pool image decode / verification stage (FIXTURES R7; the F14
+"model scorer" slot from SURVEY §2.3 — the stateful map_batches stage).
+
+A callable CLASS for ``map_batches(DecodeVerify, concurrency=N)``: codec
+dispatch tables and scratch buffers are built ONCE per actor in
+``__init__``; ``__call__`` decodes every row's payload, checks
+
+- payload magic matches the declared ``fmt`` (mis-labeled rows),
+- payload is complete (truncation),
+- decoded dimensions match the declared ``w``/``h`` metadata,
+- recomputed perceptual hash matches the ``phash`` column,
+- for lossy formats, decode -> re-encode -> decode PSNR >= ``min_psnr``
+  (the >=40 dB allclose invariant from BASELINE.json ``input_hint``).
+
+Binary payloads force a per-row decode loop (each row is an opaque blob);
+the inner pixel work is numpy-vectorized and batches stay small
+(``batch_size`` ~256) so a batch x pool fits worker heaps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import imagecodec as ic
+
+
+class DecodeVerify:
+    def __init__(self, *, min_psnr: float = 40.0, check_phash: bool = True):
+        self.min_psnr = min_psnr
+        self.check_phash = check_phash
+        self.decoders = {"ppm": ic.decode_ppm, "qraw": ic.decode_qraw}
+        self.lossy = {"qraw"}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ok = np.ones(n, dtype=bool)
+        reasons = np.full(n, "", dtype=object)
+        psnr_vals = np.full(n, np.inf)
+        rehash = np.zeros(n, dtype=np.int64)
+        blobs = batch["bytes"]
+        fmts = batch["fmt"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        phs = batch["phash"].to_numpy(zero_copy_only=False)
+        for i in range(n):
+            data = blobs[i].as_py()
+            fmt = fmts[i]
+            dec = self.decoders.get(fmt)
+            if dec is None:
+                ok[i] = False
+                reasons[i] = f"no-codec:{fmt}"
+                continue
+            sniffed = ic.sniff_format(data)
+            if sniffed != fmt:
+                ok[i] = False
+                reasons[i] = f"fmt-mismatch:{sniffed}"
+                continue
+            try:
+                img = dec(data)
+            except ValueError as e:
+                ok[i] = False
+                reasons[i] = f"decode-error:{e}"
+                continue
+            ih, iw = img.shape[:2]
+            if iw != ws[i] or ih != hs[i]:
+                ok[i] = False
+                reasons[i] = f"dims-mismatch:{iw}x{ih}"
+                continue
+            h64 = ic.average_hash(img)
+            rehash[i] = h64
+            if self.check_phash and h64 != phs[i]:
+                ok[i] = False
+                reasons[i] = "phash-mismatch"
+                continue
+            if fmt in self.lossy:
+                # lossy round-trip invariant: decode(encode(img)) close
+                rt = ic.decode_qraw(ic.encode_qraw(img))
+                p = ic.psnr(img, rt)
+                psnr_vals[i] = p
+                if p < self.min_psnr:
+                    ok[i] = False
+                    reasons[i] = f"psnr:{p:.1f}"
+        batch = batch.append_column("decode_ok",
+                                    pa.array(ok.astype(np.int8)))
+        batch = batch.append_column("decode_reason",
+                                    pa.array(reasons, type=pa.string()))
+        batch = batch.append_column("psnr", pa.array(psnr_vals))
+        batch = batch.append_column("phash_recomputed", pa.array(rehash))
+        return batch
+
+
+def decode_verify(ds, *, concurrency=4, batch_size: int = 256,
+                  min_psnr: float = 40.0, check_phash: bool = True,
+                  num_cpus: float = 1):
+    """Run :class:`DecodeVerify` as an actor pool over the dataset."""
+    return ds.map_batches(
+        DecodeVerify, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency, num_cpus=num_cpus,
+        fn_constructor_kwargs={"min_psnr": min_psnr,
+                               "check_phash": check_phash})

@@ -73,6 +73,57 @@ def categorical_counts(ds, col: str) -> dict:
     return {r[col]: int(r["n"]) for r in rows}
 
 
+def histogram_by_partition(ds, col: str, edges: np.ndarray,
+                           partition_col: str) -> dict[int, np.ndarray]:
+    """One streaming pass -> fixed-edge histogram per partition: per-block
+    partial (partition, bincount) rows, groupby-summed.  The shuffle
+    moves O(partitions x bins x blocks) tiny rows."""
+    edges = np.asarray(edges, dtype=float)
+    nb = len(edges) - 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].cast(pa.float64()).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        pid = batch[partition_col].to_numpy(zero_copy_only=False)
+        keep = ~np.isnan(v)
+        v, pid = v[keep], pid[keep]
+        idx = np.clip(np.searchsorted(edges, v, side="right") - 1, 0, nb - 1)
+        uniq, inv = np.unique(pid, return_inverse=True)
+        counts = np.zeros((len(uniq), nb), dtype=np.int64)
+        np.add.at(counts, (inv, idx), 1)
+        return pa.table({partition_col: pa.array(uniq),
+                         "counts": pa.array(counts.tolist(),
+                                            type=pa.list_(pa.int64()))})
+
+    out: dict[int, np.ndarray] = {}
+    for row in ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all():
+        pid = int(row[partition_col])
+        c = np.asarray(row["counts"], dtype=np.int64)
+        out[pid] = out.get(pid, np.zeros(nb, dtype=np.int64)) + c
+    return out
+
+
+def categorical_counts_by_partition(ds, col: str, partition_col: str
+                                    ) -> dict[int, dict]:
+    """Per-partition category counts, block-partial pre-aggregated."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (batch.select([partition_col, col])
+             .group_by([partition_col, col]).aggregate([([], "count_all")]))
+        return g.rename_columns([partition_col, col, "n"])
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby([partition_col, col])
+            .aggregate(Sum("n", alias_name="n"))).take_all()
+    out: dict[int, dict] = {}
+    for r in rows:
+        out.setdefault(int(r[partition_col]), {})[r[col]] = int(r["n"])
+    return out
+
+
 def psi_numeric(ds_ref, ds_cur, col: str, edges) -> float:
     return psi_from_counts(histogram_counts(ds_ref, col, edges),
                            histogram_counts(ds_cur, col, edges))

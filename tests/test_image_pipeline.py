@@ -1,0 +1,127 @@
+"""Codec units + end-to-end F-IMG validation against the injection
+recipes' expected outcomes (FIXTURES.md R1-R7)."""
+
+import numpy as np
+import pytest
+
+from autoprepad_ray.functions import imagecodec as ic
+from autoprepad_ray.fixtures import generate_fimg
+
+
+def test_ppm_roundtrip_exact():
+    img = ic.synth_image("x", 64, 32)
+    assert img.shape == (32, 64, 3)
+    out = ic.decode_ppm(ic.encode_ppm(img))
+    assert np.array_equal(out, img)
+
+
+def test_qraw_lossy_psnr_above_40():
+    img = ic.synth_image("y", 96, 96)
+    out = ic.decode_qraw(ic.encode_qraw(img))
+    p = ic.psnr(img, out)
+    assert 40.0 <= p < 60.0
+
+
+def test_truncation_and_sniff():
+    img = ic.synth_image("z", 32, 32)
+    data = ic.encode_ppm(img)
+    with pytest.raises(ValueError):
+        ic.decode_ppm(data[: len(data) // 2])
+    assert ic.sniff_format(data) == "ppm"
+    assert ic.sniff_format(ic.encode_qraw(img)) == "qraw"
+    assert ic.sniff_format(b"JUNK") is None
+    with pytest.raises(NotImplementedError):
+        ic.decode(b"\x89PNG", "png")
+
+
+def test_average_hash_properties():
+    a = ic.average_hash(ic.synth_image("a", 64, 64))
+    a2 = ic.average_hash(ic.synth_image("a", 64, 64))
+    b = ic.average_hash(ic.synth_image("b", 64, 64))
+    assert a == a2  # deterministic
+    d = int(ic.hamming64(np.int64(a), np.int64(b))[0])
+    assert 10 <= d <= 54  # unrelated images far apart
+    assert int(ic.hamming64(np.int64(a), np.int64(a))[0]) == 0
+
+
+@pytest.fixture(scope="module")
+def fimg(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fimg"))
+    exp = generate_fimg(d, partitions=8, rows=250, seed=42, inject=True)
+    return d, exp
+
+
+def test_fixture_determinism(tmp_path):
+    from autoprepad_ray.fixtures import generate_partition
+    t1, c1, _ = generate_partition(1, 50, 42, partitions=8)
+    t2, c2, _ = generate_partition(1, 50, 42, partitions=8)
+    assert t1.equals(t2) and c1 == c2
+
+
+def test_image_validation_end_to_end(fimg):
+    d, exp = fimg
+    from autoprepad_ray.pipelines.image_validation import validate_images
+
+    rep = validate_images(f"{d}/images", f"{d}/captions.parquet",
+                          decode_concurrency=2)
+    assert rep.schema_errors == []
+    failed = rep.failed_partitions()
+    assert failed["stat"] == [3], rep.verdicts
+    assert failed["null"] == [5], rep.verdicts
+    assert failed["uniq"] == [1, 6], rep.verdicts
+    assert failed["decode"] == [2], rep.verdicts
+    assert failed["drift"] == [7], rep.drift_psi
+
+    # R3: exactly the injected duplicate ids
+    assert sorted(rep.dup_ids["image_id"]) == sorted(exp.dup_ids)
+
+    # R4: orphans both directions
+    img_side = rep.orphans[rep.orphans["right_n"] == 0]
+    cap_side = rep.orphans[rep.orphans["left_n"] == 0]
+    assert sorted(img_side["image_id"]) == sorted(exp.orphan_image_ids)
+    assert sorted(cap_side["image_id"]) == sorted(exp.orphan_caption_ids)
+
+    # R1: every injected outlier row appears in the violation listing
+    viol_ids = set(rep.stat_violations.to_pandas()["image_id"])
+    assert set(exp.outlier_w_ids) <= viol_ids
+
+    # R5: hot phash bucket exact count; exact pairs bucketized
+    assert exp.hot_phash is not None
+    hot = rep.neardup_groups[rep.neardup_groups["phash"] == exp.hot_phash]
+    assert len(hot) == 1 and int(hot["n"].iloc[0]) == exp.hot_count
+    group_hashes = set(rep.neardup_groups["phash"])
+    pair_ids = {frozenset(p) for p in
+                zip(rep.neardup_pairs["id_a"], rep.neardup_pairs["id_b"])}
+    for a, b in exp.exact_pairs:
+        assert frozenset((a, b)) in pair_ids or any(
+            a in ids and b in ids for ids in rep.neardup_groups["ids"])
+    for a, b, dist in exp.hamming_pairs:
+        if 1 <= dist <= 4:
+            assert frozenset((a, b)) in pair_ids, (a, b, dist)
+
+    # R7: exactly the injected bad-decode rows
+    assert sorted(rep.decode_violations["image_id"]) == sorted(
+        exp.bad_decode_ids)
+
+
+def test_row_invariant_payloads_untouched(fimg):
+    """BASELINE input_hint invariant: the pipeline must not corrupt
+    payloads — bytes and caption of every output row byte-equal the
+    input row (decoded-pixel allclose is implied for lossless; for qraw
+    the decode stage asserts PSNR>=40 internally)."""
+    import ray.data as rd
+    from autoprepad_ray.stages.decode import decode_verify
+
+    d, _ = fimg
+    ds = rd.read_parquet(f"{d}/images/partition=0")
+    out = decode_verify(ds, concurrency=2).to_pandas()
+    src = rd.read_parquet(f"{d}/images/partition=0").to_pandas()
+    merged = src.merge(out, on="image_id", suffixes=("_in", "_out"))
+    assert len(merged) == len(src)
+    assert (merged["caption_in"] == merged["caption_out"]).all()
+    assert all(bi == bo for bi, bo in
+               zip(merged["bytes_in"], merged["bytes_out"]))
+    # lossless rows decode to identical pixels
+    row = merged[merged["fmt_in"] == "ppm"].iloc[0]
+    assert np.array_equal(ic.decode_ppm(row["bytes_in"]),
+                          ic.decode_ppm(row["bytes_out"]))
