@@ -111,7 +111,8 @@ def generate_partition(pid: int, rows: int, seed: int = 42, *,
             if i % 2 == 1:
                 info["exact_pairs"].append(
                     (f"img-{pid:04d}-{i-1:07d}", image_id))
-        if inject and i >= rows - 30 and pid < min(7, partitions):  # R5 hot
+        if inject and i >= rows - max(2, rows // 50) \
+                and pid < min(7, partitions):  # R5 hot phash (2% of rows)
             content_key = "hot-phash-content"
             w = h = 64
             fmt = "ppm"
@@ -137,10 +138,11 @@ def generate_partition(pid: int, rows: int, seed: int = 42, *,
                     (f"img-{pid:04d}-{i-1:07d}", image_id, dist))
 
         if inject and pid == 2 and partitions > 2:
-            if 200 <= i < 205:                              # R7 truncated
+            r7 = rows // 2                                   # scale-relative
+            if r7 <= i < r7 + 5:                             # R7 truncated
                 data = data[:max(8, len(data) // 2)]
                 info["bad_decode_ids"].append(image_id)
-            elif 205 <= i < 210:                            # R7 fmt lies
+            elif r7 + 5 <= i < r7 + 10:                      # R7 fmt lies
                 img = ic.synth_image(content_key, w, h, seed=seed)
                 data = ic.encode_qraw(img)
                 fmt = "ppm"
@@ -172,7 +174,8 @@ def generate_partition(pid: int, rows: int, seed: int = 42, *,
     for image_id, caption in zip(ids, captions):
         if inject and pid == 2 and partitions > 2:
             idx = int(image_id.split("-")[-1])
-            if 100 <= idx < 125:                            # R4 orphan images
+            r4 = rows // 4                                   # scale-relative
+            if r4 <= idx < min(rows, r4 + 25):              # R4 orphan images
                 info["orphan_image_ids"].append(image_id)
                 continue
         cap_rows.append((image_id, caption if caption is not None else ""))

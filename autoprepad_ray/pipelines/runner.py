@@ -1,0 +1,261 @@
+"""Run manifest + per-partition checkpoint/resume for image validation
+(north rule: "resumable from checkpoint with per-partition lineage +
+metrics").
+
+Layout under ``out_dir``::
+
+    profile_<fingerprint>.json            # cached fit-phase artifact
+    manifest.json                         # completed partitions + lineage
+    partitions/partition=<pid>/verdict.json
+    partitions/partition=<pid>/violations.parquet
+
+Contracts:
+- the profile artifact is keyed by an input fingerprint (paths + sizes
+  of the reference partitions), so a resume NEVER mixes profiles from
+  different inputs (SURVEY §7.6);
+- per-partition outputs are written to a temp dir then atomically
+  renamed; the manifest is rewritten (tmp + ``os.replace``) after each
+  partition completes — a killed run loses at most the partition in
+  flight;
+- on resume, completed partitions are skipped and their input files are
+  never read (the pending-partition filter is pushed into the read);
+- cross-partition key checks (uniqueness, referential, near-dup) are
+  run-scoped, not partition-scoped: they re-run over key columns only
+  (bytes are never read for them) and their results are recorded in the
+  manifest run section.  At 10^12-row scale these become incremental
+  merges of per-partition key sketches — the per-partition HLL/count
+  partials this engine already emits are the building blocks.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from .. import __version__
+from ..profile import TableProfile, profile_dataset
+from ..validators import drift, near_dup, referential, row_checks as rc, uniqueness
+from .image_validation import _prep, assert_schema
+
+
+def _fingerprint(paths: list[str]) -> str:
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        h.update(p.encode())
+        h.update(str(os.path.getsize(p)).encode())
+    return h.hexdigest()[:16]
+
+
+def _atomic_write_json(path: str, obj) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, default=str)
+    os.replace(tmp, path)
+
+
+def discover_partitions(images_dir: str) -> dict[int, list[str]]:
+    out: dict[int, list[str]] = {}
+    for d in sorted(glob.glob(os.path.join(images_dir, "partition=*"))):
+        pid = int(os.path.basename(d).split("=")[1])
+        out[pid] = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    return out
+
+
+def _load_or_build_profile(out_dir: str, ref_files: list[str],
+                           ref_partitions) -> tuple[TableProfile, str]:
+    fp = _fingerprint(ref_files)
+    path = os.path.join(out_dir, f"profile_{fp}.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return TableProfile.from_json(f.read()), fp
+    ds = rd.read_parquet(ref_files)
+    prof = profile_dataset(
+        ds.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True),
+        columns=["w", "h", "caption_len", "caption", "fmt"],
+        fingerprint=fp)
+    _atomic_write_json(path, json.loads(prof.to_json()))
+    return prof, fp
+
+
+def run_validation(images_dir: str, out_dir: str, *,
+                   captions_path: str | None = None,
+                   ref_partitions: tuple[int, ...] = (0, 1, 2),
+                   stat_budget: float = 0.005, null_budget: float = 0.05,
+                   psi_budget: float = 0.2, decode: bool = True,
+                   decode_concurrency: int = 4,
+                   run_global_checks: bool = True) -> dict:
+    """Validate all partitions, skipping those already checkpointed.
+
+    Returns the manifest dict (also persisted to ``manifest.json``)."""
+    os.makedirs(os.path.join(out_dir, "partitions"), exist_ok=True)
+    parts = discover_partitions(images_dir)
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    manifest = {"engine_version": __version__, "images_dir": images_dir,
+                "partitions": {}, "runs": []}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+
+    ref_files = [f for p in ref_partitions for f in parts.get(p, [])]
+    prof, prof_fp = _load_or_build_profile(out_dir, ref_files,
+                                           ref_partitions)
+    states = rc.fence_states(prof, ["w", "h"])
+
+    # reference histograms for drift
+    edges_wh = np.array([0, 48, 80, 112, 160, 8192], dtype=float)
+    edges_cap = np.arange(0.0, 220.0, 20.0)
+    ref_ds = rd.read_parquet(ref_files).map_batches(
+        _prep, batch_format="pyarrow", zero_copy_batch=True)
+    ref_hists = {
+        "w": drift.histogram_counts(ref_ds, "w", edges_wh),
+        "h": drift.histogram_counts(ref_ds, "h", edges_wh),
+        "caption_len": drift.histogram_counts(ref_ds, "caption_len",
+                                              edges_cap),
+    }
+    ref_fmt = drift.categorical_counts(ref_ds, "fmt")
+
+    pending = [p for p in sorted(parts)
+               if str(p) not in manifest["partitions"]
+               or manifest["partitions"][str(p)].get("profile_fp") != prof_fp]
+
+    for pid in pending:
+        t0 = time.time()
+        ds = rd.read_parquet(parts[pid])
+        schema_errors = assert_schema(ds)
+        prepped = ds.map_batches(_prep, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        checked = prepped.drop_columns(["bytes"])
+        checked = rc.check_rows(checked, states)
+        checked = checked.map_batches(
+            lambda t: t.append_column(
+                "caption_null", pc.cast(pc.is_null(t["caption"]), pa.int8())),
+            batch_format="pyarrow")
+
+        from ray.data.aggregate import Max, Sum
+
+        def summarize(t: pa.Table) -> pa.Table:
+            viol = pc.or_(pc.greater(t[rc.TUKEY_TOTAL], 0),
+                          pc.greater(t[rc.MAD_TOTAL], 0))
+            return pa.table({
+                "n": pa.array([t.num_rows], type=pa.int64()),
+                "stat_viol": pa.array(
+                    [pc.sum(pc.cast(viol, pa.int64())).as_py() or 0],
+                    type=pa.int64()),
+                "null_viol": pa.array(
+                    [pc.sum(pc.cast(t["caption_null"], pa.int64())).as_py()
+                     or 0], type=pa.int64())})
+
+        sums = (checked.map_batches(summarize, batch_format="pyarrow")
+                .sum(["n", "stat_viol", "null_viol"]))
+        n_rows = int(sums["sum(n)"])
+        stat_viol = int(sums["sum(stat_viol)"])
+        null_viol = int(sums["sum(null_viol)"])
+
+        # violations listing (small side output)
+        viol_ds = checked.map_batches(
+            lambda t: t.filter(
+                pc.or_(pc.or_(pc.greater(t[rc.TUKEY_TOTAL], 0),
+                              pc.greater(t[rc.MAD_TOTAL], 0)),
+                       pc.equal(t["caption_null"], 1)))
+            .drop(["caption"]),
+            batch_format="pyarrow")
+
+        # drift vs reference profile
+        cur_hists = {c: drift.histogram_counts(
+            prepped, c, edges_wh if c in ("w", "h") else edges_cap)
+            for c in ("w", "h", "caption_len")}
+        cur_fmt = drift.categorical_counts(ds, "fmt")
+        cats = sorted(set(ref_fmt) | set(cur_fmt))
+        psi = {c: drift.psi_from_counts(ref_hists[c], cur_hists[c])
+               for c in cur_hists}
+        psi["fmt"] = drift.psi_from_counts(
+            [ref_fmt.get(c, 0) for c in cats],
+            [cur_fmt.get(c, 0) for c in cats])
+
+        decode_bad = 0
+        decode_ids: list[str] = []
+        if decode:
+            from ..stages.decode import decode_verify
+            bad = decode_verify(ds, concurrency=decode_concurrency) \
+                .map_batches(
+                    lambda t: t.filter(pc.equal(t["decode_ok"], 0))
+                    .select(["image_id", "decode_reason"]),
+                    batch_format="pyarrow").take_all()
+            decode_bad = len(bad)
+            decode_ids = [r["image_id"] for r in bad[:100]]
+
+        verdict = {
+            "partition_id": pid,
+            "n_rows": n_rows,
+            "stat_viol": stat_viol,
+            "stat_fail": int(n_rows > 0 and stat_viol / n_rows > stat_budget),
+            "null_viol": null_viol,
+            "null_fail": int(n_rows > 0 and null_viol / n_rows > null_budget),
+            "psi": {k: round(v, 6) for k, v in psi.items()},
+            "drift_fail": int(pid not in ref_partitions
+                              and max(psi.values()) > psi_budget),
+            "decode_viol": decode_bad,
+            "decode_fail": int(decode_bad > 0),
+            "decode_sample": decode_ids,
+            "schema_errors": schema_errors,
+        }
+        verdict["fail"] = int(any(verdict[k] for k in
+                                  ("stat_fail", "null_fail", "drift_fail",
+                                   "decode_fail")) or bool(schema_errors))
+
+        # atomic per-partition output: write to tmp dir, rename into place
+        pdir = os.path.join(out_dir, "partitions", f"partition={pid}")
+        tmp = pdir + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        viol_dir = os.path.join(tmp, "violations")
+        os.makedirs(viol_dir, exist_ok=True)  # keep the dir even if empty
+        viol_ds.write_parquet(viol_dir)
+        _atomic_write_json(os.path.join(tmp, "verdict.json"), verdict)
+        if os.path.exists(pdir):
+            shutil.rmtree(pdir)
+        os.replace(tmp, pdir)
+
+        manifest["partitions"][str(pid)] = {
+            "profile_fp": prof_fp,
+            "inputs": [{"path": p, "bytes": os.path.getsize(p)}
+                       for p in parts[pid]],
+            "verdict": verdict,
+            "wall_s": round(time.time() - t0, 3),
+            "engine_version": __version__,
+            "completed_at": time.time(),
+        }
+        _atomic_write_json(manifest_path, manifest)
+
+    run_entry = {"started_at": time.time(), "pending": pending,
+                 "profile_fp": prof_fp}
+    if run_global_checks:
+        all_files = [f for fs in parts.values() for f in fs]
+        key_ds = rd.read_parquet(all_files, columns=["image_id", "phash"])
+        dups = uniqueness.duplicate_keys(
+            key_ds.select_columns(["image_id"]), ["image_id"]).take_all()
+        run_entry["uniqueness_violations"] = len(dups)
+        run_entry["uniqueness_sample"] = [r["image_id"] for r in dups[:50]]
+        nd = near_dup.duplicate_phash_groups(key_ds).to_pandas()
+        run_entry["neardup_groups"] = len(nd)
+        if captions_path is not None:
+            orp = referential.orphans(
+                key_ds.select_columns(["image_id"]),
+                rd.read_parquet(captions_path, columns=["image_id"]),
+                "image_id", direction="both").to_pandas()
+            run_entry["referential_orphans"] = len(orp)
+    manifest["runs"].append(run_entry)
+    _atomic_write_json(manifest_path, manifest)
+    return manifest

@@ -1,0 +1,62 @@
+"""Checkpoint/resume semantics of the validation runner."""
+
+import json
+import os
+
+import pytest
+
+from autoprepad_ray.fixtures import generate_fimg
+from autoprepad_ray.pipelines.runner import run_validation
+
+
+@pytest.fixture(scope="module")
+def fimg_small(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fimg_run"))
+    exp = generate_fimg(d, partitions=8, rows=120, seed=42, inject=True)
+    return d, exp
+
+
+def test_run_and_resume(fimg_small, tmp_path):
+    d, exp = fimg_small
+    out = str(tmp_path / "out")
+    m1 = run_validation(f"{d}/images", out, captions_path=f"{d}/captions.parquet",
+                        decode_concurrency=2)
+    assert sorted(int(k) for k in m1["partitions"]) == list(range(8))
+    v = {int(k): p["verdict"] for k, p in m1["partitions"].items()}
+    assert v[3]["stat_fail"] == 1 and v[0]["stat_fail"] == 0
+    assert v[5]["null_fail"] == 1
+    assert v[7]["drift_fail"] == 1 and v[4]["drift_fail"] == 0
+    assert v[2]["decode_fail"] == 1
+    assert m1["runs"][-1]["uniqueness_violations"] == len(exp.dup_ids)
+    assert m1["runs"][-1]["referential_orphans"] == (
+        len(exp.orphan_image_ids) + len(exp.orphan_caption_ids))
+    # per-partition outputs exist
+    for pid in range(8):
+        pdir = os.path.join(out, "partitions", f"partition={pid}")
+        assert os.path.exists(os.path.join(pdir, "verdict.json"))
+        assert os.path.isdir(os.path.join(pdir, "violations"))
+
+    # ---- resume: drop 2 partitions from the manifest, rerun ----
+    mpath = os.path.join(out, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    done_times = {k: p["completed_at"] for k, p in m["partitions"].items()}
+    del m["partitions"]["4"]
+    del m["partitions"]["6"]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    m2 = run_validation(f"{d}/images", out,
+                        captions_path=f"{d}/captions.parquet",
+                        decode_concurrency=2)
+    assert sorted(m2["runs"][-1]["pending"]) == [4, 6]
+    # untouched partitions kept their original completion stamps
+    for k in ("0", "1", "2", "3", "5", "7"):
+        assert m2["partitions"][k]["completed_at"] == done_times[k]
+    # re-run verdicts identical to first run
+    for k in ("4", "6"):
+        a = dict(m1["partitions"][k]["verdict"])
+        b = dict(m2["partitions"][k]["verdict"])
+        assert a == b
+    # profile artifact was cached (exactly one profile_*.json)
+    profs = [f for f in os.listdir(out) if f.startswith("profile_")]
+    assert len(profs) == 1
