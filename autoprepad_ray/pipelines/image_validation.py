@@ -89,7 +89,7 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
                     null_budget: float = 0.05,
                     psi_budget: float = 0.2,
                     decode: bool = True,
-                    decode_concurrency: int = 4,
+                    decode_concurrency: int | None = None,
                     neardup: bool = True) -> ImageValidationReport:
     ds = rd.read_parquet(images_dir)
     schema_errors = assert_schema(ds)

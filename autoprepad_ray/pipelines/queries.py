@@ -706,3 +706,117 @@ def ann_topk_embeddings(sf_dir: str):
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("query_id").map_groups(final_topk,
                                             batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (not SQL-expressible: LSH, heuristics, image pipeline)
+
+
+@query("minhash_neardup_docs")
+def minhash_neardup_docs(sf_dir: str):
+    """MinHash+LSH near-duplicate pairs over documents (word 3-shingles,
+    128 perms, 32x4 bands), exact-Jaccard verified.  Rows-only: LSH is
+    not SQL-expressible; pytest pins recall vs a brute-force oracle."""
+    from ..stages.dedup import minhash_lsh_pairs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5)
+    out["jaccard"] = np.round(out["jaccard"].astype(float), 6)
+    return out
+
+
+@query("simhash_neardup_docs")
+def simhash_neardup_docs(sf_dir: str):
+    """SimHash fingerprint near-dups (Hamming<=6 via banded LSH)."""
+    from ..stages.dedup import simhash_neardup_pairs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_neardup_pairs(ds, "text", "doc_id", max_dist=6)
+
+
+@query("embed_neardup_planted")
+def embed_neardup_planted(sf_dir: str):
+    """Cosine near-dup via sign-LSH over embeddings plus 10 planted
+    near-duplicates (deterministic perturbations of vec_id<10, new ids
+    +100000).  Rows-only; pytest asserts exactly the planted pairs."""
+    from ..stages.embed import cosine_neardup_pairs
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    base = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 10)),
+        batch_format="pyarrow").take_all()
+    rng = np.random.default_rng(123)
+    ids, vecs = [], []
+    for r in base:
+        v = np.asarray(r["embedding"], dtype=np.float32)
+        ids.append(int(r["vec_id"]) + 100000)
+        vecs.append((v + 0.02 * np.linalg.norm(v) / np.sqrt(len(v))
+                     * rng.standard_normal(len(v))).astype(np.float32))
+    planted = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32()))}))
+    both = ds.union(planted)
+    out = cosine_neardup_pairs(both, "embedding", "vec_id", threshold=0.95)
+    out["cos"] = np.round(out["cos"].astype(float), 6)
+    return out
+
+
+@query("langid_docs")
+def langid_docs(sf_dir: str):
+    """Heuristic stopword language-ID (actor pool).  Rows-only."""
+    from ..stages.text import lang_id
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return lang_id(ds).select_columns(["doc_id", "lang_pred", "lang_score"])
+
+
+@query("hll_distinct_lineitem")
+def hll_distinct_lineitem(sf_dir: str):
+    """HyperLogLog approximate distinct counts (mergeable registers) —
+    the 100-TB path beside the exact distinct_counts_lineitem query.
+    Rows-only (approximate); pytest bounds the error vs exact."""
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
+    d = uniqueness.hll_distinct(ds, ["l_orderkey", "l_partkey", "l_suppkey"])
+    return pa.table({
+        "n_orderkey_approx": pa.array([round(d["l_orderkey"])], type=pa.int64()),
+        "n_partkey_approx": pa.array([round(d["l_partkey"])], type=pa.int64()),
+        "n_suppkey_approx": pa.array([round(d["l_suppkey"])], type=pa.int64())})
+
+
+def _fimg_for_sf(sf_dir: str) -> str:
+    from ..fixtures import ensure_fimg
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.01
+    rows = max(150, int(50000 * sf))
+    d, _ = ensure_fimg(partitions=8, rows=rows, seed=42, inject=True)
+    return d
+
+
+@query("image_validation_verdicts")
+def image_validation_verdicts(sf_dir: str):
+    """Full image+caption validation pipeline (north rule) on the
+    deterministic F-IMG table scaled with sf: per-partition verdict rows
+    with stat/null/uniq/drift/decode fail bits.  Rows-only."""
+    from ..pipelines.image_validation import validate_images
+
+    d = _fimg_for_sf(sf_dir)
+    rep = validate_images(f"{d}/images", f"{d}/captions.parquet")
+    v = rep.verdicts.copy()
+    for c in v.columns:
+        v[c] = v[c].astype(np.int64)
+    return v
+
+
+@query("phash_neardup_pairs")
+def phash_neardup_pairs(sf_dir: str):
+    """Banded-Hamming phash near-dup pairs on the F-IMG table (salted
+    exact buckets reported separately in the pipeline).  Rows-only."""
+    from ..validators.near_dup import hamming_neardup_pairs
+
+    d = _fimg_for_sf(sf_dir)
+    ds = rd.read_parquet(f"{d}/images").select_columns(
+        ["image_id", "phash"])
+    return hamming_neardup_pairs(ds, max_dist=4)

@@ -93,7 +93,7 @@ def run_validation(images_dir: str, out_dir: str, *,
                    ref_partitions: tuple[int, ...] = (0, 1, 2),
                    stat_budget: float = 0.005, null_budget: float = 0.05,
                    psi_budget: float = 0.2, decode: bool = True,
-                   decode_concurrency: int = 4,
+                   decode_concurrency: int | None = None,
                    run_global_checks: bool = True) -> dict:
     """Validate all partitions, skipping those already checkpointed.
 

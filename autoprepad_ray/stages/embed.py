@@ -1,0 +1,132 @@
+"""Embedding similarity stages: brute-force cosine top-k (baseline) and
+random-hyperplane-LSH cosine near-dup (the scale path).
+
+The query matrix / hyperplane tensor is ``ray.put`` ONCE and read from
+the local object store inside each task — broadcast, not re-shipped per
+batch.  Per-batch math is one numpy matmul.  The LSH variant buckets by
+sign-pattern over ``planes`` hyperplanes across ``tables`` independent
+tables (recall boost), verifies candidates with exact float64 cosine,
+and caps degenerate buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _matrix(batch_col) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix without per-row pylist."""
+    arr = batch_col.combine_chunks() if hasattr(batch_col, "combine_chunks") \
+        else batch_col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    d = len(arr[0])
+    return flat.reshape(len(arr), d)
+
+
+def cosine_topk(ds, vec_col: str, id_col: str, query: np.ndarray,
+                query_ids: np.ndarray, k: int = 5):
+    """Brute-force cosine top-k: broadcast queries, per-batch partial
+    top-k, per-query final top-k (tiny groupby over k x blocks rows)."""
+    Qn = query / np.linalg.norm(query, axis=1, keepdims=True)
+    q_ref = ray.put((np.asarray(query_ids), Qn))
+
+    def partial(t: pa.Table) -> pa.Table:
+        qids, Qn_ = ray.get(q_ref)
+        if t.num_rows == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "cos": pa.array([], type=pa.float64())})
+        M = _matrix(t[vec_col])
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        vids = t[id_col].to_numpy(zero_copy_only=False)
+        S = Mn @ Qn_.T
+        oq, ov, oc = [], [], []
+        for j, qid in enumerate(qids):
+            order = np.lexsort((vids, -S[:, j]))[:k]
+            oq.extend([qid] * len(order))
+            ov.extend(vids[order].tolist())
+            oc.extend(S[order, j].tolist())
+        return pa.table({"query_id": pa.array(oq, type=pa.int64()),
+                         id_col: pa.array(ov, type=pa.int64()),
+                         "cos": pa.array(oc, type=pa.float64())})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cos", id_col],
+                             ascending=[False, True]).head(k)
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("query_id").map_groups(final, batch_format="pandas"))
+
+
+def cosine_neardup_pairs(ds, vec_col: str, id_col: str, *,
+                         threshold: float = 0.9, planes: int = 12,
+                         tables: int = 4, seed: int = 11,
+                         bucket_cap: int = 512) -> pd.DataFrame:
+    """Approximate cosine near-dup pairs via sign-LSH, exactly verified.
+
+    Recall note: a pair at cosine c collides in one table with
+    probability (1 - arccos(c)/pi)^planes; with c=0.95, planes=12,
+    tables=4 -> ~93% overall.  Raise ``tables`` for higher recall; the
+    brute-force baseline is :func:`cosine_topk`.
+    """
+    rng = np.random.default_rng(seed)
+    first = ds.take(1)
+    if not first:
+        return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+    d = len(first[0][vec_col])
+    G = rng.standard_normal((tables, planes, d))
+    g_ref = ray.put(G)
+    powers = (1 << np.arange(planes)).astype(np.int64)
+
+    def explode(t: pa.Table) -> pa.Table:
+        G_ = ray.get(g_ref)
+        M = _matrix(t[vec_col])
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        out_t, out_b, out_i, out_v = [], [], [], []
+        for ti in range(G_.shape[0]):
+            signs = (Mn @ G_[ti].T) > 0
+            buckets = (signs @ powers).astype(np.int64)
+            out_t.append(np.full(len(ids), ti, dtype=np.int8))
+            out_b.append(buckets)
+            out_i.append(ids)
+            out_v.append(Mn)
+        return pa.table({
+            "table_id": pa.array(np.concatenate(out_t)),
+            "bucket": pa.array(np.concatenate(out_b)),
+            id_col: pa.array(np.concatenate(out_i)),
+            "_vec": pa.array(list(np.concatenate(out_v, axis=0)),
+                             type=pa.list_(pa.float64()))})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col]).head(bucket_cap)
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        M = np.stack(g["_vec"].to_numpy())
+        ids = g[id_col].to_numpy()
+        S = M @ M.T
+        iu, ju = np.triu_indices(len(g), 1)
+        hit = S[iu, ju] >= threshold
+        a = ids[iu[hit]]
+        b = ids[ju[hit]]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi,
+                             "cos": S[iu[hit], ju[hit]]})
+
+    from ray.data.aggregate import Max
+
+    pairs = (ds.map_batches(explode, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["table_id", "bucket"])
+             .map_groups(bucket_pairs, batch_format="pandas"))
+    out = pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("cos", alias_name="cos")).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

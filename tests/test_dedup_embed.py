@@ -1,0 +1,125 @@
+"""Dedup + similarity stages vs brute-force oracles (planted duplicates)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from autoprepad_ray.stages.dedup import (_shingle_hashes, exact_jaccard,
+                                         minhash_lsh_pairs,
+                                         simhash_neardup_pairs)
+from autoprepad_ray.stages.embed import cosine_neardup_pairs, cosine_topk
+from autoprepad_ray.stages.text import lang_id
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups():
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    # plant near-dups: copy first 10 docs, drop the last 2 words
+    for k in range(10):
+        ids.append(100000 + k)
+        texts.append(" ".join(texts[k].split()[:-2]))
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                     "text": pa.array(texts)})
+
+
+def brute_force_pairs(table: pa.Table, threshold: float) -> dict:
+    ids = table["doc_id"].to_pylist()
+    sh = [_shingle_hashes(t) for t in table["text"].to_pylist()]
+    out = {}
+    for i in range(len(ids) - 1):
+        for j in range(i + 1, len(ids)):
+            jac = exact_jaccard(sh[i], sh[j])
+            if jac >= threshold:
+                out[(min(ids[i], ids[j]), max(ids[i], ids[j]))] = jac
+    return out
+
+def test_minhash_lsh_vs_bruteforce(docs_with_dups):
+    ds = rd.from_arrow(docs_with_dups).repartition(4)
+    got = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5)
+    got_pairs = {(a, b): j for a, b, j in
+                 zip(got["id_a"], got["id_b"], got["jaccard"])}
+    exact = brute_force_pairs(docs_with_dups, 0.5)
+    strong = {p for p, j in exact.items() if j >= 0.7}
+    # all strong true pairs recalled; every reported pair is a true pair
+    assert strong <= set(got_pairs), strong - set(got_pairs)
+    for p, j in got_pairs.items():
+        assert p in exact and np.isclose(j, exact[p])
+    # the 10 planted dups are all strong
+    planted = {(k, 100000 + k) for k in range(10)}
+    assert planted <= set(got_pairs)
+
+
+def test_simhash_neardups_found(docs_with_dups):
+    ds = rd.from_arrow(docs_with_dups).repartition(4)
+    got = simhash_neardup_pairs(ds, "text", "doc_id", max_dist=8)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    pairs = {(a, b) for a, b in zip(got["id_a"], got["id_b"])}
+    found = sum((k, 100000 + k) in pairs for k in range(10))
+    assert found >= 7  # simhash of near-identical texts lands within 8 bits
+
+
+def test_cosine_topk_matches_numpy():
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    M = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in t["embedding"].to_pylist()])
+    ids = np.asarray(t["vec_id"].to_pylist())
+    Q = M[:2]
+    ds = rd.from_arrow(t).repartition(3)
+    got = cosine_topk(ds, "embedding", "vec_id", Q, ids[:2], k=5).to_pandas()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ (Q / np.linalg.norm(Q, axis=1, keepdims=True)).T
+    for j, qid in enumerate(ids[:2]):
+        order = np.lexsort((ids, -S[:, j]))[:5]
+        exp_ids = ids[order].tolist()
+        got_ids = got[got["query_id"] == qid].sort_values(
+            ["cos", "vec_id"], ascending=[False, True])["vec_id"].tolist()
+        assert got_ids == exp_ids
+
+
+def test_cosine_neardup_planted():
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    vecs = [np.asarray(v, dtype=np.float32) for v in t["embedding"].to_pylist()]
+    rng = np.random.default_rng(5)
+    for k in range(10):
+        ids.append(100000 + k)
+        v = vecs[k]
+        vecs.append(v + 0.02 * float(np.linalg.norm(v)) / np.sqrt(len(v))
+                    * rng.standard_normal(len(v)).astype(np.float32))
+    tbl = pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                    "embedding": pa.array([v.tolist() for v in vecs],
+                                          type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl).repartition(3)
+    got = cosine_neardup_pairs(ds, "embedding", "vec_id", threshold=0.95,
+                               tables=6)
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    planted = {(k, 100000 + k) for k in range(10)}
+    assert len(planted & pairs) >= 9  # >=90% recall at cos~0.999
+    # no false positives: every reported pair really is >= threshold
+    M = {i: v / np.linalg.norm(v.astype(np.float64))
+         for i, v in zip(ids, [np.asarray(v, np.float64) for v in vecs])}
+    for a, b, c in zip(got["id_a"], got["id_b"], got["cos"]):
+        assert float(M[a] @ M[b]) >= 0.95 - 1e-9
+
+
+def test_langid_detects_real_english():
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["the cat sat on the mat and it is a test of the system",
+                          "xyzzy qwerty asdf"])})
+    out = lang_id(rd.from_arrow(tbl), concurrency=1).to_pandas() \
+        .sort_values("doc_id")
+    assert out["lang_pred"].tolist()[0] == "en"
+    assert out["lang_pred"].tolist()[1] == "und"
