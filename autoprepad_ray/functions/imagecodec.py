@@ -108,14 +108,19 @@ def _box_mean_8x8(gray: np.ndarray) -> np.ndarray:
 
 
 def average_hash(img: np.ndarray) -> int:
-    """64-bit average-hash of decoded pixels (signed int64 for Arrow)."""
+    """64-bit average-hash of decoded pixels (signed int64 for Arrow).
+
+    Fast path: h, w divisible by 8 -> pure reshape/mean (no Python
+    loops); general sizes fall back to the integral-image box mean."""
     gray = img.astype(np.float64).mean(axis=2)
-    cells = _box_mean_8x8(gray)
-    bits = (cells > cells.mean()).astype(np.uint64).ravel()
-    val = np.uint64(0)
-    for b in bits:
-        val = (val << np.uint64(1)) | b
-    return int(val.astype(np.int64))
+    h, w = gray.shape
+    if h % 8 == 0 and w % 8 == 0:
+        cells = gray.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+    else:
+        cells = _box_mean_8x8(gray)
+    bits = (cells > cells.mean()).ravel()
+    packed = np.packbits(bits.astype(np.uint8))
+    return int(packed.view(">u8")[0].astype(np.int64))
 
 
 def hamming64(a: np.ndarray | int, b: np.ndarray | int) -> np.ndarray:

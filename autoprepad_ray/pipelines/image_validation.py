@@ -91,10 +91,15 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
                     decode: bool = True,
                     decode_concurrency: int | None = None,
                     neardup: bool = True) -> ImageValidationReport:
+    # bytes is ~95% of the table; every metadata concern reads a
+    # column-pruned projection and only the decode stage reads payloads.
+    META_COLS = ["image_id", "w", "h", "fmt", "caption", "phash",
+                 "partition_id"]
     ds = rd.read_parquet(images_dir)
     schema_errors = assert_schema(ds)
-    prepped = ds.map_batches(_prep, batch_format="pyarrow",
-                             zero_copy_batch=True)
+    meta = rd.read_parquet(images_dir, columns=META_COLS)
+    prepped = meta.map_batches(_prep, batch_format="pyarrow",
+                               zero_copy_batch=True)
 
     # ---- profile job over the clean reference partitions (fit phase) ----
     ref_set = list(ref_partitions)
@@ -110,8 +115,7 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
     # its heavy tail is a DISTRIBUTION property (checked via PSI below),
     # not a per-row anomaly — Tukey on it would flag ~4% of clean rows.
     states = rc.fence_states(prof, ["w", "h"])
-    checked = rc.check_rows(
-        prepped.drop_columns(["bytes"]), states)
+    checked = rc.check_rows(prepped, states)
 
     def add_null_flag(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -120,11 +124,11 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
 
     checked = checked.map_batches(add_null_flag, batch_format="pyarrow")
 
-    stat_verdicts = rc.partition_verdicts(
-        checked, "partition_id", budget=stat_budget).to_pandas()
-    null_verdicts = rc.partition_verdicts(
-        checked, "partition_id", budget=null_budget,
-        evidence_cols=("caption_null",)).to_pandas()
+    # stat + null budgets in ONE streaming pass over the checked rows
+    summary = rc.partition_check_summary(
+        checked, "partition_id",
+        {"stat": ((rc.TUKEY_TOTAL, rc.MAD_TOTAL), stat_budget),
+         "null": (("caption_null",), null_budget)})
 
     stat_viol = checked.map_batches(
         lambda t: t.filter(pc.or_(pc.greater(t[rc.TUKEY_TOTAL], 0),
@@ -132,8 +136,10 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
         batch_format="pyarrow").drop_columns(["caption"])
 
     # ---- uniqueness on image_id (R3) ----
+    ids_ds = rd.read_parquet(images_dir, columns=["image_id",
+                                                  "partition_id"])
     dup_df = uniqueness.duplicate_keys(
-        ds.select_columns(["image_id"]), ["image_id"]).to_pandas()
+        ids_ds.select_columns(["image_id"]), ["image_id"]).to_pandas()
     dup_parts = None
     if len(dup_df):
         # locate which partitions the duplicate ids live in (broadcast
@@ -146,7 +152,7 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
             mask = pa.array([i in ids for i in t["image_id"].to_pylist()])
             return t.select(["image_id", "partition_id"]).filter(mask)
 
-        dup_parts = (ds.map_batches(locate, batch_format="pyarrow")
+        dup_parts = (ids_ds.map_batches(locate, batch_format="pyarrow")
                      .to_pandas())
 
     # ---- referential integrity vs captions (R4) ----
@@ -154,25 +160,21 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
     if captions_path is not None:
         caps = rd.read_parquet(captions_path, columns=["image_id"])
         orphan_df = referential.orphans(
-            ds.select_columns(["image_id"]), caps, "image_id",
+            ids_ds.select_columns(["image_id"]), caps, "image_id",
             direction="both").to_pandas()
 
     # ---- drift per partition vs the reference profile (R6) ----
+    # all histograms + fmt counts in ONE pass over the pruned projection
     psi_rows = []
     edges_wh = np.array([0, 48, 80, 112, 160, 8192], dtype=float)
     edges_cap = np.arange(0.0, 220.0, 20.0)
-    ref_hists = {}
-    per_part = {}
-    for col, edges in (("w", edges_wh), ("h", edges_wh),
-                       ("caption_len", edges_cap)):
-        hists = drift.histogram_by_partition(prepped, col, edges,
-                                             "partition_id")
-        ref_counts = np.sum([hists[p] for p in ref_set if p in hists],
-                            axis=0)
-        ref_hists[col] = ref_counts
-        per_part[col] = hists
-    fmt_counts = drift.categorical_counts_by_partition(ds, "fmt",
-                                                       "partition_id")
+    per_part, cat_part = drift.partition_histograms(
+        prepped, {"w": edges_wh, "h": edges_wh, "caption_len": edges_cap},
+        ["fmt"], "partition_id")
+    ref_hists = {col: np.sum([hists[p] for p in ref_set if p in hists],
+                             axis=0)
+                 for col, hists in per_part.items()}
+    fmt_counts = cat_part["fmt"]
     fmt_cats = sorted({c for d in fmt_counts.values() for c in d})
     fmt_ref = np.array([sum(fmt_counts[p].get(c, 0)
                             for p in ref_set if p in fmt_counts)
@@ -195,7 +197,10 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
     decode_df = None
     if decode:
         from ..stages.decode import decode_verify
-        dv = decode_verify(ds, concurrency=decode_concurrency)
+        payload_ds = rd.read_parquet(
+            images_dir, columns=["image_id", "bytes", "w", "h", "fmt",
+                                 "phash", "partition_id"])
+        dv = decode_verify(payload_ds, concurrency=decode_concurrency)
         decode_df = dv.map_batches(
             lambda t: t.filter(pc.equal(t["decode_ok"], 0))
             .select(["image_id", "partition_id", "fmt", "decode_reason"]),
@@ -204,18 +209,13 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
     # ---- near-duplicates on phash (R5) ----
     nd_groups = nd_pairs = None
     if neardup:
-        ph_ds = ds.select_columns(["image_id", "phash"])
+        ph_ds = rd.read_parquet(images_dir, columns=["image_id", "phash"])
         nd_groups = near_dup.duplicate_phash_groups(ph_ds).to_pandas()
-        nd_pairs = near_dup.hamming_neardup_pairs(ph_ds).to_pandas()
+        nd_pairs = near_dup.hamming_neardup_pairs(ph_ds)
 
     # ---- verdict composition (OR-merge) ----
-    verdicts = (stat_verdicts.rename(
-        columns={"n_viol": "stat_viol", "fail": "stat_fail"})
-        [["partition_id", "n_rows", "stat_viol", "stat_fail"]]
-        .merge(null_verdicts.rename(
-            columns={"n_viol": "null_viol", "fail": "null_fail"})
-            [["partition_id", "null_viol", "null_fail"]], on="partition_id")
-        .merge(drift_df[["partition_id", "drift_fail"]], on="partition_id"))
+    verdicts = summary.merge(drift_df[["partition_id", "drift_fail"]],
+                             on="partition_id")
     uniq_fail = set()
     if dup_parts is not None and len(dup_parts):
         uniq_fail = set(dup_parts["partition_id"].astype(int))

@@ -73,6 +73,65 @@ def categorical_counts(ds, col: str) -> dict:
     return {r[col]: int(r["n"]) for r in rows}
 
 
+def partition_histograms(ds, num_specs: dict[str, np.ndarray],
+                         cat_cols: list[str], partition_col: str
+                         ) -> tuple[dict, dict]:
+    """ALL drift inputs in ONE streaming pass: per-partition fixed-edge
+    histograms for every numeric spec plus per-partition category counts
+    for every categorical column.  Each block emits one pickled partial;
+    the driver merges O(blocks) tiny dicts — no shuffle at all.
+
+    Returns (num: {col: {pid: counts}}, cat: {col: {pid: {val: n}}}).
+    """
+    specs = {c: np.asarray(e, dtype=float) for c, e in num_specs.items()}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pid = batch[partition_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(pid, return_inverse=True)
+        num_out: dict = {}
+        for col, edges in specs.items():
+            nb = len(edges) - 1
+            v = batch[col].cast(pa.float64()).combine_chunks().to_numpy(
+                zero_copy_only=False)
+            keep = ~np.isnan(v)
+            idx = np.clip(np.searchsorted(edges, v[keep], side="right") - 1,
+                          0, nb - 1)
+            counts = np.zeros((len(uniq), nb), dtype=np.int64)
+            np.add.at(counts, (inv[keep], idx), 1)
+            num_out[col] = counts
+        cat_out: dict = {}
+        for col in cat_cols:
+            vals = np.asarray(batch[col].to_numpy(zero_copy_only=False),
+                              dtype=object)
+            d: dict = {}
+            for k, u in enumerate(uniq):
+                vv, cc = np.unique(vals[inv == k], return_counts=True)
+                d[int(u)] = dict(zip(vv.tolist(), cc.tolist()))
+            cat_out[col] = d
+        payload = pickle.dumps((uniq.tolist(), num_out, cat_out))
+        return pa.table({"payload": pa.array([payload],
+                                             type=pa.large_binary())})
+
+    num: dict = {c: {} for c in specs}
+    cat: dict = {c: {} for c in cat_cols}
+    for row in ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all():
+        uniq, num_out, cat_out = pickle.loads(row["payload"])
+        for col, counts in num_out.items():
+            for k, u in enumerate(uniq):
+                u = int(u)
+                if u in num[col]:
+                    num[col][u] = num[col][u] + counts[k]
+                else:
+                    num[col][u] = counts[k].copy()
+        for col, d in cat_out.items():
+            for u, vc in d.items():
+                tgt = cat[col].setdefault(int(u), {})
+                for v, n in vc.items():
+                    tgt[v] = tgt.get(v, 0) + n
+    return num, cat
+
+
 def histogram_by_partition(ds, col: str, edges: np.ndarray,
                            partition_col: str) -> dict[int, np.ndarray]:
     """One streaming pass -> fixed-edge histogram per partition: per-block

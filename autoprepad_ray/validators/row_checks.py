@@ -215,6 +215,46 @@ def attach_scores(checked_ds, *, pct: float = 0.10):
 # per-partition verdicts
 
 
+def partition_check_summary(checked_ds, partition_col: str,
+                            checks: dict[str, tuple[tuple[str, ...], float]]):
+    """ALL per-partition budget checks in ONE streaming pass.
+
+    ``checks`` maps check-name -> (evidence_cols, budget).  Each block
+    emits one row per partition with per-check violation counts; the
+    driver sums the O(blocks x partitions) partials and applies budgets.
+    Returns a pandas DataFrame (partition_col, n_rows, {name}_viol,
+    {name}_fail per check).
+    """
+    import pandas as pd
+
+    names = list(checks)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[partition_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        cols = {partition_col: pa.array(uniq),
+                "n_rows": pa.array(np.bincount(
+                    inv, minlength=len(uniq)).astype(np.int64))}
+        for name in names:
+            evidence_cols, _ = checks[name]
+            viol = np.zeros(batch.num_rows, dtype=bool)
+            for c in evidence_cols:
+                viol |= batch[c].to_numpy(zero_copy_only=False) > 0
+            cols[f"{name}_viol"] = pa.array(np.bincount(
+                inv, weights=viol.astype(np.float64),
+                minlength=len(uniq)).astype(np.int64))
+        return pa.table(cols)
+
+    rows = checked_ds.map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True).take_all()
+    df = pd.DataFrame(rows).groupby(partition_col, as_index=False).sum()
+    for name in names:
+        _, budget = checks[name]
+        df[f"{name}_fail"] = (df[f"{name}_viol"] / df["n_rows"]
+                              > budget).astype(int)
+    return df.sort_values(partition_col).reset_index(drop=True)
+
+
 def partition_verdicts(checked_ds, partition_col: str, *,
                        budget: float = 0.05,
                        evidence_cols: tuple[str, ...] = (TUKEY_TOTAL, MAD_TOTAL)):

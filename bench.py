@@ -1,0 +1,150 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) plus the north-rule image-validation pipeline over
+a cached synthetic F-IMG table.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": .., "num_cpus": N,
+   "images_per_sec": ...}
+
+``--scaling`` runs the same bench twice in fresh processes at
+RAY_GRAFT_CPUS=8 and 32 and reports throughput at both plus the scaling
+efficiency (rate32/rate8)/4 — the sandbox substitute for the N vs 4N
+node criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+BENCH_QUERIES = [
+    "profile_lineitem_stats",
+    "tukey_flags_events",
+    "anomaly_scores_events",
+    "partition_verdicts_events",
+    "pricing_summary",
+    "exact_dedup_lineitem",
+    "duplicate_partsupp_keys",
+    "spearman_quantity_price",
+    "psi_events_value",
+    "date_encode_events",
+    "minhash_neardup_docs",
+    "ann_topk_embeddings",
+]
+
+IMG_PARTITIONS = 16
+IMG_ROWS = 2500  # 40k images x ~8-50KB -> ~1 GB of payloads
+
+
+def _consume(res) -> int:
+    """Drive a result to completion without materializing on the driver."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        n = 0
+        for batch in res.iter_batches(batch_size=65536,
+                                      batch_format="pyarrow"):
+            n += batch.num_rows
+        return n
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    return 0
+
+
+def run_bench() -> dict:
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.1
+
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    from autoprepad_ray.context import quiet_data_context
+    quiet_data_context()
+
+    from autoprepad_ray.fixtures import ensure_fimg
+    from autoprepad_ray.pipelines.image_validation import validate_images
+    from autoprepad_ray.pipelines.queries import REGISTRY
+
+    # cached clean image table (generation excluded from timing; shared
+    # across the two scaling runs via the /tmp cache)
+    img_dir, _ = ensure_fimg(partitions=IMG_PARTITIONS, rows=IMG_ROWS,
+                             inject=False, use_ray=True)
+
+    # warm the OS page cache so we measure compute+shuffle, not cold disk
+    import ray.data as rd
+    for t in ["lineitem", "events", "documents", "embeddings", "orders"]:
+        rd.read_parquet(f"{sf_dir}/{t}.parquet").count()
+    rd.read_parquet(f"{img_dir}/images").count()
+
+    queries: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    rep = validate_images(f"{img_dir}/images", f"{img_dir}/captions.parquet")
+    assert len(rep.verdicts) == IMG_PARTITIONS
+    t_img = time.perf_counter() - t0
+    queries["image_validation"] = round(t_img, 3)
+    n_images = IMG_PARTITIONS * IMG_ROWS
+
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _consume(REGISTRY[name].fn(sf_dir))
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "validation+query suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": ncpu,
+        "images": n_images,
+        "images_per_sec": round(n_images / t_img, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff_total = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    eff_img = (r_hi["images_per_sec"] / r_lo["images_per_sec"]) / (hi / lo)
+    print(json.dumps({
+        "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+        "images_per_sec_8": r_lo["images_per_sec"],
+        "images_per_sec_32": r_hi["images_per_sec"],
+        "scaling_efficiency_total": round(eff_total, 3),
+        "scaling_efficiency_images": round(eff_img, 3),
+        "queries_8": r_lo["queries"], "queries_32": r_hi["queries"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))
