@@ -11,7 +11,7 @@ the pipeline.
 from __future__ import annotations
 
 
-def default_pool_size(cap: int = 8, frac: float = 0.5) -> int:
+def default_pool_size(cap: int = 16, frac: float = 0.5) -> int:
     import ray
 
     try:

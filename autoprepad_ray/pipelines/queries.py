@@ -282,10 +282,8 @@ def orphan_suppkeys(sf_dir: str):
     right = _t(sf_dir, "supplier", ["s_suppkey"]).map_batches(
         keep_non_mod3, batch_format="pyarrow")
     orp = referential.orphans(left, right, "l_suppkey", direction="left")
-    return orp.map_batches(
-        lambda t: pa.table({"l_suppkey": t["l_suppkey"],
-                            "left_n": t["left_n"].cast(pa.int64())}),
-        batch_format="pyarrow")
+    return pa.table({"l_suppkey": orp["l_suppkey"],
+                     "left_n": orp["left_n"].cast(pa.int64())})
 
 
 # ---------------------------------------------------------------------------

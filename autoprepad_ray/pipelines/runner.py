@@ -245,9 +245,9 @@ def run_validation(images_dir: str, out_dir: str, *,
         all_files = [f for fs in parts.values() for f in fs]
         key_ds = rd.read_parquet(all_files, columns=["image_id", "phash"])
         dups = uniqueness.duplicate_keys(
-            key_ds.select_columns(["image_id"]), ["image_id"]).take_all()
-        run_entry["uniqueness_violations"] = len(dups)
-        run_entry["uniqueness_sample"] = [r["image_id"] for r in dups[:50]]
+            key_ds.select_columns(["image_id"]), ["image_id"])
+        run_entry["uniqueness_violations"] = dups.num_rows
+        run_entry["uniqueness_sample"] = dups["image_id"].to_pylist()[:50]
         nd = near_dup.duplicate_phash_groups(key_ds).to_pandas()
         run_entry["neardup_groups"] = len(nd)
         if captions_path is not None:

@@ -153,7 +153,6 @@ class MomentSketch:
 # exact value counts (bounded)
 
 
-@dataclass
 class ValueCounts:
     """Exact value->count map, bounded; ``overflow`` => approximate path.
 
@@ -163,11 +162,45 @@ class ValueCounts:
     correctness scale.  ``max_items`` caps driver/shuffle memory; at
     100-TB scale the profile job flips to TDigest/HLL when any block's
     merged map overflows.
+
+    Internally array-backed (sorted values + int64 counts) so update and
+    merge are vectorized np.unique folds — no per-value Python loops in
+    the profile hot path.
     """
 
-    max_items: int = 1_000_000
-    counts: dict = field(default_factory=dict)
-    overflow: bool = False
+    __slots__ = ("max_items", "overflow", "_vals", "_cnts")
+
+    def __init__(self, max_items: int = 1_000_000):
+        self.max_items = max_items
+        self.overflow = False
+        self._vals: np.ndarray | None = None   # sorted
+        self._cnts: np.ndarray | None = None
+
+    @classmethod
+    def from_items(cls, values, counts, max_items: int = 1_000_000
+                   ) -> "ValueCounts":
+        vc = cls(max_items=max_items)
+        vc._fold(np.asarray(values), np.asarray(counts, dtype=np.int64))
+        return vc
+
+    def _fold(self, vals: np.ndarray, cnts: np.ndarray) -> None:
+        if self.overflow or vals.size == 0:
+            return
+        if self._vals is None:
+            uniq, inv = np.unique(vals, return_inverse=True)
+            merged = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(merged, inv, cnts)
+        else:
+            allv = np.concatenate([self._vals, vals])
+            allc = np.concatenate([self._cnts, cnts])
+            uniq, inv = np.unique(allv, return_inverse=True)
+            merged = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(merged, inv, allc)
+        if len(uniq) > self.max_items:
+            self.overflow = True
+            self._vals = self._cnts = None
+        else:
+            self._vals, self._cnts = uniq, merged
 
     def update(self, values: np.ndarray) -> None:
         if self.overflow or values.size == 0:
@@ -177,40 +210,39 @@ class ValueCounts:
             if values.size == 0:
                 return
         uniq, cnt = np.unique(values, return_counts=True)
-        c = self.counts
-        for u, k in zip(uniq.tolist(), cnt.tolist()):
-            c[u] = c.get(u, 0) + k
-        if len(c) > self.max_items:
-            self.overflow = True
-            self.counts = {}
+        self._fold(uniq, cnt)
 
     def merge(self, o: "ValueCounts") -> "ValueCounts":
         if o.overflow:
-            self.overflow, self.counts = True, {}
+            self.overflow = True
+            self._vals = self._cnts = None
         if self.overflow:
             return self
-        c = self.counts
-        for u, k in o.counts.items():
-            c[u] = c.get(u, 0) + k
-        if len(c) > self.max_items:
-            self.overflow = True
-            self.counts = {}
+        if o._vals is not None:
+            self._fold(o._vals, o._cnts)
         return self
 
     @property
+    def counts(self) -> dict:
+        """Dict view (materialized on demand — finalize-time use only)."""
+        if self._vals is None:
+            return {}
+        return dict(zip(self._vals.tolist(), self._cnts.tolist()))
+
+    @property
     def distinct(self) -> int:
-        return len(self.counts)
+        return 0 if self._vals is None else len(self._vals)
 
     def sorted_arrays(self) -> tuple[np.ndarray, np.ndarray]:
-        vals = np.array(sorted(self.counts.keys()))
-        cnts = np.array([self.counts[v] for v in vals.tolist()], dtype=np.int64)
-        return vals, cnts
+        if self._vals is None:
+            return np.array([]), np.array([], dtype=np.int64)
+        return self._vals, self._cnts
 
     def quantile(self, q: float) -> float:
         """quantile_cont / np.quantile(linear) from weighted sorted values."""
-        if self.overflow or not self.counts:
+        if self.overflow or self._vals is None:
             return float("nan")
-        vals, cnts = self.sorted_arrays()
+        vals, cnts = self._vals, self._cnts
         n = int(cnts.sum())
         if n == 1:
             return float(vals[0])
@@ -228,8 +260,9 @@ class ValueCounts:
     def mode(self) -> tuple[Any, int]:
         """Most frequent value; ties broken by smallest value (deterministic,
         mirrors SQL `ORDER BY n DESC, value LIMIT 1`)."""
-        best = min(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        return best
+        top = int(self._cnts.max())
+        cand = self._vals[self._cnts == top]
+        return cand.min(), top
 
     def histogram(self, edges: np.ndarray) -> np.ndarray:
         """Fixed-edge histogram counts (len(edges)-1 bins, right-open last-closed)."""
@@ -240,13 +273,19 @@ class ValueCounts:
         return out
 
     def to_dict(self) -> dict:
+        items = ([] if self._vals is None
+                 else list(zip(self._vals.tolist(), self._cnts.tolist())))
         return {"max_items": self.max_items, "overflow": self.overflow,
-                "counts": list(self.counts.items())}
+                "counts": items}
 
     @classmethod
     def from_dict(cls, d: dict) -> "ValueCounts":
-        vc = cls(max_items=d["max_items"], overflow=d["overflow"])
-        vc.counts = {k: v for k, v in d["counts"]}
+        vc = cls(max_items=d["max_items"])
+        vc.overflow = d["overflow"]
+        if d["counts"]:
+            vals = [k for k, _ in d["counts"]]
+            cnts = [v for _, v in d["counts"]]
+            vc._fold(np.asarray(vals), np.asarray(cnts, dtype=np.int64))
         return vc
 
 

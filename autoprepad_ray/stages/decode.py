@@ -43,6 +43,9 @@ class DecodeVerify:
         ws = batch["w"].to_numpy(zero_copy_only=False)
         hs = batch["h"].to_numpy(zero_copy_only=False)
         phs = batch["phash"].to_numpy(zero_copy_only=False)
+        # pass 1: per-row decode (payloads are opaque blobs — the loop is
+        # irreducible), grouping decoded pixels by dimension
+        groups: dict[tuple[int, int], list[tuple[int, np.ndarray, str]]] = {}
         for i in range(n):
             data = blobs[i].as_py()
             fmt = fmts[i]
@@ -67,20 +70,42 @@ class DecodeVerify:
                 ok[i] = False
                 reasons[i] = f"dims-mismatch:{iw}x{ih}"
                 continue
-            h64 = ic.average_hash(img)
-            rehash[i] = h64
-            if self.check_phash and h64 != phs[i]:
-                ok[i] = False
-                reasons[i] = "phash-mismatch"
-                continue
-            if fmt in self.lossy:
-                # lossy round-trip invariant: decode(encode(img)) close
-                rt = ic.decode_qraw(ic.encode_qraw(img))
-                p = ic.psnr(img, rt)
-                psnr_vals[i] = p
-                if p < self.min_psnr:
-                    ok[i] = False
-                    reasons[i] = f"psnr:{p:.1f}"
+            groups.setdefault((ih, iw), []).append((i, img, fmt))
+        # pass 2: per-dimension stacks -> fully vectorized hashing + PSNR
+        for (ih, iw), members in groups.items():
+            idx = np.array([m[0] for m in members])
+            stack = np.stack([m[1] for m in members])          # (k,h,w,3)
+            gray = stack.astype(np.float64).mean(axis=3)
+            if ih % 8 == 0 and iw % 8 == 0:
+                cells = gray.reshape(len(idx), 8, ih // 8, 8, iw // 8) \
+                    .mean(axis=(2, 4))
+            else:
+                cells = np.stack([ic._box_mean_8x8(g) for g in gray])
+            bits = cells > cells.mean(axis=(1, 2), keepdims=True)
+            packed = np.packbits(bits.reshape(len(idx), 64), axis=1)
+            h64 = packed.copy().view(">u8").astype(np.uint64).ravel() \
+                .astype(np.int64)
+            rehash[idx] = h64
+            if self.check_phash:
+                bad = h64 != phs[idx]
+                ok[idx[bad]] = False
+                reasons[idx[bad]] = "phash-mismatch"
+            lossy_rows = np.array([m[2] in self.lossy for m in members])
+            if lossy_rows.any():
+                sub = stack[lossy_rows]
+                q = sub >> 2
+                rt = ((q.astype(np.uint16) << 2) | (q >> 4)).astype(np.uint8)
+                mse = ((sub.astype(np.float64) - rt) ** 2).mean(
+                    axis=(1, 2, 3))
+                with np.errstate(divide="ignore"):
+                    p = np.where(mse == 0, np.inf,
+                                 10.0 * np.log10(255.0 ** 2 / mse))
+                li = idx[lossy_rows]
+                psnr_vals[li] = p
+                bad = p < self.min_psnr
+                ok[li[bad]] = False
+                for k in np.nonzero(bad)[0]:
+                    reasons[li[k]] = f"psnr:{p[k]:.1f}"
         batch = batch.append_column("decode_ok",
                                     pa.array(ok.astype(np.int8)))
         batch = batch.append_column("decode_reason",

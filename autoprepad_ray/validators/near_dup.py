@@ -40,24 +40,32 @@ def _pickled(obj) -> pa.Table:
                                          type=pa.large_binary())})
 
 
+def _merge_count_arrays(parts: list[tuple[np.ndarray, np.ndarray]]
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Merge (values, counts) partials fully vectorized."""
+    vals = np.concatenate([p[0] for p in parts])
+    cnts = np.concatenate([p[1] for p in parts])
+    uniq, inv = np.unique(vals, return_inverse=True)
+    out = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(out, inv, cnts)
+    return uniq, out
+
+
 def _merge_count_payloads(batch: pa.Table) -> pa.Table:
-    merged: dict = {}
-    for payload in batch["payload"].to_pylist():
-        for k, v in pickle.loads(payload).items():
-            merged[k] = merged.get(k, 0) + v
-    return _pickled(merged)
+    parts = [pickle.loads(p) for p in batch["payload"].to_pylist()]
+    return _pickled(_merge_count_arrays(parts))
 
 
-def _tree_counts(ds_payloads) -> dict:
-    """Tree-merge pickled count-dict partials: 32-way merge level, then
-    the driver folds the survivors."""
+def _tree_counts(ds_payloads) -> tuple[np.ndarray, np.ndarray]:
+    """Tree-merge pickled (values, counts) array partials: one 32-way
+    merge level, then a vectorized driver fold.  Returns sorted
+    (values, counts)."""
     combined = ds_payloads.map_batches(_merge_count_payloads, batch_size=32,
                                        batch_format="pyarrow")
-    out: dict = {}
-    for row in combined.take_all():
-        for k, v in pickle.loads(row["payload"]).items():
-            out[k] = out.get(k, 0) + v
-    return out
+    parts = [pickle.loads(r["payload"]) for r in combined.take_all()]
+    if not parts:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return _merge_count_arrays(parts)
 
 
 def duplicate_phash_groups(ds, *, phash_col: str = "phash",
@@ -68,17 +76,17 @@ def duplicate_phash_groups(ds, *, phash_col: str = "phash",
 
     def partial(t: pa.Table) -> pa.Table:
         ph = t[phash_col].to_numpy(zero_copy_only=False)
-        vals, cnts = np.unique(ph, return_counts=True)
-        return _pickled(dict(zip(vals.tolist(), cnts.tolist())))
+        return _pickled(np.unique(ph, return_counts=True))
 
-    counts = _tree_counts(ds.map_batches(partial, batch_format="pyarrow",
-                                         zero_copy_batch=True))
-    dup = {k: v for k, v in counts.items() if v >= 2}
-    if not dup:
+    vals, cnts = _tree_counts(ds.map_batches(partial, batch_format="pyarrow",
+                                             zero_copy_batch=True))
+    dup_mask = cnts >= 2
+    if not dup_mask.any():
         return pa.table({phash_col: pa.array([], type=pa.int64()),
                          "n": pa.array([], type=pa.int64()),
                          "ids": pa.array([], type=pa.list_(pa.string()))})
-    dup_ref = ray.put(np.fromiter(dup.keys(), dtype=np.int64))
+    dup = dict(zip(vals[dup_mask].tolist(), cnts[dup_mask].tolist()))
+    dup_ref = ray.put(vals[dup_mask].astype(np.int64))
 
     def members(t: pa.Table) -> pa.Table:
         dups = ray.get(dup_ref)
@@ -116,17 +124,36 @@ def _band_rows(phash: np.ndarray, ids: np.ndarray) -> dict[str, np.ndarray]:
 
 def _segment_pairs(keys: np.ndarray, ids: np.ndarray, ph: np.ndarray,
                    max_dist: int, bucket_cap: int) -> pd.DataFrame:
-    """Vectorized within-bucket pairing over lexsorted candidate rows."""
+    """Vectorized within-bucket pairing over lexsorted candidate rows.
+
+    Size-2 segments (the overwhelming majority under random band
+    collisions) are paired in one vectorized shot; only larger segments
+    fall into the per-segment loop."""
     order = np.argsort(keys, kind="mergesort")
     keys, ids, ph = keys[order], ids[order], ph[order]
     bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
-    out_a, out_b, out_d = [], [], []
-    seen = set()
-    for s, e in zip(bounds[:-1], bounds[1:]):
-        if e - s < 2:
-            continue
-        seg_ids = ids[s:e][:bucket_cap]
-        seg_ph = ph[s:e][:bucket_cap]
+    sizes = np.diff(bounds)
+    starts = bounds[:-1]
+    out_a: list = []
+    out_b: list = []
+    out_d: list = []
+    s2 = starts[sizes == 2]
+    if s2.size:
+        d = hamming64(ph[s2], ph[s2 + 1])
+        hit = (d >= 1) & (d <= max_dist)
+        a = ids[s2[hit]]
+        b = ids[s2[hit] + 1]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        out_a.extend(a2.tolist())
+        out_b.extend(b2.tolist())
+        out_d.extend(d[hit].tolist())
+    seen = set(zip(out_a, out_b))
+    for s, size in zip(starts[sizes > 2], sizes[sizes > 2]):
+        e = s + min(int(size), bucket_cap)
+        seg_ids = ids[s:e]
+        seg_ph = ph[s:e]
         for i in range(len(seg_ids) - 1):
             d = hamming64(seg_ph[i + 1:], int(seg_ph[i]))
             for j in np.nonzero((d >= 1) & (d <= max_dist))[0]:
@@ -138,7 +165,9 @@ def _segment_pairs(keys: np.ndarray, ids: np.ndarray, ph: np.ndarray,
                     out_a.append(a)
                     out_b.append(b)
                     out_d.append(int(d[j]))
-    return pd.DataFrame({"id_a": out_a, "id_b": out_b, "dist": out_d})
+    df = pd.DataFrame({"id_a": out_a, "id_b": out_b, "dist": out_d})
+    # a pair can surface from several bands (size-2 path has no dedupe)
+    return df.drop_duplicates(subset=["id_a", "id_b"])
 
 
 def hamming_neardup_pairs(ds, *, max_dist: int = 4,
@@ -167,12 +196,11 @@ def hamming_neardup_pairs(ds, *, max_dist: int = 4,
     def census(t: dict) -> pa.Table:
         combo = (t["band"].astype(np.int64) << np.int64(20)) \
             | t["band_val"].astype(np.int64)
-        vals, cnts = np.unique(combo, return_counts=True)
-        return _pickled(dict(zip(vals.tolist(), cnts.tolist())))
+        return _pickled(np.unique(combo, return_counts=True))
 
-    counts = _tree_counts(band_ds.map_batches(census, batch_format="numpy"))
-    hot = np.array(sorted(k for k, v in counts.items() if v >= 2),
-                   dtype=np.int64)
+    cvals, ccnts = _tree_counts(band_ds.map_batches(census,
+                                                    batch_format="numpy"))
+    hot = cvals[ccnts >= 2].astype(np.int64)
     if hot.size == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype=object),
                              "id_b": pd.Series([], dtype=object),

@@ -36,18 +36,38 @@ def _side_partial(key_cols: list[str], side: int):
 
 
 def orphans(left_ds, right_ds, key_cols: list[str] | str, *,
-            direction: str = "both"):
-    """Anti-join on ``key_cols`` via tagged-union groupby.
+            direction: str = "both", strategy: str = "auto",
+            broadcast_limit: int = 5_000_000):
+    """Anti-join on ``key_cols``.
 
-    Returns a Dataset (key_cols..., left_n, right_n) of keys missing on
-    one side: ``direction='left'`` -> keys present left, absent right
-    (e.g. images without captions); ``'right'`` the reverse; ``'both'``
-    all mismatches.
+    Returns (key_cols..., left_n, right_n) rows for keys missing on one
+    side: ``direction='left'`` -> keys present left, absent right (e.g.
+    images without captions); ``'right'`` the reverse; ``'both'`` all
+    mismatches.
+
+    Strategies:
+    - ``broadcast`` (auto-chosen when both key sets fit
+      ``broadcast_limit``): per-side distinct key-count census
+      (tree-merged partials, no shuffle), then each side's key set is
+      broadcast and compared vectorized — EXACT, and avoids the
+      sort-exchange entirely.  Returns an Arrow table.
+    - ``shuffle``: tagged-union groupby over per-block key-count
+      partials — the 10^12-row path (the exchange moves distinct keys,
+      never rows).
+
+    Either way the result (orphan keys — small by construction) is
+    returned as an Arrow table.
     """
-    from ray.data.aggregate import Sum
-
     if isinstance(key_cols, str):
         key_cols = [key_cols]
+    if strategy == "auto":
+        strategy = "broadcast" if (
+            left_ds.count() <= broadcast_limit
+            and right_ds.count() <= broadcast_limit) else "shuffle"
+    if strategy == "broadcast":
+        return _orphans_broadcast_counts(left_ds, right_ds, key_cols,
+                                         direction)
+    from ray.data.aggregate import Sum
     tagged = (left_ds.map_batches(_side_partial(key_cols, 0),
                                   batch_format="pyarrow", zero_copy_batch=True)
               .union(right_ds.map_batches(_side_partial(key_cols, 1),
@@ -68,7 +88,60 @@ def orphans(left_ds, right_ds, key_cols: list[str] | str, *,
             mask = pc.or_(lz, rz)
         return t.filter(mask)
 
-    return agg.map_batches(filt, batch_format="pyarrow")
+    out = agg.map_batches(filt, batch_format="pyarrow")
+    batches = list(out.iter_batches(batch_size=65536,
+                                    batch_format="pyarrow"))
+    if not batches:
+        return _empty_orphans(key_cols, left_ds.schema())
+    return pa.concat_tables(batches)
+
+
+def _empty_orphans(key_cols: list[str], schema) -> pa.Table:
+    cols = {c: pa.array([], type=schema.types[schema.names.index(c)])
+            for c in key_cols}
+    cols["left_n"] = pa.array([], type=pa.int64())
+    cols["right_n"] = pa.array([], type=pa.int64())
+    return pa.table(cols)
+
+
+def _side_counts(ds, key_cols: list[str]) -> pa.Table:
+    """Distinct (key -> count) for one side: per-block Arrow group_by
+    partial, collected and final-merged on the driver (bounded by the
+    broadcast_limit gate)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (batch.select(key_cols).group_by(key_cols)
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(key_cols + ["n"])
+
+    batches = list(ds.map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                   .iter_batches(batch_size=65536, batch_format="pyarrow"))
+    if not batches:
+        return pa.table({c: pa.array([]) for c in key_cols + ["n"]})
+    merged = pa.concat_tables(batches)
+    g = merged.group_by(key_cols).aggregate([("n", "sum")])
+    return g.rename_columns(key_cols + ["n"])
+
+
+def _orphans_broadcast_counts(left_ds, right_ds, key_cols: list[str],
+                              direction: str) -> pa.Table:
+    left = _side_counts(left_ds, key_cols).to_pandas()
+    right = _side_counts(right_ds, key_cols).to_pandas()
+    merged = left.merge(right, on=key_cols, how="outer",
+                        suffixes=("_l", "_r"))
+    ln = merged["n_l"].fillna(0).astype(np.int64)
+    rn = merged["n_r"].fillna(0).astype(np.int64)
+    if direction == "left":
+        mask = rn == 0
+    elif direction == "right":
+        mask = ln == 0
+    else:
+        mask = (ln == 0) | (rn == 0)
+    out = merged.loc[mask, key_cols].copy()
+    out["left_n"] = ln[mask].to_numpy()
+    out["right_n"] = rn[mask].to_numpy()
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
 
 
 def orphans_broadcast(left_ds, right_key_values, key_col: str):

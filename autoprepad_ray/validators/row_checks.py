@@ -57,9 +57,7 @@ def _weighted_median_abs_dev(values: np.ndarray, counts: np.ndarray,
                              med: float) -> float:
     """MAD = median of |x - med|, computed exactly from value counts."""
     dev = np.abs(values.astype(np.float64) - med)
-    vc = ValueCounts(max_items=len(dev) + 1)
-    for d, c in zip(dev.tolist(), counts.tolist()):
-        vc.counts[d] = vc.counts.get(d, 0) + int(c)
+    vc = ValueCounts.from_items(dev, counts, max_items=len(dev) + 1)
     return vc.quantile(0.5)
 
 
@@ -183,11 +181,12 @@ def score_threshold(checked_ds, *, pct: float = 0.10
                            zero_copy_batch=True)
               .groupby("score_raw").aggregate(Sum("n", alias_name="n"))
               ).take_all()
-    vc = ValueCounts(max_items=len(counts) + 1)
-    for row in counts:
-        vc.counts[int(row["score_raw"])] = int(row["n"])
-    lo = min(vc.counts) if vc.counts else 0.0
-    hi = max(vc.counts) if vc.counts else 0.0
+    vc = ValueCounts.from_items(
+        [int(r["score_raw"]) for r in counts],
+        [int(r["n"]) for r in counts], max_items=len(counts) + 1)
+    vals, _ = vc.sorted_arrays()
+    lo = float(vals[0]) if len(vals) else 0.0
+    hi = float(vals[-1]) if len(vals) else 0.0
     thr = vc.quantile(1.0 - pct)  # np.percentile(scores, 100*(1-pct)), runs.py:211
     return float(lo), float(hi), float(thr)
 

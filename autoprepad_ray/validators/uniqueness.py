@@ -20,29 +20,92 @@ import pyarrow.compute as pc
 from ..sketches import HyperLogLog, hash64
 
 
-def _count_partial(cols: list[str]):
+def _key_hashes(batch: pa.Table, cols: list[str]) -> np.ndarray:
+    h = hash64(batch[cols[0]].to_numpy(zero_copy_only=False))
+    for i, c in enumerate(cols[1:], start=1):
+        h = h ^ hash64(batch[c].to_numpy(zero_copy_only=False), seed=i)
+    return h
+
+
+def duplicate_keys(ds, cols: list[str], *, min_count: int = 2,
+                   max_collect: int = 2_000_000) -> pa.Table:
+    """Keys occurring >= min_count times, with their multiplicity.
+
+    Returns an Arrow table with columns ``cols + [n]`` — the uniqueness
+    violation listing (FIXTURES.md R3).
+
+    EXACT two-phase plan that never sort-shuffles row keys:
+    1. census: per-block 64-bit key-hash counts (np.unique partial),
+       tree-merged — candidates are hashes with total count >= min_count;
+    2. listing: candidate hashes broadcast, matching rows collected (a
+       hash collision only adds a candidate row; the final exact
+       group-count filter removes it, so collisions cost work, never
+       correctness).
+
+    The fast path assumes duplicates are RARE (the uniqueness-check
+    regime).  When the census shows candidate rows exceed
+    ``max_collect`` (dup-heavy keys — a dedup workload, not a
+    uniqueness check), it falls back to the partial+final groupby
+    shuffle, which moves per-block distinct keys instead.
+    """
+    import ray
+
+    from .near_dup import _pickled, _tree_counts
+
+    def census(batch: pa.Table) -> pa.Table:
+        vals, cnts = np.unique(_key_hashes(batch, cols),
+                               return_counts=True)
+        return _pickled((vals, cnts))
+
+    vals, cnts = _tree_counts(ds.map_batches(census, batch_format="pyarrow",
+                                             zero_copy_batch=True))
+    cand = vals[cnts >= min_count]
+    if cand.size == 0:
+        t0 = ds.schema()
+        return pa.table(
+            {c: pa.array([], type=t0.types[t0.names.index(c)])
+             for c in cols} | {"n": pa.array([], type=pa.int64())})
+    if int(cnts[cnts >= min_count].sum()) > max_collect:
+        return _duplicate_keys_shuffle(ds, cols, min_count)
+    cand_ref = ray.put(np.sort(cand.astype(np.uint64)))
+
+    def members(batch: pa.Table) -> pa.Table:
+        cand_ = ray.get(cand_ref)
+        h = _key_hashes(batch, cols)
+        idx = np.searchsorted(cand_, h)
+        idx[idx >= len(cand_)] = len(cand_) - 1
+        mask = cand_[idx] == h
+        return batch.select(cols).filter(pa.array(mask))
+
+    rows = pa.concat_tables(
+        b for b in ds.map_batches(members, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        .iter_batches(batch_size=65536, batch_format="pyarrow"))
+    g = rows.group_by(cols).aggregate([([], "count_all")])
+    g = g.rename_columns(cols + ["n"])
+    return g.filter(pc.greater_equal(g["n"], min_count))
+
+
+def _duplicate_keys_shuffle(ds, cols: list[str], min_count: int) -> pa.Table:
+    """Dup-heavy path: per-block Arrow group_by partials, ONE Ray
+    groupby over (keys, n) partial rows, filtered to n >= min_count."""
+    from ray.data.aggregate import Sum
+
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.select(cols).group_by(cols).aggregate([([], "count_all")])
         return g.rename_columns(cols + ["n"])
-    return partial
 
-
-def duplicate_keys(ds, cols: list[str], *, min_count: int = 2):
-    """Keys occurring >= min_count times, with their multiplicity.
-
-    Returns a Dataset with columns ``cols + [n]``.  This is the
-    uniqueness violation listing: for a declared-unique key, any row
-    here is a violation (FIXTURES.md R3).
-    """
-    from ray.data.aggregate import Sum
-
-    agg = (ds.map_batches(_count_partial(cols), batch_format="pyarrow",
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True)
            .groupby(cols)
            .aggregate(Sum("n", alias_name="n")))
-    return agg.map_batches(
+    out = agg.map_batches(
         lambda t: t.filter(pc.greater_equal(t["n"], min_count)),
         batch_format="pyarrow")
+    batches = list(out.iter_batches(batch_size=65536,
+                                    batch_format="pyarrow"))
+    return pa.concat_tables(batches) if batches else pa.table(
+        {c: pa.array([]) for c in cols + ["n"]})
 
 
 def distinct_counts(ds, cols: list[str]) -> dict[str, int]:

@@ -37,8 +37,8 @@ BENCH_QUERIES = [
     "ann_topk_embeddings",
 ]
 
-IMG_PARTITIONS = 16
-IMG_ROWS = 2500  # 40k images x ~8-50KB -> ~1 GB of payloads
+IMG_PARTITIONS = 32
+IMG_ROWS = 5000  # 160k images (F-SCALE shape) -> ~2 GB of payloads
 
 
 def _consume(res) -> int:
