@@ -503,13 +503,24 @@ def exact_dedup_lineitem(sf_dir: str):
         t2 = t.append_column("keep_rank", rank)
         g = (t2.group_by(cols)
              .aggregate([("keep_rank", "min"), ([], "count_all")]))
-        return g.rename_columns(cols + ["keep_rank", "n"])
+        g = g.rename_columns(cols + ["keep_rank", "n"])
+        # single int64 surrogate key: the final exchange sorts one int
+        # column instead of five mixed-type ones; group columns are
+        # constant within a group so Min() reproduces them exactly
+        from ..sketches import hash64 as _h64
+        kh = _h64(g[cols[0]].to_numpy(zero_copy_only=False))
+        for i, c in enumerate(cols[1:], start=1):
+            kh = kh ^ _h64(g[c].to_numpy(zero_copy_only=False), seed=i)
+        return g.append_column("khash", pa.array(kh.view(np.int64)))
 
-    return (ds.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby(cols)
-            .aggregate(Sum("n", alias_name="n"),
-                       Min("keep_rank", alias_name="keep_rank")))
+    aggs = [Min(c, alias_name=c) for c in cols]
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("khash")
+           .aggregate(*aggs, Sum("n", alias_name="n"),
+                      Min("keep_rank", alias_name="keep_rank")))
+    return out.map_batches(lambda t: t.drop(["khash"]),
+                           batch_format="pyarrow")
 
 
 @query("doc_fingerprints", sql="SELECT doc_id, md5(text) AS fp FROM documents")

@@ -51,6 +51,20 @@ class ColumnSketch:
     tdigest: TDigest = field(default_factory=TDigest)
     hll: HyperLogLog = field(default_factory=HyperLogLog)
 
+    def _spill_to_sketches(self) -> None:
+        """Exactness abandoned: seed t-digest + HLL from the drained
+        exact value counts (a weighted t-digest update and a hash pass
+        over the DISTINCT values reproduce everything the approximate
+        sketches would have seen)."""
+        vals, cnts = self.values.drain()
+        if len(vals) == 0:
+            return
+        if self.kind in ("numeric", "timestamp"):
+            self.tdigest.update_weighted(
+                np.asarray(vals, dtype=np.float64),
+                np.asarray(cnts, dtype=np.int64))
+        self.hll.add_hashes(hash64(vals))
+
     def update_array(self, arr: pa.ChunkedArray | pa.Array) -> None:
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
@@ -61,18 +75,27 @@ class ColumnSketch:
                 np_vals = np_vals.astype("datetime64[us]").astype(np.int64)
             np_vals = np.asarray(np_vals)
             self.moments.update(np_vals, nulls=nulls)
-            self.values.update(np_vals)
-            self.tdigest.update(np_vals.astype(np.float64, copy=False))
-            if np_vals.size:
-                clean = np_vals[~np.isnan(np_vals)] if np_vals.dtype.kind == "f" else np_vals
+            if not self.values.overflow:
+                # exact path: t-digest/HLL stay dormant (lazy) — they are
+                # seeded from the exact counts only if exactness is lost
+                self.values.update(np_vals)
+                if self.values.overflow:
+                    self._spill_to_sketches()
+            else:
+                clean = (np_vals[~np.isnan(np_vals)]
+                         if np_vals.dtype.kind == "f" else np_vals)
+                self.tdigest.update(clean.astype(np.float64, copy=False))
                 if clean.size:
                     self.hll.add_hashes(hash64(clean))
         elif self.kind == "string":
             vals = arr.drop_null().to_numpy(zero_copy_only=False)
             self.moments.nulls += nulls
             self.moments.n += len(vals)
-            self.values.update(np.asarray(vals, dtype=object))
-            if len(vals):
+            if not self.values.overflow:
+                self.values.update(np.asarray(vals, dtype=object))
+                if self.values.overflow:
+                    self._spill_to_sketches()
+            elif len(vals):
                 self.hll.add_hashes(hash64(vals))
         else:
             self.moments.nulls += nulls
@@ -80,7 +103,22 @@ class ColumnSketch:
 
     def merge(self, o: "ColumnSketch") -> "ColumnSketch":
         self.moments.merge(o.moments)
-        self.values.merge(o.values)
+        if o.values.overflow or self.values.overflow:
+            # at least one side is approximate: fold both exact sides
+            # into sketches, then merge sketches
+            if not self.values.overflow:
+                self.values.overflow = True
+                self._spill_to_sketches()
+            if not o.values.overflow:
+                o.values.overflow = True
+                o._spill_to_sketches()
+            o.values.drain()
+            self.values.drain()
+            self.values.overflow = True
+        else:
+            self.values.merge(o.values)
+            if self.values.overflow:
+                self._spill_to_sketches()
         self.tdigest.merge(o.tdigest)
         self.hll.merge(o.hll)
         return self

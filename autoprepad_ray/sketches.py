@@ -196,11 +196,20 @@ class ValueCounts:
             uniq, inv = np.unique(allv, return_inverse=True)
             merged = np.zeros(len(uniq), dtype=np.int64)
             np.add.at(merged, inv, allc)
+        self._vals, self._cnts = uniq, merged
         if len(uniq) > self.max_items:
+            # keep the merged arrays so the owner can drain() them into
+            # an approximate sketch (t-digest / HLL) before they vanish
             self.overflow = True
-            self._vals = self._cnts = None
-        else:
-            self._vals, self._cnts = uniq, merged
+
+    def drain(self) -> tuple[np.ndarray, np.ndarray]:
+        """Hand over the merged arrays (used to seed the approximate
+        sketches when exactness is abandoned) and clear."""
+        vals = self._vals if self._vals is not None else np.array([])
+        cnts = (self._cnts if self._cnts is not None
+                else np.array([], dtype=np.int64))
+        self._vals = self._cnts = None
+        return vals, cnts
 
     def update(self, values: np.ndarray) -> None:
         if self.overflow or values.size == 0:
@@ -322,6 +331,14 @@ class TDigest:
         self._buf_w.append(np.ones(v.size, dtype=np.int64))
         if sum(m.size for m in self._buf_m) > 8 * self.compression:
             self._compress()
+
+    def update_weighted(self, values: np.ndarray, weights: np.ndarray) -> None:
+        """Seed from (value, weight) pairs — exact ValueCounts handoff."""
+        if values.size == 0:
+            return
+        self._buf_m.append(values.astype(np.float64, copy=False))
+        self._buf_w.append(weights.astype(np.int64, copy=False))
+        self._compress()
 
     def merge(self, o: "TDigest") -> "TDigest":
         o._compress()

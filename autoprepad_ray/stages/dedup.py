@@ -89,7 +89,8 @@ def exact_jaccard(a: np.ndarray, b: np.ndarray) -> float:
 def minhash_lsh_pairs(ds, text_col: str, id_col: str, *,
                       num_perm: int = 128, bands: int = 32,
                       n_words: int = 3, threshold: float = 0.5,
-                      bucket_cap: int = 256, concurrency: int | None = None):
+                      bucket_cap: int = 256, concurrency: int | None = None,
+                      batch_size: int = 512):
     """Near-duplicate pairs with verified word-shingle Jaccard >= threshold.
 
     Returns a pandas DataFrame (id_a, id_b, jaccard) — the candidate set
@@ -101,7 +102,7 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, *,
         concurrency = default_pool_size()
     band_rows = ds.map_batches(
         MinHasher, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency,
+        concurrency=concurrency, batch_size=batch_size,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col,
                                "num_perm": num_perm, "bands": bands,
                                "n_words": n_words})
@@ -174,13 +175,14 @@ class SimHasher:
 
 
 def simhash_signatures(ds, text_col: str, id_col: str, *,
-                       concurrency: int | None = None):
+                       concurrency: int | None = None,
+                       batch_size: int = 512):
     if concurrency is None:
         from ..context import default_pool_size
         concurrency = default_pool_size()
     return ds.map_batches(
         SimHasher, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency,
+        concurrency=concurrency, batch_size=batch_size,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col})
 
 

@@ -52,10 +52,11 @@ class LangId:
         return out
 
 
-def lang_id(ds, text_col: str = "text", *, concurrency: int | None = None):
+def lang_id(ds, text_col: str = "text", *, concurrency: int | None = None,
+            batch_size: int = 1024):
     if concurrency is None:
         from .. context import default_pool_size
         concurrency = default_pool_size()
     return ds.map_batches(LangId, batch_format="pandas",
-                          concurrency=concurrency,
+                          concurrency=concurrency, batch_size=batch_size,
                           fn_constructor_kwargs={"text_col": text_col})

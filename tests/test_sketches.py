@@ -70,7 +70,12 @@ def test_valuecounts_mode_histogram_overflow():
     edges = np.array([0.0, 1.5, 3.5])
     assert vc.histogram(edges).tolist() == [2, 3]
     vc.update(np.array([4, 5, 6]))
-    assert vc.overflow and vc.counts == {}
+    assert vc.overflow
+    vals, cnts = vc.drain()  # owner seeds approximate sketches from these
+    assert len(vals) == 6 and int(cnts.sum()) == 8
+    assert vc.counts == {}
+    vc.update(np.array([7]))  # dormant after overflow
+    assert vc.counts == {}
 
 
 def test_tdigest_quantiles_close():
@@ -115,3 +120,32 @@ def test_sketch_serialization_roundtrip():
     ms = MomentSketch()
     ms.update(x)
     assert MomentSketch.from_dict(ms.to_dict()).mean == ms.mean
+
+
+def test_columnsketch_exact_to_approx_handoff():
+    """When ValueCounts overflows, t-digest/HLL are seeded from the
+    drained exact counts — quantiles/distinct stay accurate."""
+    import pyarrow as pa
+    from autoprepad_ray.profile import ColumnSketch
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(100, 15, 60_000)
+    cs = ColumnSketch(name="x", kind="numeric")
+    cs.values.max_items = 1000
+    for chunk in np.array_split(x, 13):
+        cs.update_array(pa.array(chunk))
+    assert not cs.exact_quantiles
+    for q in (0.25, 0.5, 0.75):
+        exact = np.quantile(x, q)
+        assert abs(cs.quantile(q) - exact) / abs(exact) < 0.01
+    true_distinct = len(np.unique(x))
+    assert abs(cs.distinct() - true_distinct) / true_distinct < 0.05
+    # merge of exact + approx sides also lands close
+    cs2 = ColumnSketch(name="x", kind="numeric")
+    cs2.values.max_items = 1000
+    y = rng.normal(100, 15, 5_000)
+    cs2.update_array(pa.array(y))
+    assert cs2.exact_quantiles
+    cs.merge(cs2)
+    both = np.concatenate([x, y])
+    assert abs(cs.quantile(0.5) - np.quantile(both, 0.5)) < 1.0
