@@ -79,9 +79,11 @@ def _bit_length64(z: np.ndarray) -> np.ndarray:
 
 @dataclass
 class MomentSketch:
-    """Exact count/null/nan/sum/sumsq/min/max — associative merge.
+    """Exact count/null/nan/sum/min/max + stable variance — associative.
 
-    Finalized mean/std(ddof=1) mirror the reference's
+    Variance uses the parallel Welford merge (n, mean, M2) — the naive
+    sum-of-squares sketch cancels catastrophically for data with
+    |mean| >> std.  Finalized mean/std(ddof=1) mirror the reference's
     ZTransformerMean.py:37-39 semantics; min/max back the MinMax score
     scaling (runs.py:200-201).
     """
@@ -90,9 +92,18 @@ class MomentSketch:
     nulls: int = 0      # arrow nulls
     nans: int = 0       # float NaNs
     total: float = 0.0
-    totalsq: float = 0.0
+    mean_: float = 0.0
+    m2: float = 0.0
     vmin: float = math.inf
     vmax: float = -math.inf
+
+    def _combine(self, nb: int, mean_b: float, m2_b: float) -> None:
+        na = self.n
+        n = na + nb
+        delta = mean_b - self.mean_
+        self.mean_ += delta * nb / n
+        self.m2 += m2_b + delta * delta * na * nb / n
+        self.n = n
 
     def update(self, values: np.ndarray, nulls: int = 0) -> None:
         self.nulls += int(nulls)
@@ -105,18 +116,18 @@ class MomentSketch:
         if values.size == 0:
             return
         v = values.astype(np.float64, copy=False)
-        self.n += v.size
+        mb = float(v.mean())
         self.total += float(v.sum())
-        self.totalsq += float((v * v).sum())
+        self._combine(v.size, mb, float(((v - mb) ** 2).sum()))
         self.vmin = min(self.vmin, float(v.min()))
         self.vmax = max(self.vmax, float(v.max()))
 
     def merge(self, o: "MomentSketch") -> "MomentSketch":
-        self.n += o.n
         self.nulls += o.nulls
         self.nans += o.nans
         self.total += o.total
-        self.totalsq += o.totalsq
+        if o.n:
+            self._combine(o.n, o.mean_, o.m2)
         self.vmin = min(self.vmin, o.vmin)
         self.vmax = max(self.vmax, o.vmax)
         return self
@@ -127,11 +138,10 @@ class MomentSketch:
 
     @property
     def var(self) -> float:
-        """Sample variance, ddof=1 (reference ZTransformerMean.py:38 np.std ddof... uses ddof=1)."""
+        """Sample variance, ddof=1 (reference ZTransformerMean.py:38)."""
         if self.n < 2:
             return 0.0
-        m = self.mean
-        return max(0.0, (self.totalsq - self.n * m * m) / (self.n - 1))
+        return max(0.0, self.m2 / (self.n - 1))
 
     @property
     def std(self) -> float:
@@ -140,7 +150,7 @@ class MomentSketch:
     def to_dict(self) -> dict:
         return {
             "n": self.n, "nulls": self.nulls, "nans": self.nans,
-            "total": self.total, "totalsq": self.totalsq,
+            "total": self.total, "mean_": self.mean_, "m2": self.m2,
             "vmin": self.vmin, "vmax": self.vmax,
         }
 

@@ -143,7 +143,7 @@ def test_columnsketch_exact_to_approx_handoff():
     # merge of exact + approx sides also lands close
     cs2 = ColumnSketch(name="x", kind="numeric")
     cs2.values.max_items = 1000
-    y = rng.normal(100, 15, 5_000)
+    y = rng.normal(100, 15, 500)
     cs2.update_array(pa.array(y))
     assert cs2.exact_quantiles
     cs.merge(cs2)
