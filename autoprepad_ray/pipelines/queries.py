@@ -489,10 +489,8 @@ FROM lineitem
 GROUP BY l_quantity, l_discount, l_tax, l_returnflag, l_linestatus""")
 def exact_dedup_lineitem(sf_dir: str):
     """Exact dedup over projected content: one representative (min rank)
-    per distinct value combination — hash-partitioned groupby with
-    per-block pre-aggregation."""
-    from ray.data.aggregate import Min, Sum
-
+    per distinct value combination — per-block pre-aggregation, then an
+    Arrow-native tree reduce (group cardinality is small)."""
     cols = ["l_quantity", "l_discount", "l_tax", "l_returnflag",
             "l_linestatus"]
     ds = _t(sf_dir, "lineitem", cols + ["l_orderkey", "l_linenumber"])
@@ -503,24 +501,25 @@ def exact_dedup_lineitem(sf_dir: str):
         t2 = t.append_column("keep_rank", rank)
         g = (t2.group_by(cols)
              .aggregate([("keep_rank", "min"), ([], "count_all")]))
-        g = g.rename_columns(cols + ["keep_rank", "n"])
-        # single int64 surrogate key: the final exchange sorts one int
-        # column instead of five mixed-type ones; group columns are
-        # constant within a group so Min() reproduces them exactly
-        from ..sketches import hash64 as _h64
-        kh = _h64(g[cols[0]].to_numpy(zero_copy_only=False))
-        for i, c in enumerate(cols[1:], start=1):
-            kh = kh ^ _h64(g[c].to_numpy(zero_copy_only=False), seed=i)
-        return g.append_column("khash", pa.array(kh.view(np.int64)))
+        return g.rename_columns(cols + ["keep_rank", "n"])
 
-    aggs = [Min(c, alias_name=c) for c in cols]
-    out = (ds.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True)
-           .groupby("khash")
-           .aggregate(*aggs, Sum("n", alias_name="n"),
-                      Min("keep_rank", alias_name="keep_rank")))
-    return out.map_batches(lambda t: t.drop(["khash"]),
-                           batch_format="pyarrow")
+    def remerge(t: pa.Table) -> pa.Table:
+        g = (t.group_by(cols)
+             .aggregate([("keep_rank", "min"), ("n", "sum")]))
+        return g.rename_columns(cols + ["keep_rank", "n"])
+
+    # group cardinality (~50 x 11 x 9 x 3 x 2) is small, so a tree of
+    # Arrow group_by reduces beats a sort-exchange: per-block partials,
+    # one 8-way re-merge level, final fold on the driver.  (For
+    # high-cardinality dedup keys use validators.uniqueness /
+    # stages.dedup.exact_dedup, which shuffle by key.)
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    level1 = partials.map_batches(remerge, batch_size=250_000,
+                                  batch_format="pyarrow")
+    tables = list(level1.iter_batches(batch_size=250_000,
+                                      batch_format="pyarrow"))
+    return remerge(pa.concat_tables(tables))
 
 
 @query("doc_fingerprints", sql="SELECT doc_id, md5(text) AS fp FROM documents")

@@ -107,25 +107,62 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, *,
                                "num_perm": num_perm, "bands": bands,
                                "n_words": n_words})
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["doc_id"].drop_duplicates().to_numpy()
-        capped = ids[:bucket_cap]
-        out_a, out_b = [], []
-        for i in range(len(capped) - 1):
-            for j in range(i + 1, len(capped)):
-                a, b = capped[i], capped[j]
+    # candidate generation uses the census-prune-pair plan from
+    # validators.near_dup: tree-count bucket sizes, broadcast the
+    # multi-member bucket keys, collect only their rows, pair within
+    # lexsorted segments — no sort-groupby over (mostly singleton)
+    # buckets.
+    from ..validators.near_dup import _pickled, _tree_counts
+
+    def fold_key(t: pa.Table) -> dict:
+        band = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = t["band_hash"].to_numpy(zero_copy_only=False)
+        key = splitmix64(bh.view(np.uint64) ^ band.view(np.uint64)) \
+            .view(np.int64)
+        return {"key": key,
+                "doc_id": np.asarray(t["doc_id"].to_numpy(
+                    zero_copy_only=False))}
+
+    keyed = band_rows.map_batches(fold_key, batch_format="pyarrow")
+
+    def census(t: dict) -> pa.Table:
+        return _pickled(np.unique(t["key"], return_counts=True))
+
+    cvals, ccnts = _tree_counts(keyed.map_batches(census,
+                                                  batch_format="numpy"))
+    hot = cvals[ccnts >= 2]
+    if hot.size == 0:
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    hot_ref = ray.put(np.sort(hot))
+
+    def keep_hot(t: dict) -> dict:
+        mask = np.isin(t["key"], ray.get(hot_ref))
+        return {"key": t["key"][mask], "doc_id": t["doc_id"][mask]}
+
+    k_parts, d_parts = [], []
+    for b in keyed.map_batches(keep_hot, batch_format="numpy") \
+            .iter_batches(batch_size=65536, batch_format="numpy"):
+        k_parts.append(np.asarray(b["key"], dtype=np.int64))
+        d_parts.append(np.asarray(b["doc_id"], dtype=object))
+    keys = np.concatenate(k_parts) if k_parts else np.empty(0, np.int64)
+    docs_arr = np.concatenate(d_parts) if d_parts else np.empty(0, object)
+    order = np.argsort(keys, kind="mergesort")
+    keys, docs_arr = keys[order], docs_arr[order]
+    bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+    pairs_set: set = set()
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if e - s < 2:
+            continue
+        members = pd.unique(docs_arr[s:e])[:bucket_cap]
+        for i in range(len(members) - 1):
+            for j in range(i + 1, len(members)):
+                a, b = members[i], members[j]
                 if a > b:
                     a, b = b, a
-                out_a.append(a)
-                out_b.append(b)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b,
-                             "capped": len(ids) > bucket_cap})
-
-    cand = (band_rows.groupby(["band", "band_hash"])
-            .map_groups(bucket_pairs, batch_format="pandas")).to_pandas()
-    if not len(cand):
+                pairs_set.add((a, b))
+    if not pairs_set:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-    cand = cand.drop_duplicates(subset=["id_a", "id_b"])
+    cand = pd.DataFrame(sorted(pairs_set), columns=["id_a", "id_b"])
 
     # verify: fetch shingle sets for candidate docs only
     need = set(cand["id_a"]) | set(cand["id_b"])
