@@ -2,16 +2,35 @@
 pipeline): schema assert, NaN-token canonicalization, per-column
 profiles, Tukey/MAD row evidence, null-rate budget, uniqueness,
 referential integrity, per-partition PSI drift, decode verification,
-and phash near-duplicates — composed from the engine's validators, one
-Dataset pipeline per shuffle-keyed concern (SURVEY §7.1 execution shape).
+and phash near-duplicates (FIXTURES.md R1-R7; verdict composition is
+the reference's OR-merge, experiment.py:441-445).
 
-Checks and thresholds map 1:1 to FIXTURES.md recipes R1-R7; the verdict
-composition is the reference's OR-merge (experiment.py:441-445): a
-partition FAILs if ANY check exceeds its budget.
+Execution shape (the whole point at 10^12-row scale): THREE streaming
+passes over the image table, not one per check —
+
+- PASS 1 (column-pruned metadata read): one ``map_batches`` computes
+  per block the profile partials (ref partitions), every drift
+  histogram, and the key censuses (image_id-hash, phash, phash-band) —
+  all mergeable, tree-merged, finalized on the driver into fences +
+  reference histograms + candidate sets (duplicate ids, duplicate
+  phashes, multi-member band buckets, orphan hashes).  Nothing
+  row-shaped leaves the pass; the candidate sets are tiny.
+- PASS 2 (metadata read, candidates broadcast): row evidence flags,
+  per-partition stat/null counts, and the row LISTINGS for exactly the
+  candidate keys (duplicate-id rows, orphan rows, dup-phash members,
+  hot-band rows for Hamming pairing).  Candidate listings are small by
+  construction; violation rows are capped per block (counts stay
+  exact).
+- PASS 3 (payload read, actor pool): decode verification — the only
+  pass that touches ``bytes``.
+
+Plus one tiny pass over the captions table (id-hash census) and, when
+caption-side orphans exist, one capped listing pass over captions.
 """
 
 from __future__ import annotations
 
+import pickle
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -20,17 +39,28 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 
 from ..functions.strings import canonicalize_nan_tokens
-from ..profile import profile_dataset
-from ..validators import drift, near_dup, referential, row_checks as rc, uniqueness
+from ..profile import ColumnSketch, TableProfile, _col_kind
+from ..sketches import hash64
+from ..validators import row_checks as rc
+from ..validators.drift import psi_from_counts
+from ..validators.near_dup import (_band_rows, _merge_count_arrays,
+                                   _segment_pairs)
 
 EXPECTED_FIELDS = {
     "image_id": pa.string(), "bytes": pa.large_binary(),
     "w": pa.int32(), "h": pa.int32(), "fmt": pa.string(),
     "caption": pa.string(), "phash": pa.int64(),
 }
+
+META_COLS = ["image_id", "w", "h", "fmt", "caption", "phash",
+             "partition_id"]
+EDGES_WH = np.array([0, 48, 80, 112, 160, 8192], dtype=float)
+EDGES_CAP = np.arange(0.0, 220.0, 20.0)
+PROFILE_COLS = ["w", "h", "caption_len", "caption", "fmt"]
 
 
 def assert_schema(ds) -> list[str]:
@@ -50,22 +80,200 @@ def assert_schema(ds) -> list[str]:
 
 
 def _prep(batch: pa.Table) -> pa.Table:
-    """Canonicalize caption NaN tokens + derive caption_len."""
+    """Canonicalize caption NaN tokens + derive caption_len (stays NULL
+    for null captions: null-rate is its own check; the length
+    distribution describes present values only)."""
     cap = canonicalize_nan_tokens(batch["caption"])
     batch = batch.set_column(batch.column_names.index("caption"),
                              "caption", cap)
-    # caption_len stays NULL for null captions: the null-rate budget is
-    # its own check; the length distribution (profile + PSI) describes
-    # present values only.
     clen = pc.utf8_length(cap)
     return batch.append_column("caption_len", pc.cast(clen, pa.int64()))
+
+
+def _pickled(obj) -> pa.Table:
+    return pa.table({"payload": pa.array([pickle.dumps(obj)],
+                                         type=pa.large_binary())})
+
+
+# ---------------------------------------------------------------------------
+# PASS 1: profile + histograms + censuses
+
+
+def _hist_partial(batch: pa.Table, pid: np.ndarray, uniq, inv) -> dict:
+    out: dict = {}
+    for col, edges in (("w", EDGES_WH), ("h", EDGES_WH),
+                       ("caption_len", EDGES_CAP)):
+        nb = len(edges) - 1
+        v = batch[col].cast(pa.float64()).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep = ~np.isnan(v)
+        idx = np.clip(np.searchsorted(edges, v[keep], side="right") - 1,
+                      0, nb - 1)
+        counts = np.zeros((len(uniq), nb), dtype=np.int64)
+        np.add.at(counts, (inv[keep], idx), 1)
+        out[col] = counts
+    fmt = np.asarray(batch["fmt"].to_numpy(zero_copy_only=False),
+                     dtype=object)
+    d: dict = {}
+    for k, u in enumerate(uniq):
+        vv, cc = np.unique(fmt[inv == k], return_counts=True)
+        d[int(u)] = dict(zip(vv.tolist(), cc.tolist()))
+    out["fmt"] = d
+    return out
+
+
+def _make_p1_partial(ref_set: list[int]):
+    def p1(batch: pa.Table) -> pa.Table:
+        batch = _prep(batch)
+        pid = batch["partition_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(pid, return_inverse=True)
+        # profile partials over the reference partitions only
+        ref_mask = np.isin(pid, ref_set)
+        sketches: dict[str, ColumnSketch] = {}
+        if ref_mask.any():
+            ref_tbl = batch.filter(pa.array(ref_mask))
+            for col in PROFILE_COLS:
+                cs = ColumnSketch(
+                    name=col, kind=_col_kind(ref_tbl.schema.field(col).type))
+                cs.update_array(ref_tbl[col])
+                sketches[col] = cs
+        raw = _hist_partial(batch, pid, uniq, inv)
+        # canonical (merge-stable) form: {col: {pid: counts}}
+        hists = {col: {int(u): raw[col][k] for k, u in enumerate(uniq)}
+                 for col in ("w", "h", "caption_len")}
+        hists["fmt"] = raw["fmt"]
+        ids_hash = np.unique(hash64(
+            batch["image_id"].to_numpy(zero_copy_only=False)),
+            return_counts=True)
+        ph = batch["phash"].to_numpy(zero_copy_only=False)
+        ph_census = np.unique(ph, return_counts=True)
+        u64 = ph.astype(np.int64).view(np.uint64)
+        band_keys = []
+        for b in range(4):
+            band_keys.append(
+                (np.int64(b) << np.int64(20))
+                | ((u64 >> np.uint64(16 * b)) & np.uint64(0xFFFF))
+                .astype(np.int64))
+        band_census = np.unique(np.concatenate(band_keys),
+                                return_counts=True)
+        nrows = {int(u): int(c) for u, c in
+                 zip(uniq, np.bincount(inv, minlength=len(uniq)))}
+        return _pickled((sketches, hists, ids_hash, ph_census,
+                         band_census, nrows))
+
+    return p1
+
+
+def _merge_p1(payloads: list) -> tuple:
+    sketches: dict[str, ColumnSketch] = {}
+    hists: dict = {"w": {}, "h": {}, "caption_len": {}, "fmt": {}}
+    id_parts, ph_parts, band_parts = [], [], []
+    nrows: dict = {}
+    for p in payloads:
+        sk, hi, idc, phc, bdc, nr = p
+        for col, cs in sk.items():
+            if col in sketches:
+                sketches[col].merge(cs)
+            else:
+                sketches[col] = cs
+        for col in ("w", "h", "caption_len"):
+            for u, counts in hi[col].items():
+                if u in hists[col]:
+                    hists[col][u] = hists[col][u] + counts
+                else:
+                    hists[col][u] = counts.copy()
+        for u, vc in hi["fmt"].items():
+            tgt = hists["fmt"].setdefault(u, {})
+            for v, n in vc.items():
+                tgt[v] = tgt.get(v, 0) + n
+        id_parts.append(idc)
+        ph_parts.append(phc)
+        band_parts.append(bdc)
+        for u, n in nr.items():
+            nrows[u] = nrows.get(u, 0) + n
+    ids = _merge_count_arrays(id_parts)
+    phs = _merge_count_arrays(ph_parts)
+    bands = _merge_count_arrays(band_parts)
+    return sketches, hists, ids, phs, bands, nrows
+
+
+def _merge_p1_batch(batch: pa.Table) -> pa.Table:
+    payloads = [pickle.loads(p) for p in batch["payload"].to_pylist()]
+    return _pickled(_merge_p1(payloads))
+
+
+# ---------------------------------------------------------------------------
+# PASS 2: evidence + candidate listings
+
+
+class _P2Partial:
+    """Broadcast-state pass: flags, partition counts, candidate rows."""
+
+    def __init__(self, blob_ref):
+        (states, self.dup_id_hashes, self.dup_phashes,
+         self.hot_bands, self.orphan_hashes, mad_threshold,
+         self.viol_cap) = ray.get(blob_ref)
+        self.checker = rc.RowChecker(pickle.dumps(states),
+                                     mad_threshold=mad_threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = _prep(batch)
+        checked = self.checker(batch)
+        caption_null = pc.is_null(checked["caption"])
+        checked = checked.append_column(
+            "caption_null", pc.cast(caption_null, pa.int8()))
+        pid = checked["partition_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(pid, return_inverse=True)
+        tuk = checked[rc.TUKEY_TOTAL].to_numpy(zero_copy_only=False)
+        mad = checked[rc.MAD_TOTAL].to_numpy(zero_copy_only=False)
+        nul = checked["caption_null"].to_numpy(zero_copy_only=False)
+        viol = (tuk > 0) | (mad > 0)
+        counts = {
+            int(u): (int(n), int(sv), int(nv)) for u, n, sv, nv in zip(
+                uniq,
+                np.bincount(inv, minlength=len(uniq)),
+                np.bincount(inv, weights=viol.astype(float),
+                            minlength=len(uniq)).astype(np.int64),
+                np.bincount(inv, weights=(nul > 0).astype(float),
+                            minlength=len(uniq)).astype(np.int64))}
+        viol_tbl = checked.drop(["caption"]).filter(
+            pa.array(viol))
+        if viol_tbl.num_rows > self.viol_cap:
+            viol_tbl = viol_tbl.slice(0, self.viol_cap)
+        ids = checked["image_id"].to_numpy(zero_copy_only=False)
+        idh = hash64(ids)
+        dup_rows = None
+        if self.dup_id_hashes.size:
+            m = np.isin(idh, self.dup_id_hashes)
+            dup_rows = (np.asarray(ids[m]), pid[m])
+        orphan_rows = None
+        if self.orphan_hashes.size:
+            m = np.isin(idh, self.orphan_hashes)
+            orphan_rows = np.asarray(ids[m])
+        ph = checked["phash"].to_numpy(zero_copy_only=False)
+        ph_members = None
+        if self.dup_phashes.size:
+            m = np.isin(ph, self.dup_phashes)
+            ph_members = (np.asarray(ids[m]), ph[m])
+        band_rows = None
+        if self.hot_bands.size:
+            br = _band_rows(ph, np.asarray(ids))
+            combo = (br["band"].astype(np.int64) << np.int64(20)) \
+                | br["band_val"].astype(np.int64)
+            m = np.isin(combo, self.hot_bands)
+            band_rows = (combo[m], br["image_id"][m], br["phash"][m])
+        return _pickled((counts, viol_tbl, dup_rows, orphan_rows,
+                         ph_members, band_rows))
+
+
+# ---------------------------------------------------------------------------
 
 
 @dataclass
 class ImageValidationReport:
     verdicts: pd.DataFrame
     profile: Any
-    stat_violations: Any = None          # Dataset: flagged rows
+    stat_violations: Any = None          # Arrow table: flagged rows (capped)
     dup_ids: pd.DataFrame | None = None
     orphans: pd.DataFrame | None = None
     drift_psi: pd.DataFrame | None = None
@@ -83,6 +291,22 @@ class ImageValidationReport:
         return out
 
 
+def _caption_census(captions_path: str) -> tuple[np.ndarray, np.ndarray]:
+    caps = rd.read_parquet(captions_path, columns=["image_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return _pickled(np.unique(
+            hash64(t["image_id"].to_numpy(zero_copy_only=False)),
+            return_counts=True))
+
+    parts = [pickle.loads(r["payload"]) for r in
+             caps.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()]
+    if not parts:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    return _merge_count_arrays(parts)
+
+
 def validate_images(images_dir: str, captions_path: str | None = None, *,
                     ref_partitions: tuple[int, ...] = (0, 1, 2),
                     stat_budget: float = 0.005,
@@ -90,102 +314,44 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
                     psi_budget: float = 0.2,
                     decode: bool = True,
                     decode_concurrency: int | None = None,
-                    neardup: bool = True) -> ImageValidationReport:
-    # bytes is ~95% of the table; every metadata concern reads a
-    # column-pruned projection and only the decode stage reads payloads.
-    META_COLS = ["image_id", "w", "h", "fmt", "caption", "phash",
-                 "partition_id"]
-    ds = rd.read_parquet(images_dir)
-    schema_errors = assert_schema(ds)
+                    neardup: bool = True,
+                    viol_cap_per_block: int = 10_000,
+                    mad_threshold: float = 3.5) -> ImageValidationReport:
+    ds_schema = rd.read_parquet(images_dir)
+    schema_errors = assert_schema(ds_schema)
     meta = rd.read_parquet(images_dir, columns=META_COLS)
-    prepped = meta.map_batches(_prep, batch_format="pyarrow",
-                               zero_copy_batch=True)
 
-    # ---- profile job over the clean reference partitions (fit phase) ----
-    ref_set = list(ref_partitions)
-    ref_ds = prepped.map_batches(
-        lambda t: t.filter(pc.is_in(t["partition_id"],
-                                    value_set=pa.array(ref_set, type=t["partition_id"].type))),
-        batch_format="pyarrow")
-    prof = profile_dataset(
-        ref_ds, columns=["w", "h", "caption_len", "caption", "fmt"])
-
-    # ---- validate job: row evidence + null flags, one streaming pass ----
-    # fences on w/h only: caption_len is log-normal by construction, so
-    # its heavy tail is a DISTRIBUTION property (checked via PSI below),
-    # not a per-row anomaly — Tukey on it would flag ~4% of clean rows.
+    # ---- PASS 1 ----
+    p1 = meta.map_batches(_make_p1_partial(list(ref_partitions)),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    p1m = p1.map_batches(_merge_p1_batch, batch_size=32,
+                         batch_format="pyarrow")
+    sketches, hists, (id_vals, id_cnts), (ph_vals, ph_cnts), \
+        (band_vals, band_cnts), nrows = _merge_p1(
+            [pickle.loads(r["payload"]) for r in p1m.take_all()])
+    prof = TableProfile(columns=sketches,
+                        n_rows=sum(nrows[p] for p in ref_partitions
+                                   if p in nrows))
     states = rc.fence_states(prof, ["w", "h"])
-    checked = rc.check_rows(prepped, states)
 
-    def add_null_flag(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "caption_null",
-            pc.cast(pc.is_null(t["caption"]), pa.int8()))
-
-    checked = checked.map_batches(add_null_flag, batch_format="pyarrow")
-
-    # stat + null budgets in ONE streaming pass over the checked rows
-    summary = rc.partition_check_summary(
-        checked, "partition_id",
-        {"stat": ((rc.TUKEY_TOTAL, rc.MAD_TOTAL), stat_budget),
-         "null": (("caption_null",), null_budget)})
-
-    stat_viol = checked.map_batches(
-        lambda t: t.filter(pc.or_(pc.greater(t[rc.TUKEY_TOTAL], 0),
-                                  pc.greater(t[rc.MAD_TOTAL], 0))),
-        batch_format="pyarrow").drop_columns(["caption"])
-
-    # ---- uniqueness on image_id (R3) ----
-    ids_ds = rd.read_parquet(images_dir, columns=["image_id",
-                                                  "partition_id"])
-    dup_df = uniqueness.duplicate_keys(
-        ids_ds.select_columns(["image_id"]), ["image_id"]).to_pandas()
-    dup_parts = None
-    if len(dup_df):
-        # locate which partitions the duplicate ids live in (broadcast
-        # the small dup-id set, filter in map_batches — no shuffle)
-        import ray as _ray
-        dup_ref = _ray.put(set(dup_df["image_id"]))
-
-        def locate(t: pa.Table) -> pa.Table:
-            ids = set(_ray.get(dup_ref))
-            mask = pa.array([i in ids for i in t["image_id"].to_pylist()])
-            return t.select(["image_id", "partition_id"]).filter(mask)
-
-        dup_parts = (ids_ds.map_batches(locate, batch_format="pyarrow")
-                     .to_pandas())
-
-    # ---- referential integrity vs captions (R4) ----
-    orphan_df = None
-    if captions_path is not None:
-        caps = rd.read_parquet(captions_path, columns=["image_id"])
-        orphan_df = referential.orphans(
-            ids_ds.select_columns(["image_id"]), caps, "image_id",
-            direction="both").to_pandas()
-
-    # ---- drift per partition vs the reference profile (R6) ----
-    # all histograms + fmt counts in ONE pass over the pruned projection
+    # drift vs reference histograms
+    ref_set = set(ref_partitions)
     psi_rows = []
-    edges_wh = np.array([0, 48, 80, 112, 160, 8192], dtype=float)
-    edges_cap = np.arange(0.0, 220.0, 20.0)
-    per_part, cat_part = drift.partition_histograms(
-        prepped, {"w": edges_wh, "h": edges_wh, "caption_len": edges_cap},
-        ["fmt"], "partition_id")
-    ref_hists = {col: np.sum([hists[p] for p in ref_set if p in hists],
-                             axis=0)
-                 for col, hists in per_part.items()}
-    fmt_counts = cat_part["fmt"]
-    fmt_cats = sorted({c for d in fmt_counts.values() for c in d})
-    fmt_ref = np.array([sum(fmt_counts[p].get(c, 0)
-                            for p in ref_set if p in fmt_counts)
+    ref_hists = {col: np.sum([hists[col][p] for p in ref_set
+                              if p in hists[col]], axis=0)
+                 for col in ("w", "h", "caption_len")}
+    fmt_cats = sorted({c for d in hists["fmt"].values() for c in d})
+    fmt_ref = np.array([sum(hists["fmt"][p].get(c, 0)
+                            for p in ref_set if p in hists["fmt"])
                         for c in fmt_cats], dtype=float)
-    for pid in sorted(per_part["w"].keys()):
+    for pid in sorted(nrows):
         row = {"partition_id": pid}
         for col in ("w", "h", "caption_len"):
-            row[f"psi_{col}"] = drift.psi_from_counts(
-                ref_hists[col], per_part[col][pid])
-        row["psi_fmt"] = drift.psi_from_counts(
-            fmt_ref, [fmt_counts.get(pid, {}).get(c, 0) for c in fmt_cats])
+            row[f"psi_{col}"] = psi_from_counts(ref_hists[col],
+                                                hists[col][pid])
+        row["psi_fmt"] = psi_from_counts(
+            fmt_ref,
+            [hists["fmt"].get(pid, {}).get(c, 0) for c in fmt_cats])
         row["drift_fail"] = int(
             pid not in ref_set and max(
                 row["psi_w"], row["psi_h"], row["psi_caption_len"],
@@ -193,8 +359,136 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
         psi_rows.append(row)
     drift_df = pd.DataFrame(psi_rows)
 
-    # ---- decode verification (R7, actor pool) ----
+    # candidate sets
+    dup_id_hashes = np.sort(id_vals[id_cnts >= 2].astype(np.uint64))
+    dup_phashes = (np.sort(ph_vals[ph_cnts >= 2].astype(np.int64))
+                   if neardup else np.empty(0, np.int64))
+    hot_bands = (np.sort(band_vals[band_cnts >= 2].astype(np.int64))
+                 if neardup else np.empty(0, np.int64))
+    ph_count_map = dict(zip(ph_vals[ph_cnts >= 2].tolist(),
+                            ph_cnts[ph_cnts >= 2].tolist()))
+
+    orphan_img_hashes = np.empty(0, np.uint64)
+    orphan_cap_hashes = np.empty(0, np.uint64)
+    cap_vals = cap_cnts = None
+    if captions_path is not None:
+        cap_vals, cap_cnts = _caption_census(captions_path)
+        img_set = id_vals.astype(np.uint64)
+        cap_set = cap_vals.astype(np.uint64)
+        orphan_img_hashes = np.setdiff1d(img_set, cap_set,
+                                         assume_unique=True)
+        orphan_cap_hashes = np.setdiff1d(cap_set, img_set,
+                                         assume_unique=True)
+
+    # ---- PASS 2 ----
+    blob_ref = ray.put((states, dup_id_hashes, dup_phashes, hot_bands,
+                        orphan_img_hashes, mad_threshold,
+                        viol_cap_per_block))
+    p2 = meta.map_batches(_P2Partial, batch_format="pyarrow",
+                          zero_copy_batch=True,
+                          concurrency=_pool(),
+                          fn_constructor_kwargs={"blob_ref": blob_ref})
+    counts: dict[int, list[int]] = {}
+    viol_tables = []
+    dup_ids_all: list = []
+    dup_pids_all: list = []
+    orphan_ids_all: list = []
+    ph_member_ids: list = []
+    ph_member_vals: list = []
+    band_keys_all: list = []
+    band_ids_all: list = []
+    band_ph_all: list = []
+    for r in p2.take_all():
+        (cnts, viol_tbl, dup_rows, orphan_rows, ph_members,
+         band_rows) = pickle.loads(r["payload"])
+        for u, (n, sv, nv) in cnts.items():
+            agg = counts.setdefault(u, [0, 0, 0])
+            agg[0] += n
+            agg[1] += sv
+            agg[2] += nv
+        if viol_tbl.num_rows:
+            viol_tables.append(viol_tbl)
+        if dup_rows is not None and len(dup_rows[0]):
+            dup_ids_all.append(dup_rows[0])
+            dup_pids_all.append(dup_rows[1])
+        if orphan_rows is not None and len(orphan_rows):
+            orphan_ids_all.append(orphan_rows)
+        if ph_members is not None and len(ph_members[0]):
+            ph_member_ids.append(ph_members[0])
+            ph_member_vals.append(ph_members[1])
+        if band_rows is not None and len(band_rows[0]):
+            band_keys_all.append(band_rows[0])
+            band_ids_all.append(band_rows[1])
+            band_ph_all.append(band_rows[2])
+
+    stat_viol = (pa.concat_tables(viol_tables) if viol_tables
+                 else None)
+
+    # uniqueness listing (exact counts per actual id)
+    dup_df = pd.DataFrame({"image_id": [], "n": []})
+    uniq_fail: set = set()
+    if dup_ids_all:
+        ids_cat = np.concatenate(dup_ids_all)
+        pids_cat = np.concatenate(dup_pids_all)
+        vc = pd.Series(ids_cat).value_counts()
+        vc = vc[vc >= 2]
+        dup_df = pd.DataFrame({"image_id": vc.index, "n": vc.to_numpy()})
+        real = set(vc.index)
+        uniq_fail = {int(p) for i, p in zip(ids_cat, pids_cat)
+                     if i in real}
+
+    # referential listing
+    orphan_df = None
+    if captions_path is not None:
+        img_orph_ids = (np.concatenate(orphan_ids_all)
+                        if orphan_ids_all else np.empty(0, object))
+        iv, ic = np.unique(img_orph_ids, return_counts=True)
+        rows = [{"image_id": i, "left_n": int(c), "right_n": 0}
+                for i, c in zip(iv.tolist(), ic.tolist())]
+        if orphan_cap_hashes.size:
+            caps = rd.read_parquet(captions_path, columns=["image_id"])
+            oc_ref = ray.put(orphan_cap_hashes)
+
+            def cap_orphans(t: pa.Table) -> pa.Table:
+                h = hash64(t["image_id"].to_numpy(zero_copy_only=False))
+                return t.filter(pa.array(np.isin(h, ray.get(oc_ref))))
+
+            cap_rows = caps.map_batches(cap_orphans,
+                                        batch_format="pyarrow").take_all()
+            cv, cc = np.unique([r["image_id"] for r in cap_rows],
+                               return_counts=True)
+            rows += [{"image_id": i, "left_n": 0, "right_n": int(c)}
+                     for i, c in zip(cv.tolist(), cc.tolist())]
+        orphan_df = pd.DataFrame(rows, columns=["image_id", "left_n",
+                                                "right_n"])
+
+    # near-dup outputs
+    nd_groups = nd_pairs = None
+    if neardup:
+        if ph_member_ids:
+            mi = np.concatenate(ph_member_ids)
+            mv = np.concatenate(ph_member_vals)
+            by_hash: dict[int, list] = {}
+            for i, v in zip(mi.tolist(), mv.tolist()):
+                by_hash.setdefault(int(v), []).append(i)
+            hs = sorted(by_hash)
+            nd_groups = pd.DataFrame({
+                "phash": hs,
+                "n": [int(ph_count_map[h]) for h in hs],
+                "ids": [sorted(by_hash[h])[:64] for h in hs]})
+        else:
+            nd_groups = pd.DataFrame({"phash": [], "n": [], "ids": []})
+        if band_keys_all:
+            nd_pairs = _segment_pairs(
+                np.concatenate(band_keys_all),
+                np.concatenate(band_ids_all),
+                np.concatenate(band_ph_all), 4, 512)
+        else:
+            nd_pairs = pd.DataFrame({"id_a": [], "id_b": [], "dist": []})
+
+    # ---- PASS 3: decode (payload read, actor pool) ----
     decode_df = None
+    decode_fail: set = set()
     if decode:
         from ..stages.decode import decode_verify
         payload_ds = rd.read_parquet(
@@ -205,25 +499,23 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
             lambda t: t.filter(pc.equal(t["decode_ok"], 0))
             .select(["image_id", "partition_id", "fmt", "decode_reason"]),
             batch_format="pyarrow").to_pandas()
-
-    # ---- near-duplicates on phash (R5) ----
-    nd_groups = nd_pairs = None
-    if neardup:
-        ph_ds = rd.read_parquet(images_dir, columns=["image_id", "phash"])
-        nd_groups = near_dup.duplicate_phash_groups(ph_ds).to_pandas()
-        nd_pairs = near_dup.hamming_neardup_pairs(ph_ds)
+        if len(decode_df):
+            decode_fail = set(decode_df["partition_id"].astype(int))
 
     # ---- verdict composition (OR-merge) ----
-    verdicts = summary.merge(drift_df[["partition_id", "drift_fail"]],
-                             on="partition_id")
-    uniq_fail = set()
-    if dup_parts is not None and len(dup_parts):
-        uniq_fail = set(dup_parts["partition_id"].astype(int))
+    vr = []
+    for pid in sorted(counts):
+        n, sv, nv = counts[pid]
+        vr.append({
+            "partition_id": pid, "n_rows": n,
+            "stat_viol": sv, "null_viol": nv,
+            "stat_fail": int(n > 0 and sv / n > stat_budget),
+            "null_fail": int(n > 0 and nv / n > null_budget),
+        })
+    verdicts = pd.DataFrame(vr).merge(
+        drift_df[["partition_id", "drift_fail"]], on="partition_id")
     verdicts["uniq_fail"] = verdicts["partition_id"].astype(int).map(
         lambda p: int(p in uniq_fail))
-    decode_fail = set()
-    if decode_df is not None and len(decode_df):
-        decode_fail = set(decode_df["partition_id"].astype(int))
     verdicts["decode_fail"] = verdicts["partition_id"].astype(int).map(
         lambda p: int(p in decode_fail))
     fail_cols = [c for c in verdicts.columns if c.endswith("_fail")]
@@ -235,3 +527,8 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
         dup_ids=dup_df, orphans=orphan_df, drift_psi=drift_df,
         decode_violations=decode_df, neardup_groups=nd_groups,
         neardup_pairs=nd_pairs, schema_errors=schema_errors)
+
+
+def _pool() -> int:
+    from ..context import default_pool_size
+    return default_pool_size()
