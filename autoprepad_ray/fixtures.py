@@ -190,27 +190,37 @@ def generate_fimg(out_dir: str, *, partitions: int = 8, rows: int = 5000,
     tasks (bench-scale path)."""
     os.makedirs(out_dir, exist_ok=True)
     exp = FimgExpectations()
-    results = []
-    if use_ray:
-        import ray
 
-        @ray.remote
-        def gen(pid):
-            return generate_partition(pid, rows, seed, inject=inject,
-                                      partitions=partitions)
-
-        results = ray.get([gen.remote(p) for p in range(partitions)])
-    else:
-        results = [generate_partition(p, rows, seed, inject=inject,
-                                      partitions=partitions)
-                   for p in range(partitions)]
-
-    all_caps: list[tuple[str, str]] = []
-    hot_hashes = []
-    for pid, (table, caps, info) in enumerate(results):
+    def _gen_write(pid: int):
+        """Generate AND write one partition locally in the task — only
+        the small caption/info side returns to the driver (the 8-GB
+        scale table never moves through the object store)."""
+        table, caps, info = generate_partition(pid, rows, seed,
+                                               inject=inject,
+                                               partitions=partitions)
         pdir = os.path.join(out_dir, "images", f"partition={pid}")
         os.makedirs(pdir, exist_ok=True)
         pq.write_table(table, os.path.join(pdir, "part.parquet"))
+        hot_hash = None
+        if info["hot"]:
+            hot_set = set(info["hot"])
+            for iid, ph in zip(table["image_id"].to_pylist(),
+                               table["phash"].to_pylist()):
+                if iid in hot_set:
+                    hot_hash = ph
+                    break
+        return caps, info, hot_hash
+
+    if use_ray:
+        import ray
+        gen = ray.remote(_gen_write)
+        results = ray.get([gen.remote(p) for p in range(partitions)])
+    else:
+        results = [_gen_write(p) for p in range(partitions)]
+
+    all_caps: list[tuple[str, str]] = []
+    hot_hashes = []
+    for pid, (caps, info, hot_hash) in enumerate(results):
         all_caps.extend(caps)
         exp.outlier_w_ids.extend(info["outlier_ids"])
         exp.dup_ids.extend(info["dup_ids"])
@@ -220,10 +230,8 @@ def generate_fimg(out_dir: str, *, partitions: int = 8, rows: int = 5000,
         exp.bad_decode_ids.extend(info["bad_decode_ids"])
         if info["hot"]:
             exp.hot_count += len(info["hot"])
-            hot_hashes.append(
-                table.filter(pa.array(
-                    [i in set(info["hot"]) for i in
-                     table["image_id"].to_pylist()]))["phash"][0].as_py())
+            if hot_hash is not None:
+                hot_hashes.append(hot_hash)
     if hot_hashes:
         exp.hot_phash = hot_hashes[0]
 

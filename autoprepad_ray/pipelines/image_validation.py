@@ -135,6 +135,11 @@ def _make_p1_partial(ref_set: list[int]):
             for col in PROFILE_COLS:
                 cs = ColumnSketch(
                     name=col, kind=_col_kind(ref_tbl.schema.field(col).type))
+                if cs.kind == "string":
+                    # near-unique free-text columns: exact value counts
+                    # would ship every distinct string through the merge
+                    # tree — cap low so they hand off to HLL early
+                    cs.values.max_items = 65_536
                 cs.update_array(ref_tbl[col])
                 sketches[col] = cs
         raw = _hist_partial(batch, pid, uniq, inv)
@@ -207,7 +212,13 @@ def _merge_p1_batch(batch: pa.Table) -> pa.Table:
 
 
 class _P2Partial:
-    """Broadcast-state pass: flags, partition counts, candidate rows."""
+    """Broadcast-state pass: flags, partition counts, candidate rows.
+
+    Deliberately a plain-function stage (closure over an ObjectRef, not
+    an actor pool): the broadcast state is a few KB and ``ray.get`` of a
+    local object is ~free, while an actor pool would pay multi-second
+    spinup per run — the kind of flat cost that caps scaling efficiency.
+    """
 
     def __init__(self, blob_ref):
         (states, self.dup_id_hashes, self.dup_phashes,
@@ -280,6 +291,7 @@ class ImageValidationReport:
     decode_violations: pd.DataFrame | None = None
     neardup_groups: pd.DataFrame | None = None
     neardup_pairs: pd.DataFrame | None = None
+    hamming_saturated: bool = False
     schema_errors: list = field(default_factory=list)
 
     def failed_partitions(self) -> dict[str, list[int]]:
@@ -365,6 +377,18 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
                    if neardup else np.empty(0, np.int64))
     hot_bands = (np.sort(band_vals[band_cnts >= 2].astype(np.int64))
                  if neardup else np.empty(0, np.int64))
+    # saturation breaker: 16-bit bands only separate near-dups from
+    # random collisions while n << 2^16 per band.  When the census shows
+    # collision rows past the bound, the banded stage would enumerate
+    # noise pairs, not near-dups — skip it and say so (the exact-phash
+    # stage, which is the dominant real-world signal, still runs).
+    # The scale fix is wider band keys (bits > log2 n), not a bigger cap.
+    hamming_saturated = False
+    if neardup and hot_bands.size:
+        collision_rows = int(band_cnts[band_cnts >= 2].sum())
+        if collision_rows > max(100_000, int(0.02 * band_cnts.sum())):
+            hamming_saturated = True
+            hot_bands = np.empty(0, np.int64)
     ph_count_map = dict(zip(ph_vals[ph_cnts >= 2].tolist(),
                             ph_cnts[ph_cnts >= 2].tolist()))
 
@@ -384,10 +408,13 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
     blob_ref = ray.put((states, dup_id_hashes, dup_phashes, hot_bands,
                         orphan_img_hashes, mad_threshold,
                         viol_cap_per_block))
-    p2 = meta.map_batches(_P2Partial, batch_format="pyarrow",
-                          zero_copy_batch=True,
-                          concurrency=_pool(),
-                          fn_constructor_kwargs={"blob_ref": blob_ref})
+    def p2_fn(batch: pa.Table, _cache={}) -> pa.Table:
+        if "p" not in _cache:
+            _cache["p"] = _P2Partial(blob_ref)
+        return _cache["p"](batch)
+
+    p2 = meta.map_batches(p2_fn, batch_format="pyarrow",
+                          zero_copy_batch=True)
     counts: dict[int, list[int]] = {}
     viol_tables = []
     dup_ids_all: list = []
@@ -526,9 +553,7 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
         verdicts=verdicts, profile=prof, stat_violations=stat_viol,
         dup_ids=dup_df, orphans=orphan_df, drift_psi=drift_df,
         decode_violations=decode_df, neardup_groups=nd_groups,
-        neardup_pairs=nd_pairs, schema_errors=schema_errors)
+        neardup_pairs=nd_pairs, hamming_saturated=hamming_saturated,
+        schema_errors=schema_errors)
 
 
-def _pool() -> int:
-    from ..context import default_pool_size
-    return default_pool_size()

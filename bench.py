@@ -38,7 +38,7 @@ BENCH_QUERIES = [
 ]
 
 IMG_PARTITIONS = 32
-IMG_ROWS = 5000  # 160k images (F-SCALE shape) -> ~2 GB of payloads
+IMG_ROWS = 60000  # 1.92M images (F-SCALE shape) -> ~26 GB of payloads
 
 
 def _consume(res) -> int:
