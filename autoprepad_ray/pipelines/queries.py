@@ -828,3 +828,129 @@ def phash_neardup_pairs(sf_dir: str):
     ds = rd.read_parquet(f"{d}/images").select_columns(
         ["image_id", "phash"])
     return hamming_neardup_pairs(ds, max_dist=4)
+
+
+# ---------------------------------------------------------------------------
+# batch 2: mode / z-flags / missing bit patterns / KS / histogram
+
+
+@query("mode_orderpriority", sql="""
+SELECT o_orderpriority AS mode_value, COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority
+ORDER BY n DESC, o_orderpriority LIMIT 1""")
+def mode_orderpriority(sf_dir: str):
+    """Most-frequent-value imputation statistic (SimpleImputer
+    most_frequent, configuration.py:289); ties break to the smallest
+    value on both sides."""
+    ds = _t(sf_dir, "orders", ["o_orderpriority"])
+    prof = profile_dataset(ds, columns=["o_orderpriority"])
+    val, n = prof["o_orderpriority"].mode()
+    return pa.table({"mode_value": pa.array([val]),
+                     "n": _i64([n])})
+
+
+@query("z_flags_events", sql="""
+WITH s AS (SELECT AVG(value) AS mu, stddev_samp(value) AS sd FROM events)
+SELECT event_id,
+       CAST(CASE WHEN s.sd > 0 AND abs((value - s.mu) / s.sd) > 3.0
+            THEN 1 ELSE 0 END AS BIGINT) AS z_flag
+FROM events, s""")
+def z_flags_events(sf_dir: str):
+    """Classic z-score flags (ZTransformerMean.py:36-58 — the
+    reference's disabled-by-default branch): mean/std(ddof=1) via the
+    mergeable Welford moments, stateless flag pass."""
+    ds = _t(sf_dir, "events", ["event_id", "value"])
+    prof = profile_dataset(ds, columns=["value"])
+    mu, sd = prof["value"].moments.mean, prof["value"].moments.std
+
+    def flag(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        z = np.zeros(len(v), dtype=np.int64)
+        if sd > 0:
+            z = ((np.abs((v - mu) / sd) > 3.0) & ~np.isnan(v)) \
+                .astype(np.int64)
+        return pa.table({"event_id": t["event_id"],
+                         "z_flag": pa.array(z)})
+
+    return ds.map_batches(flag, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+@query("missing_bitpattern_lineitem", sql="""
+SELECT l_orderkey, l_linenumber,
+       CAST((CASE WHEN NULLIF(l_discount, 0) IS NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN NULLIF(l_tax, 0) IS NULL THEN 2 ELSE 0 END)
+          + (CASE WHEN NULLIF(l_returnflag, 'N') IS NULL THEN 4 ELSE 0 END)
+          AS BIGINT) AS nan_bits
+FROM lineitem""")
+def missing_bitpattern_lineitem(sf_dir: str):
+    """Row-missingness bit pattern (NaNColumnCreatorTotal.py:33-54:
+    per-row NaN mask folded to an integer).  Sentinel values are mapped
+    to null first (NULLIF) so the pattern is non-trivial on this data."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_linenumber", "l_discount", "l_tax",
+             "l_returnflag"])
+
+    def bits(t: pa.Table) -> pa.Table:
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        tax = t["l_tax"].to_numpy(zero_copy_only=False)
+        rf = np.asarray(t["l_returnflag"].to_numpy(zero_copy_only=False),
+                        dtype=object)
+        b = ((disc == 0).astype(np.int64)
+             + 2 * (tax == 0).astype(np.int64)
+             + 4 * (rf == "N").astype(np.int64))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_linenumber": t["l_linenumber"],
+                         "nan_bits": pa.array(b)})
+
+    return ds.map_batches(bits, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+@query("ks_events_value", sql="""
+WITH x AS (SELECT value AS v, 1 AS sa, 0 AS sb FROM events
+           WHERE ts < TIMESTAMP '2024-01-16'
+           UNION ALL
+           SELECT value, 0, 1 FROM events
+           WHERE ts >= TIMESTAMP '2024-01-16'),
+t AS (SELECT SUM(sa) AS na, SUM(sb) AS nb FROM x),
+r AS (SELECT v,
+        SUM(sa) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS ca,
+        SUM(sb) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cb
+      FROM x)
+SELECT ROUND(MAX(ABS(ca / CAST(t.na AS DOUBLE)
+                     - cb / CAST(t.nb AS DOUBLE))), 6) AS ks
+FROM r, t""")
+def ks_events_value(sf_dir: str):
+    """Exact two-sample Kolmogorov-Smirnov drift statistic between the
+    month halves, from per-side exact value counts (histogram-KS is the
+    documented overflow path)."""
+    ds = _t(sf_dir, "events", ["ts", "value"])
+    ref = ds.map_batches(
+        lambda t: t.filter(pc.less(t["ts"], pa.scalar(HALF_TS))),
+        batch_format="pyarrow")
+    cur = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["ts"], pa.scalar(HALF_TS))),
+        batch_format="pyarrow")
+    val = drift.ks_numeric(ref, cur, "value")
+    return pa.table({"ks": pa.array([round(val, 6)], type=pa.float64())})
+
+
+@query("histogram_events_value", sql="""
+WITH bins AS (SELECT range AS bin FROM range(0, 10)),
+c AS (SELECT LEAST(GREATEST(CAST(FLOOR(value / 50) AS INT), 0), 9) AS bin,
+             COUNT(*) AS n
+      FROM events GROUP BY 1)
+SELECT CAST(bins.bin AS BIGINT) AS bin,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM bins LEFT JOIN c ON bins.bin = c.bin""")
+def histogram_events_value(sf_dir: str):
+    """Fixed-bin histogram of a numeric column (the drift-profile
+    building block), streaming partial bincounts."""
+    ds = _t(sf_dir, "events", ["value"])
+    counts = drift.histogram_counts(ds, "value",
+                                    np.arange(0.0, 550.0, 50.0))
+    return pa.table({"bin": _i64(np.arange(10)),
+                     "n": _i64(counts)})
