@@ -40,6 +40,31 @@ def shape_pattern(series: pd.Series) -> pd.Series:
     return s
 
 
+def reference_bit_pattern(series: pd.Series) -> pd.Series:
+    """EXACT reference encoding (CategoricalPatterns.py:57-75): per char
+    upper->'00', lower->'01', digit->'10', other->'11'; '0' prepended;
+    rendered as ``str(BitArray(bin=bits))``.  The bit length is always
+    odd (2n+1), and bitstring renders non-nibble-aligned values in
+    binary form — i.e. ``'0b' + bits`` — so the encoding is reproduced
+    here without the bitstring dependency.  Nulls stay null."""
+    def enc(v):
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return None
+        bits = []
+        for ch in str(v):
+            if ch.isupper():
+                bits.append("00")
+            elif ch.islower():
+                bits.append("01")
+            elif ch.isdigit():
+                bits.append("10")
+            else:
+                bits.append("11")
+        return "0b0" + "".join(bits)
+
+    return series.map(enc)
+
+
 def word_counts(series: pd.Series) -> pd.Series:
     """Whitespace token count (trimmed); empty -> 0."""
     t = series.fillna("").str.strip()

@@ -954,3 +954,87 @@ def histogram_events_value(sf_dir: str):
                                     np.arange(0.0, 550.0, 50.0))
     return pa.table({"bin": _i64(np.arange(10)),
                      "n": _i64(counts)})
+
+
+# ---------------------------------------------------------------------------
+# batch 3: encoders / ffill / reference bit patterns
+
+
+@query("ordinal_encode_priority", sql="""
+WITH m AS (SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v) - 1 AS BIGINT)
+                  AS code
+           FROM (SELECT DISTINCT o_orderpriority AS v FROM orders)),
+k AS (SELECT COUNT(*) AS k FROM m)
+SELECT o.o_orderkey, m.code AS priority_code,
+       CAST(m.code % 2 AS BIGINT) AS bit0,
+       CAST((m.code // 2) % 2 AS BIGINT) AS bit1,
+       CAST((m.code // 4) % 2 AS BIGINT) AS bit2
+FROM orders o JOIN m ON o.o_orderpriority = m.v""")
+def ordinal_encode_priority(sf_dir: str):
+    """Ordinal + binary encoding of a categorical column (BinaryEncoder
+    configuration.py:293 / OrdinalEncoder configuration.py:538-541):
+    the category map is learned from the profile (fit phase), broadcast,
+    and applied as a vectorized lookup; codes expand to ceil(log2 k)
+    bit columns."""
+    from ..functions.encoders import binary_bits, ordinal_encode_array, ordinal_map
+
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    prof = profile_dataset(ds, columns=["o_orderpriority"])
+    vals, _ = prof["o_orderpriority"].values.sorted_arrays()
+    mapping = ordinal_map(vals)
+    k = len(mapping)
+
+    def enc(t: pa.Table) -> pa.Table:
+        codes = ordinal_encode_array(t["o_orderpriority"], mapping)
+        bits = binary_bits(codes, k)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "priority_code": pa.array(codes),
+                         "bit0": pa.array(bits["bit0"]),
+                         "bit1": pa.array(bits["bit1"]),
+                         "bit2": pa.array(bits["bit2"])})
+
+    return ds.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@query("ffill_events_by_user", sql="""
+SELECT event_id,
+       LAST_VALUE(CASE WHEN event_type <> 'error' THEN value END
+                  IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS value_ffill
+FROM events""")
+def ffill_events_by_user(sf_dir: str):
+    """Order-sensitive forward fill (TimeSeriesImputer.py:36-43) made
+    well-defined at scale: 'error' rows are treated as missing and
+    filled from the previous value WITHIN the user_id key, ordered by
+    (ts, event_id) — the per-key groupby makes the fill deterministic
+    under any block layout (SURVEY §7.6 ffill order-dependence)."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type",
+                               "value"])
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        v = g["value"].where(g["event_type"] != "error")
+        return pd.DataFrame({"event_id": g["event_id"],
+                             "value_ffill": v.ffill()})
+
+    return ds.groupby("user_id").map_groups(fill, batch_format="pandas")
+
+
+@query("bit_patterns_partnames")
+def bit_patterns_partnames(sf_dir: str):
+    """EXACT reference CategoricalPatterns encoding
+    (CategoricalPatterns.py:57-83): 2-bit char classes, '0'-prefixed,
+    BitArray-rendered, plus the _len column.  Rows-only (the 2-bit
+    expansion is awkward in SQL; pytest pins it against hand-computed
+    reference vectors)."""
+    ds = _t(sf_dir, "part", ["p_partkey", "p_brand"])
+
+    def enc(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "p_partkey": df["p_partkey"],
+            "p_brand_pattern": sfn.reference_bit_pattern(df["p_brand"]),
+            "p_brand_len": df["p_brand"].str.len().astype("int64")})
+
+    return ds.map_batches(enc, batch_format="pandas")

@@ -136,3 +136,35 @@ def test_partition_verdicts():
     assert v["fail"].tolist() == [0, 0, 1, 0]
     assert v["n_rows"].tolist() == [250] * 4
     assert v.loc[2, "n_viol"] == 50
+
+
+def test_reference_bit_pattern_exact():
+    """Pin the EXACT reference encoding on its own example vectors
+    (CategoricalPatterns.py:99-104: 'Hund'/'K*atze'/'Hund123')."""
+    import pandas as pd
+    from autoprepad_ray.functions.strings import reference_bit_pattern
+
+    s = pd.Series(["Hund", "Hund123", "K*atze", None])
+    out = reference_bit_pattern(s).tolist()
+    # H=00 u=01 n=01 d=01                     -> 0b0 00 01 01 01
+    assert out[0] == "0b000010101"
+    # + 1=10 2=10 3=10
+    assert out[1] == "0b000010101101010"
+    # K=00 *=11 a=01 t=01 z=01 e=01
+    assert out[2] == "0b0001101010101"
+    assert out[3] is None
+
+
+def test_ordinal_binary_encoders():
+    import numpy as np
+    from autoprepad_ray.functions.encoders import (binary_bits,
+                                                   ordinal_encode_array,
+                                                   ordinal_map)
+
+    m = ordinal_map(np.array(["b", "a", "c"], dtype=object))
+    assert m == {"a": 0, "b": 1, "c": 2}
+    codes = ordinal_encode_array(np.array(["a", "c", "zz"], dtype=object), m)
+    assert codes.tolist() == [0, 2, -1]  # unseen -> -1 (domain violation)
+    bits = binary_bits(codes, 3)
+    assert bits["bit0"].tolist() == [0, 0, 1]
+    assert bits["bit1"].tolist() == [0, 1, 1]
