@@ -269,3 +269,77 @@ def ensure_fimg(base: str = "/tmp/autoprepad_fimg", *, partitions: int = 8,
     with open(done, "w") as f:
         f.write("ok")
     return d, exp
+
+
+# ---------------------------------------------------------------------------
+# F-MIXED: schema-inference / EVSE-style table (FIXTURES.md §F-MIXED)
+# Mirrors the reference's own seeded-anomaly example
+# (XCopySchemaTransformer.py:134-162, defaults.py:113-170 dummy_data).
+
+
+PLATFORMS = ["android", "ios", "web"]
+AVAILABILITY = ["available", "occupied", "offline"]
+
+
+def generate_fmixed(n: int = 1000, seed: int = 42) -> tuple[pa.Table, dict]:
+    """Deterministic mixed-type table with labeled anomalies (y_true).
+
+    Anomaly recipes (each row flagged y_true=1):
+    - availability misspelled ('avaiable', 'ocupied');
+    - timestamp in the wrong year (1999 vs 2023);
+    - invalid uuid (wrong shape);
+    - locationId -9999 sentinel;
+    - rare platform class ('blackberry').
+    """
+    rng = np.random.default_rng(seed)
+    rows = []
+    expected = {"misspelled": [], "wrong_year": [], "bad_uuid": [],
+                "sentinel_loc": [], "rare_platform": []}
+    hexd = "0123456789abcdef"
+    for i in range(n):
+        r = _rng(seed, 0, i, tag=9)
+        evseid = f"DE*A{r.integers(10)}{r.integers(10)}*E{r.integers(10000, 99999)}"
+        loc = float(r.integers(1000, 9999))
+        uuid = "".join(hexd[r.integers(16)] for _ in range(8)) + "-" + \
+            "".join(hexd[r.integers(16)] for _ in range(4)) + "-" + \
+            "".join(hexd[r.integers(16)] for _ in range(12))
+        platform = PLATFORMS[r.integers(3)]
+        availability = AVAILABILITY[r.integers(3)]
+        ts = (f"2023-{r.integers(1, 13):02d}-{r.integers(1, 28):02d} "
+              f"{r.integers(24):02d}:{r.integers(60):02d}:00")
+        y = 0
+        if i % 97 == 0:
+            availability = "avaiable" if i % 2 else "ocupied"
+            y = 1
+            expected["misspelled"].append(i)
+        elif i % 89 == 0:
+            ts = "1999-01-01 00:00:00"
+            y = 1
+            expected["wrong_year"].append(i)
+        elif i % 83 == 0:
+            uuid = "not-a-uuid-" + str(i)
+            y = 1
+            expected["bad_uuid"].append(i)
+        elif i % 79 == 0:
+            loc = -9999.0
+            y = 1
+            expected["sentinel_loc"].append(i)
+        elif i % 73 == 0:
+            platform = "blackberry"
+            y = 1
+            expected["rare_platform"].append(i)
+        if i % 101 == 0 and y == 0:
+            availability = "NaN"  # reference NaN token, not an anomaly
+        rows.append((i, evseid, loc, uuid, platform, availability, ts, y))
+    cols = list(zip(*rows))
+    table = pa.table({
+        "row_id": pa.array(cols[0], type=pa.int64()),
+        "evseid": pa.array(cols[1], type=pa.string()),
+        "locationId": pa.array(cols[2], type=pa.float64()),
+        "uuid": pa.array(cols[3], type=pa.string()),
+        "platform": pa.array(cols[4], type=pa.string()),
+        "availability": pa.array(cols[5], type=pa.string()),
+        "timestamp": pa.array(cols[6], type=pa.string()),
+        "y_true": pa.array(cols[7], type=pa.int64()),
+    })
+    return table, expected

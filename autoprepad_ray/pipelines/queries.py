@@ -1038,3 +1038,21 @@ def bit_patterns_partnames(sf_dir: str):
             "p_brand_len": df["p_brand"].str.len().astype("int64")})
 
     return ds.map_batches(enc, batch_format="pandas")
+
+
+@query("mixed_experiment_metrics")
+def mixed_experiment_metrics(sf_dir: str):
+    """Experiment harness (reference experiment.py:180-421 analogue):
+    validate the deterministic F-MIXED table (seeded anomalies with
+    y_true labels), OR-merge evidence into predictions, report
+    precision/recall/F1 plus selected threshold-sweep points.
+    Rows-only (model-free evaluation pipeline)."""
+    from ..fixtures import generate_fmixed
+    from ..pipelines.experiment import run_experiment
+
+    table, _ = generate_fmixed(2000, seed=42)
+    out = run_experiment(rd.from_arrow(table).repartition(4))
+    rows = [dict(out["or_merge"], pct=0)]
+    rows += [s for s in out["sweep"] if s["pct"] in (1, 5, 10, 25, 50, 100)]
+    df = pd.DataFrame(rows)
+    return df[["pct", "tp", "fp", "fn", "precision", "recall", "f1"]]
