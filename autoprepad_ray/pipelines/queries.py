@@ -1056,3 +1056,49 @@ def mixed_experiment_metrics(sf_dir: str):
     rows += [s for s in out["sweep"] if s["pct"] in (1, 5, 10, 25, 50, 100)]
     df = pd.DataFrame(rows)
     return df[["pct", "tp", "fp", "fn", "precision", "recall", "f1"]]
+
+
+@query("preprocess_events_matrix", sql="""
+WITH s AS (SELECT quantile_cont(value, 0.5) AS med,
+                  quantile_cont(value, 0.75) - quantile_cont(value, 0.25)
+                      AS iqr,
+                  quantile_cont(value, 0.25) AS q1,
+                  quantile_cont(value, 0.75) AS q3,
+                  median(value) AS md FROM events),
+d AS (SELECT median(abs(value - s.md)) AS mad FROM events, s),
+m AS (SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v) - 1 AS BIGINT) AS code
+      FROM (SELECT DISTINCT event_type AS v FROM events))
+SELECT e.event_id,
+       CAST(0 AS BIGINT) AS value_missing,
+       ROUND((e.value - s.med) / s.iqr, 6) AS value_scaled,
+       CAST(CASE WHEN e.value < s.q1 - 1.5*(s.q3-s.q1)
+                   OR e.value > s.q3 + 1.5*(s.q3-s.q1)
+            THEN 1 ELSE 0 END AS BIGINT) AS value_TUKEY,
+       CAST(CASE WHEN d.mad > 0
+                   AND abs(0.6745*(e.value - s.md)/d.mad) > 3.5
+            THEN 1 ELSE 0 END AS BIGINT) AS value_Z_MOD,
+       m.code AS event_type_code,
+       CAST(m.code % 2 AS BIGINT) AS event_type_bit0,
+       CAST((m.code // 2) % 2 AS BIGINT) AS event_type_bit1,
+       CAST((m.code // 4) % 2 AS BIGINT) AS event_type_bit2,
+       CAST(EXTRACT(year FROM e.ts) AS INTEGER) AS ts_YEAR,
+       CAST(EXTRACT(month FROM e.ts) AS INTEGER) AS ts_MONTH,
+       CAST(EXTRACT(isodow FROM e.ts) - 1 AS INTEGER) AS ts_WKDAY,
+       CAST(EXTRACT(hour FROM e.ts) AS INTEGER) AS ts_HOUR,
+       CAST(EXTRACT(minute FROM e.ts) AS INTEGER) AS ts_MINUTE,
+       CAST(EXTRACT(second FROM e.ts) AS INTEGER) AS ts_SECOND
+FROM events e, s, d, m
+WHERE e.event_type = m.v""")
+def preprocess_events_matrix(sf_dir: str):
+    """The preprocess one-shot (AutoPrepAD.preprocess, control.py:206-230):
+    ONE fitted profile -> wide numeric feature matrix (imputed + robust-
+    scaled numerics with evidence flags and missing indicators, ordinal
+    + binary-encoded categoricals, expanded datetimes)."""
+    from ..pipelines.preprocess import preprocess_table
+
+    ds = _t(sf_dir, "events", ["event_id", "value", "event_type", "ts"])
+    out, _ = preprocess_table(ds, numeric_cols=("value",),
+                              categorical_cols=("event_type",),
+                              datetime_cols=("ts",),
+                              passthrough_cols=("event_id",))
+    return out

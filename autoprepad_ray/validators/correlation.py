@@ -34,6 +34,20 @@ def _rank_map(values: np.ndarray, counts: np.ndarray) -> tuple[np.ndarray, np.nd
     return values.astype(np.float64), avg
 
 
+def duplicate_columns(ds, cols: list[str], *, threshold: float = 0.98
+                      ) -> list[tuple[str, str, float]]:
+    """Duplicate-COLUMN heuristic (reference SpearmanCheck.py:23-41:
+    warn when |Spearman rho| >= 0.98 between any column pair).  O(k^2)
+    in columns, each pair one distributed exact Spearman."""
+    out = []
+    for i in range(len(cols) - 1):
+        for j in range(i + 1, len(cols)):
+            rho = spearman(ds, cols[i], cols[j])
+            if abs(rho) >= threshold:
+                out.append((cols[i], cols[j], round(rho, 6)))
+    return out
+
+
 def spearman(ds, col_x: str, col_y: str, *, max_exact: int = 2_000_000) -> float:
     prof = profile_dataset(ds, columns=[col_x, col_y], max_exact=max_exact)
     n = prof[col_x].count

@@ -168,3 +168,29 @@ def test_ordinal_binary_encoders():
     bits = binary_bits(codes, 3)
     assert bits["bit0"].tolist() == [0, 0, 1]
     assert bits["bit1"].tolist() == [0, 1, 1]
+
+
+def test_profile_markdown_report():
+    from autoprepad_ray.report import profile_to_markdown
+
+    prof = profile_arrays({"x": [1.0, 2.0, 3.0, None] if False else
+                           [1.0, 2.0, 3.0, 4.0],
+                           "s": np.array(["a", "b", "a"], dtype=object)},
+                          pooled=True)
+    md = profile_to_markdown(prof, title="t")
+    assert "| x | numeric | 4 |" in md
+    assert "| s | string | 3 |" in md
+    assert "pooled" in md
+
+
+def test_duplicate_columns_heuristic():
+    from autoprepad_ray.validators.correlation import duplicate_columns
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(0, 1, 2000)
+    tbl = pa.table({"a": pa.array(x), "b": pa.array(x * 3 + 1),
+                    "c": pa.array(rng.normal(0, 1, 2000))})
+    ds = rd.from_arrow(tbl).repartition(3)
+    dups = duplicate_columns(ds, ["a", "b", "c"])
+    assert [(p[0], p[1]) for p in dups] == [("a", "b")]
+    assert dups[0][2] == 1.0  # monotone transform -> rho exactly 1
