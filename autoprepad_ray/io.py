@@ -1,0 +1,41 @@
+"""Table IO: Lance is the nominal format (the north rule's storage), but
+``lance`` is not importable in this sandbox (no network), so readers
+fall back to Parquet with the identical logical layout
+(``partition=<pid>/...`` directories, same schema).  All call sites go
+through these helpers so the format swap is one place.
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+
+import ray.data as rd
+
+
+def lance_available() -> bool:
+    try:
+        importlib.import_module("lance")
+        return True
+    except ImportError:
+        return False
+
+
+def read_table(path: str, columns: list[str] | None = None, **kwargs):
+    """Read a dataset directory/file: Lance when the path is a ``.lance``
+    dataset and the library exists, else Parquet."""
+    if path.rstrip("/").endswith(".lance"):
+        if not lance_available():
+            raise ImportError(
+                "lance not available in this environment; materialize the "
+                "dataset as Parquet with the same partition layout")
+        return rd.read_lance(path, columns=columns, **kwargs)
+    return rd.read_parquet(path, columns=columns, **kwargs)
+
+
+def write_partitioned(ds, out_dir: str, partition_col: str = "partition_id",
+                      **kwargs) -> None:
+    """Resumable output layout: one directory per partition value (the
+    checkpoint unit used by pipelines.runner)."""
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_parquet(out_dir, partition_cols=[partition_col], **kwargs)

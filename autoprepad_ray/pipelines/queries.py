@@ -1102,3 +1102,45 @@ def preprocess_events_matrix(sf_dir: str):
                               datetime_cols=("ts",),
                               passthrough_cols=("event_id",))
     return out
+
+
+@query("top_anomalies_events", sql=f"""
+WITH {_EVENTS_FENCE_SQL},
+f AS (SELECT event_id, value,
+        CAST(CASE WHEN value < q.q1 - 1.5*(q.q3-q.q1)
+                    OR value > q.q3 + 1.5*(q.q3-q.q1) THEN 1 ELSE 0 END
+             AS BIGINT) AS tukey_total,
+        CAST(CASE WHEN d.mad > 0
+                    AND abs(0.6745 * (value - m.med) / d.mad) > 3.5
+             THEN 1 ELSE 0 END AS BIGINT) AS mad_total
+      FROM events, q, m, d)
+SELECT event_id, ROUND(value, 6) AS value,
+       tukey_total + mad_total AS score_raw
+FROM f
+ORDER BY tukey_total + mad_total DESC, mad_total DESC, tukey_total DESC,
+         value DESC, event_id
+LIMIT 20""")
+def top_anomalies_events(sf_dir: str):
+    """Worst-first presentation sort (runs.py:429-435: descending by
+    AnomalyScore with MAD_Total/Tukey_Total tiebreaks) + top-k — a
+    range-partitioned Ray sort consumed by limit()."""
+    checked = _events_checked(sf_dir)
+
+    def prep(t: pa.Table) -> pa.Table:
+        tuk = t["value" + rc.TUKEY_SUFFIX].cast(pa.int64())
+        mad = t["value" + rc.MADZ_SUFFIX].cast(pa.int64())
+        return pa.table({
+            "event_id": t["event_id"],
+            "value": pa.array(np.round(
+                t["value"].to_numpy(zero_copy_only=False), 6)),
+            "score_raw": pc.add(tuk, mad),
+            "mad_total": mad, "tukey_total": tuk})
+
+    top = (checked.map_batches(prep, batch_format="pyarrow")
+           .sort(["score_raw", "mad_total", "tukey_total", "value",
+                  "event_id"],
+                 descending=[True, True, True, True, False])
+           .limit(20))
+    return top.map_batches(
+        lambda t: t.select(["event_id", "value", "score_raw"]),
+        batch_format="pyarrow")

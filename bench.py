@@ -35,6 +35,11 @@ BENCH_QUERIES = [
     "date_encode_events",
     "minhash_neardup_docs",
     "ann_topk_embeddings",
+    "ks_events_value",
+    "ffill_events_by_user",
+    "preprocess_events_matrix",
+    "top_anomalies_events",
+    "ordinal_encode_priority",
 ]
 
 IMG_PARTITIONS = 32

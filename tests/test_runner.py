@@ -60,3 +60,34 @@ def test_run_and_resume(fimg_small, tmp_path):
     # profile artifact was cached (exactly one profile_*.json)
     profs = [f for f in os.listdir(out) if f.startswith("profile_")]
     assert len(profs) == 1
+
+
+def test_resume_invalidates_on_input_change(fimg_small, tmp_path):
+    """Changing an input partition file re-validates everything whose
+    profile fingerprint changed (profiles never mix across inputs)."""
+    import shutil
+    from autoprepad_ray.fixtures import generate_partition
+    import pyarrow.parquet as pq
+
+    d, _ = fimg_small
+    work = str(tmp_path / "data")
+    shutil.copytree(d, work)
+    out = str(tmp_path / "out")
+    m1 = run_validation(f"{work}/images", out,
+                        captions_path=f"{work}/captions.parquet",
+                        decode=False)
+    fp1 = m1["runs"][-1]["profile_fp"]
+    # regenerate reference partition 0 with a different seed -> new bytes
+    t, _, _ = generate_partition(0, 120, seed=43, partitions=8)
+    pq.write_table(t, f"{work}/images/partition=0/part.parquet")
+    m2 = run_validation(f"{work}/images", out,
+                        captions_path=f"{work}/captions.parquet",
+                        decode=False)
+    fp2 = m2["runs"][-1]["profile_fp"]
+    assert fp1 != fp2
+    # every partition re-ran under the new profile fingerprint
+    assert sorted(m2["runs"][-1]["pending"]) == list(range(8))
+    assert all(p["profile_fp"] == fp2
+               for p in m2["partitions"].values())
+    profs = [f for f in os.listdir(out) if f.startswith("profile_")]
+    assert len(profs) == 2  # both artifacts cached, keyed by fingerprint
