@@ -129,53 +129,69 @@ def run_validation(images_dir: str, out_dir: str, *,
                if str(p) not in manifest["partitions"]
                or manifest["partitions"][str(p)].get("profile_fp") != prof_fp]
 
+    import pickle
+
+    from .image_validation import META_COLS
+
+    states_blob = pickle.dumps(states)
+    hist_specs = {"w": edges_wh, "h": edges_wh, "caption_len": edges_cap}
+
+    def meta_pass(batch: pa.Table, _cache={}) -> pa.Table:
+        """ONE fused pass per partition: evidence counts + violation
+        listing + drift histograms + fmt counts (mirrors the fused
+        execution shape of pipelines.image_validation)."""
+        if "c" not in _cache:
+            _cache["c"] = rc.RowChecker(states_blob)
+        batch = _prep(batch)
+        checked = _cache["c"](batch)
+        nul = pc.cast(pc.is_null(checked["caption"]), pa.int8())
+        checked = checked.append_column("caption_null", nul)
+        tuk = checked[rc.TUKEY_TOTAL].to_numpy(zero_copy_only=False)
+        mad = checked[rc.MAD_TOTAL].to_numpy(zero_copy_only=False)
+        nularr = checked["caption_null"].to_numpy(zero_copy_only=False)
+        viol = (tuk > 0) | (mad > 0)
+        counts = (batch.num_rows, int(viol.sum()), int((nularr > 0).sum()))
+        viol_tbl = checked.drop(["caption"]).filter(
+            pa.array(viol | (nularr > 0)))
+        hists = {}
+        for col, edges in hist_specs.items():
+            v = checked[col].cast(pa.float64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            v = v[~np.isnan(v)]
+            idx = np.clip(np.searchsorted(edges, v, side="right") - 1,
+                          0, len(edges) - 2)
+            hists[col] = np.bincount(idx, minlength=len(edges) - 1) \
+                .astype(np.int64)
+        fv, fc = np.unique(np.asarray(
+            checked["fmt"].to_numpy(zero_copy_only=False), dtype=object),
+            return_counts=True)
+        fmt_counts = dict(zip(fv.tolist(), fc.tolist()))
+        payload = pickle.dumps((counts, viol_tbl, hists, fmt_counts))
+        return pa.table({"payload": pa.array([payload],
+                                             type=pa.large_binary())})
+
     for pid in pending:
         t0 = time.time()
-        ds = rd.read_parquet(parts[pid])
-        schema_errors = assert_schema(ds)
-        prepped = ds.map_batches(_prep, batch_format="pyarrow",
-                                 zero_copy_batch=True)
-        checked = prepped.drop_columns(["bytes"])
-        checked = rc.check_rows(checked, states)
-        checked = checked.map_batches(
-            lambda t: t.append_column(
-                "caption_null", pc.cast(pc.is_null(t["caption"]), pa.int8())),
-            batch_format="pyarrow")
+        schema_errors = assert_schema(rd.read_parquet(parts[pid]))
+        meta = rd.read_parquet(parts[pid], columns=META_COLS)
+        n_rows = stat_viol = null_viol = 0
+        viol_tables = []
+        cur_hists = {c: np.zeros(len(e) - 1, dtype=np.int64)
+                     for c, e in hist_specs.items()}
+        cur_fmt: dict = {}
+        for r in meta.map_batches(meta_pass, batch_format="pyarrow",
+                                  zero_copy_batch=True).take_all():
+            (n, sv, nv), vt, hi, fc = pickle.loads(r["payload"])
+            n_rows += n
+            stat_viol += sv
+            null_viol += nv
+            if vt.num_rows:
+                viol_tables.append(vt)
+            for c in cur_hists:
+                cur_hists[c] += hi[c]
+            for k, v in fc.items():
+                cur_fmt[k] = cur_fmt.get(k, 0) + v
 
-        from ray.data.aggregate import Max, Sum
-
-        def summarize(t: pa.Table) -> pa.Table:
-            viol = pc.or_(pc.greater(t[rc.TUKEY_TOTAL], 0),
-                          pc.greater(t[rc.MAD_TOTAL], 0))
-            return pa.table({
-                "n": pa.array([t.num_rows], type=pa.int64()),
-                "stat_viol": pa.array(
-                    [pc.sum(pc.cast(viol, pa.int64())).as_py() or 0],
-                    type=pa.int64()),
-                "null_viol": pa.array(
-                    [pc.sum(pc.cast(t["caption_null"], pa.int64())).as_py()
-                     or 0], type=pa.int64())})
-
-        sums = (checked.map_batches(summarize, batch_format="pyarrow")
-                .sum(["n", "stat_viol", "null_viol"]))
-        n_rows = int(sums["sum(n)"])
-        stat_viol = int(sums["sum(stat_viol)"])
-        null_viol = int(sums["sum(null_viol)"])
-
-        # violations listing (small side output)
-        viol_ds = checked.map_batches(
-            lambda t: t.filter(
-                pc.or_(pc.or_(pc.greater(t[rc.TUKEY_TOTAL], 0),
-                              pc.greater(t[rc.MAD_TOTAL], 0)),
-                       pc.equal(t["caption_null"], 1)))
-            .drop(["caption"]),
-            batch_format="pyarrow")
-
-        # drift vs reference profile
-        cur_hists = {c: drift.histogram_counts(
-            prepped, c, edges_wh if c in ("w", "h") else edges_cap)
-            for c in ("w", "h", "caption_len")}
-        cur_fmt = drift.categorical_counts(ds, "fmt")
         cats = sorted(set(ref_fmt) | set(cur_fmt))
         psi = {c: drift.psi_from_counts(ref_hists[c], cur_hists[c])
                for c in cur_hists}
@@ -187,7 +203,9 @@ def run_validation(images_dir: str, out_dir: str, *,
         decode_ids: list[str] = []
         if decode:
             from ..stages.decode import decode_verify
-            bad = decode_verify(ds, concurrency=decode_concurrency) \
+            payload_ds = rd.read_parquet(parts[pid])
+            bad = decode_verify(payload_ds,
+                                concurrency=decode_concurrency) \
                 .map_batches(
                     lambda t: t.filter(pc.equal(t["decode_ok"], 0))
                     .select(["image_id", "decode_reason"]),
@@ -222,7 +240,9 @@ def run_validation(images_dir: str, out_dir: str, *,
         os.makedirs(tmp)
         viol_dir = os.path.join(tmp, "violations")
         os.makedirs(viol_dir, exist_ok=True)  # keep the dir even if empty
-        viol_ds.write_parquet(viol_dir)
+        if viol_tables:
+            pq.write_table(pa.concat_tables(viol_tables),
+                           os.path.join(viol_dir, "part-0.parquet"))
         _atomic_write_json(os.path.join(tmp, "verdict.json"), verdict)
         if os.path.exists(pdir):
             shutil.rmtree(pdir)

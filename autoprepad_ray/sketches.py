@@ -13,8 +13,12 @@ driver finalize.  Exactness contract:
   (the documented 100-TB path; the small-scale/correctness path is
   exact, mirroring the reference's exact numpy statistics, e.g.
   /root/reference/pipelines/preprocessing/statistical/TukeyTransformer.py:37-38).
-- :class:`TDigest` quantiles are approximate (merging digest, k1 scale).
-- :class:`HyperLogLog` distinct counts are approximate (p=14, ~0.8%).
+- :class:`TDigest` quantiles are approximate (merging digest, k1 scale;
+  mergeable quantile sketches per "An Experimental Analysis of Quantile
+  Sketches over Data Streams", EDBT 2023 — t-digest chosen for tight
+  tail quantiles, which is where Tukey fences live).
+- :class:`HyperLogLog` distinct counts are approximate (p=14, ~0.8%;
+  the standard mergeable distinct-count register sketch).
 """
 
 from __future__ import annotations

@@ -67,16 +67,34 @@ class MinHasher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         ids = batch[self.id_col].to_pylist()
-        out_band, out_hash, out_id = [], [], []
-        for i, txt in enumerate(texts):
-            sh = _shingle_hashes(txt or "", self.n_words)
+        # ONE vectorized hash call for every shingle in the batch (the
+        # per-document pandas hash would dominate the stage), then
+        # per-doc segment mins over the mixed matrix
+        grams: list[str] = []
+        offsets = [0]
+        for txt in texts:
+            toks = (txt or "").split()
+            if not toks:
+                pass
+            elif len(toks) < self.n_words:
+                grams.append(" ".join(toks))
+            else:
+                grams.extend(" ".join(toks[i:i + self.n_words])
+                             for i in range(len(toks) - self.n_words + 1))
+            offsets.append(len(grams))
+        all_h = hash64(grams) if grams else np.empty(0, np.uint64)
+        out_band = np.tile(np.arange(self.bands, dtype=np.int32),
+                           len(texts))
+        out_hash = np.empty(len(texts) * self.bands, dtype=np.int64)
+        out_id = np.repeat(np.asarray(ids, dtype=object), self.bands)
+        for i in range(len(texts)):
+            sh = np.unique(all_h[offsets[i]:offsets[i + 1]])
             sig = minhash_signature(sh, self.seeds)
             bh = _band_hashes(sig, self.bands)
-            out_band.extend(range(self.bands))
-            out_hash.extend(bh.view(np.int64).tolist())
-            out_id.extend([ids[i]] * self.bands)
-        return pa.table({"band": pa.array(out_band, type=pa.int32()),
-                         "band_hash": pa.array(out_hash, type=pa.int64()),
+            out_hash[i * self.bands:(i + 1) * self.bands] = \
+                bh.view(np.int64)
+        return pa.table({"band": pa.array(out_band),
+                         "band_hash": pa.array(out_hash),
                          "doc_id": pa.array(out_id)})
 
 

@@ -194,3 +194,18 @@ def test_duplicate_columns_heuristic():
     dups = duplicate_columns(ds, ["a", "b", "c"])
     assert [(p[0], p[1]) for p in dups] == [("a", "b")]
     assert dups[0][2] == 1.0  # monotone transform -> rho exactly 1
+
+
+def test_partition_histograms_single_pass():
+    from autoprepad_ray.validators.drift import partition_histograms
+
+    pid = np.repeat([0, 1], 500)
+    x = np.concatenate([np.full(500, 10.0), np.full(500, 30.0)])
+    f = np.array(["a"] * 500 + ["b"] * 500, dtype=object)
+    ds = rd.from_arrow(pa.table({"pid": pa.array(pid), "x": pa.array(x),
+                                 "f": pa.array(f)})).repartition(4)
+    num, cat = partition_histograms(ds, {"x": np.array([0., 20., 40.])},
+                                    ["f"], "pid")
+    assert num["x"][0].tolist() == [500, 0]
+    assert num["x"][1].tolist() == [0, 500]
+    assert cat["f"][0] == {"a": 500} and cat["f"][1] == {"b": 500}
