@@ -1144,3 +1144,48 @@ def top_anomalies_events(sf_dir: str):
     return top.map_batches(
         lambda t: t.select(["event_id", "value", "score_raw"]),
         batch_format="pyarrow")
+
+
+@query("join_order_revenue_by_status", sql="""
+SELECT o.o_orderstatus,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus""")
+def join_order_revenue_by_status(sf_dir: str):
+    """Large-large equi-join (explicit hash-bucketed join, ONE shuffle
+    keyed on hash(l_orderkey) % B) followed by a partial+final grouped
+    aggregate — the engine's big-side join pattern (the broadcast path
+    for small sides is queries.top_customers)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import bucketed_join
+
+    left = _t(sf_dir, "lineitem",
+              ["l_orderkey", "l_extendedprice", "l_discount"])
+    right = _t(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]) \
+        .map_batches(lambda t: t.rename_columns(
+            ["l_orderkey", "o_orderstatus"]), batch_format="pyarrow")
+    joined = bucketed_join(left, right, "l_orderkey", num_buckets=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"o_orderstatus": [], "rev": [], "n": []})
+        df = df.assign(rev=df["l_extendedprice"] * (1 - df["l_discount"]))
+        g = df.groupby("o_orderstatus", as_index=False).agg(
+            rev=("rev", "sum"), n=("rev", "size"))
+        return g
+
+    agg = (joined.map_batches(partial, batch_format="pandas")
+           .groupby("o_orderstatus")
+           .aggregate(Sum("rev", alias_name="rev"),
+                      Sum("n", alias_name="n")))
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": t["o_orderstatus"],
+            "revenue": pa.array(np.round(
+                t["rev"].to_numpy(zero_copy_only=False), 2)),
+            "n_items": t["n"].cast(pa.int64())})
+
+    return agg.map_batches(final, batch_format="pyarrow")

@@ -1,0 +1,84 @@
+"""Large-large equi-join strategies (SURVEY §2.4: the reference has only
+an index-aligned label join; the engine provides real distributed
+joins):
+
+- ``native_join``: Ray Data's built-in hash-partitioned ``Dataset.join``
+  (Ray >= 2.46) — the default when both sides are large.
+- ``bucketed_join``: the portable explicit pattern — both sides get a
+  ``bucket = hash(key) % B`` column, one ``groupby(bucket)`` over the
+  tagged union, and a pandas merge per bucket.  Salt hot keys by
+  raising B; B should be ~(total size / target partition size).
+- small sides should NOT be here at all: broadcast them
+  (``ray.put`` + per-batch lookup, see queries.top_customers).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..sketches import hash64
+
+
+def native_join(left, right, on: str | tuple[str, ...], *,
+                join_type: str = "inner", num_partitions: int = 32,
+                **kwargs):
+    on_t = (on,) if isinstance(on, str) else tuple(on)
+    return left.join(right, join_type=join_type,
+                     num_partitions=num_partitions, on=on_t, **kwargs)
+
+
+def bucketed_join(left, right, on: str, *, num_buckets: int = 32,
+                  left_cols: list[str] | None = None,
+                  right_cols: list[str] | None = None):
+    """Explicit hash-bucketed inner join: ONE shuffle keyed on
+    ``hash(on) % num_buckets``; each bucket merges its two sides with a
+    pandas hash join.  Key-hash bucketing spreads any single hot key's
+    *partner* rows with it, so skew shows up as a large bucket —
+    mitigate by raising ``num_buckets`` (the per-bucket merge is
+    O(bucket) with a hash table, not quadratic)."""
+
+    # a tagged union needs ONE schema: each side carries typed null
+    # columns for the other side's fields (non-key column names must be
+    # disjoint across sides)
+    lsch, rsch = left.schema(), right.schema()
+    lcols = sorted(set((left_cols or lsch.names) + [on]))
+    rcols = sorted(set((right_cols or rsch.names) + [on]))
+    types = {n: t for n, t in list(zip(lsch.names, lsch.types))
+             + list(zip(rsch.names, rsch.types))}
+    all_cols = sorted(set(lcols) | set(rcols))
+
+    def tag(side: int, own: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for c in all_cols:
+                if c in own:
+                    cols[c] = t[c]
+                else:
+                    cols[c] = pa.nulls(t.num_rows, type=types[c])
+            keys = t[on].to_numpy(zero_copy_only=False)
+            bucket = (hash64(keys) % np.uint64(num_buckets)).astype(np.int32)
+            cols["__bucket"] = pa.array(bucket)
+            cols["__side"] = pa.array(
+                np.full(t.num_rows, side, dtype=np.int8))
+            return pa.table(cols)
+        return fn
+
+    tagged = (left.map_batches(tag(0, lcols), batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .union(right.map_batches(tag(1, rcols),
+                                       batch_format="pyarrow",
+                                       zero_copy_batch=True)))
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 0].drop(columns=["__side", "__bucket"])
+        rg = g[g["__side"] == 1].drop(columns=["__side", "__bucket"])
+        lg = lg.dropna(axis=1, how="all")
+        rg = rg.dropna(axis=1, how="all")
+        if not len(lg) or not len(rg):
+            return pd.DataFrame()
+        return lg.merge(rg, on=on, how="inner")
+
+    return tagged.groupby("__bucket").map_groups(merge_bucket,
+                                                 batch_format="pandas")

