@@ -125,9 +125,16 @@ def run_validation(images_dir: str, out_dir: str, *,
     }
     ref_fmt = drift.categorical_counts(ref_ds, "fmt")
 
-    pending = [p for p in sorted(parts)
-               if str(p) not in manifest["partitions"]
-               or manifest["partitions"][str(p)].get("profile_fp") != prof_fp]
+    def _complete(p: int) -> bool:
+        entry = manifest["partitions"].get(str(p))
+        if entry is None or entry.get("profile_fp") != prof_fp:
+            return False
+        # trust but verify: the checkpoint is the OUTPUT, not the
+        # manifest line — a deleted/partial partition dir re-runs
+        return os.path.exists(os.path.join(
+            out_dir, "partitions", f"partition={p}", "verdict.json"))
+
+    pending = [p for p in sorted(parts) if not _complete(p)]
 
     import pickle
 
