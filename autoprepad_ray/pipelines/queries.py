@@ -1189,3 +1189,72 @@ def join_order_revenue_by_status(sf_dir: str):
             "n_items": t["n"].cast(pa.int64())})
 
     return agg.map_batches(final, batch_format="pyarrow")
+
+
+@query("tukey_flags_pooled_lineitem", sql="""
+WITH r AS (SELECT quantile_cont(l_quantity, 0.5) AS med_q,
+                  quantile_cont(l_quantity, 0.75)
+                  - quantile_cont(l_quantity, 0.25) AS iqr_q,
+                  quantile_cont(l_extendedprice, 0.5) AS med_p,
+                  quantile_cont(l_extendedprice, 0.75)
+                  - quantile_cont(l_extendedprice, 0.25) AS iqr_p
+           FROM lineitem),
+s AS (SELECT l_orderkey, l_linenumber,
+             (l_quantity - r.med_q) / r.iqr_q AS sq,
+             (l_extendedprice - r.med_p) / r.iqr_p AS sp
+      FROM lineitem, r),
+pool AS (SELECT v FROM (SELECT sq AS v FROM s
+                        UNION ALL SELECT sp FROM s)),
+f AS (SELECT quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+      FROM pool)
+SELECT l_orderkey, l_linenumber,
+       CAST(CASE WHEN sq < f.q1 - 1.5*(f.q3-f.q1)
+                   OR sq > f.q3 + 1.5*(f.q3-f.q1)
+            THEN 1 ELSE 0 END AS BIGINT) AS quantity_tukey_pooled,
+       CAST(CASE WHEN sp < f.q1 - 1.5*(f.q3-f.q1)
+                   OR sp > f.q3 + 1.5*(f.q3-f.q1)
+            THEN 1 ELSE 0 END AS BIGINT) AS price_tukey_pooled
+FROM s, f""")
+def tukey_flags_pooled_lineitem(sf_dir: str):
+    """The reference's GLOBAL-FLATTENED statistics semantic (SURVEY §1.1:
+    np.quantile with no axis over the whole matrix,
+    TukeyTransformer.py:37-38) — sane only after per-column robust
+    scaling (configuration.py:193), reproduced exactly: scale each
+    column by its own median/IQR, then ONE pooled fence pair shared by
+    every column."""
+    cols = ["l_quantity", "l_extendedprice"]
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"] + cols)
+    prof = profile_dataset(ds, columns=cols)
+    scale = {c: (prof[c].quantile(0.5),
+                 prof[c].quantile(0.75) - prof[c].quantile(0.25))
+             for c in cols}
+
+    def rescale(t: pa.Table) -> pa.Table:
+        out = {"l_orderkey": t["l_orderkey"],
+               "l_linenumber": t["l_linenumber"]}
+        for c in cols:
+            v = t[c].cast(pa.float64()).to_numpy(zero_copy_only=False)
+            med, iqr = scale[c]
+            out[f"{c}_scaled"] = pa.array((v - med) / iqr)
+        return pa.table(out)
+
+    scaled = ds.map_batches(rescale, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    pooled_prof = profile_dataset(
+        scaled, columns=[f"{c}_scaled" for c in cols], pooled=True)
+    states = rc.fence_states(pooled_prof,
+                             [f"{c}_scaled" for c in cols], mode="pooled")
+    lo, hi = states[f"{cols[0]}_scaled"].lo, states[f"{cols[0]}_scaled"].hi
+
+    def flag(t: pa.Table) -> pa.Table:
+        sq = t["l_quantity_scaled"].to_numpy(zero_copy_only=False)
+        sp = t["l_extendedprice_scaled"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "quantity_tukey_pooled": pa.array(
+                ((sq < lo) | (sq > hi)).astype(np.int64)),
+            "price_tukey_pooled": pa.array(
+                ((sp < lo) | (sp > hi)).astype(np.int64))})
+
+    return scaled.map_batches(flag, batch_format="pyarrow")
