@@ -1258,3 +1258,25 @@ def tukey_flags_pooled_lineitem(sf_dir: str):
                 ((sp < lo) | (sp > hi)).astype(np.int64))})
 
     return scaled.map_batches(flag, batch_format="pyarrow")
+
+
+@query("ivf_topk_embeddings")
+def ivf_topk_embeddings(sf_dir: str):
+    """IVF (inverted-file) approximate top-k similarity search — the
+    clustered scale path beside brute force (ann_topk_embeddings) and
+    sign-LSH (embed_neardup_planted).  Rows-only: centroid training is
+    seeded but k-means assignment is not SQL-expressible; pytest pins
+    recall vs the exact baseline and exactness at nprobe == nlist."""
+    from ..stages.embed import ivf_topk
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = (ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 3)), batch_format="pyarrow")
+        .take_all())
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in qrows])
+    out = ivf_topk(ds, "embedding", "vec_id", Q, qids, k=5,
+                   nlist=16, nprobe=8).to_pandas()
+    out["cos"] = np.round(out["cos"].astype(float), 6)
+    return out

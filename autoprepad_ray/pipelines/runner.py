@@ -112,18 +112,31 @@ def run_validation(images_dir: str, out_dir: str, *,
                                            ref_partitions)
     states = rc.fence_states(prof, ["w", "h"])
 
-    # reference histograms for drift
+    # reference histograms for drift — cached beside the profile, keyed
+    # by the same input fingerprint, so a resume never re-reads the
+    # reference partitions
     edges_wh = np.array([0, 48, 80, 112, 160, 8192], dtype=float)
     edges_cap = np.arange(0.0, 220.0, 20.0)
-    ref_ds = rd.read_parquet(ref_files).map_batches(
-        _prep, batch_format="pyarrow", zero_copy_batch=True)
-    ref_hists = {
-        "w": drift.histogram_counts(ref_ds, "w", edges_wh),
-        "h": drift.histogram_counts(ref_ds, "h", edges_wh),
-        "caption_len": drift.histogram_counts(ref_ds, "caption_len",
-                                              edges_cap),
-    }
-    ref_fmt = drift.categorical_counts(ref_ds, "fmt")
+    hist_cache = os.path.join(out_dir, f"refhists_{prof_fp}.json")
+    if os.path.exists(hist_cache):
+        with open(hist_cache) as f:
+            cached = json.load(f)
+        ref_hists = {k: np.asarray(v, dtype=np.int64)
+                     for k, v in cached["hists"].items()}
+        ref_fmt = cached["fmt"]
+    else:
+        ref_ds = rd.read_parquet(ref_files).map_batches(
+            _prep, batch_format="pyarrow", zero_copy_batch=True)
+        ref_hists = {
+            "w": drift.histogram_counts(ref_ds, "w", edges_wh),
+            "h": drift.histogram_counts(ref_ds, "h", edges_wh),
+            "caption_len": drift.histogram_counts(ref_ds, "caption_len",
+                                                  edges_cap),
+        }
+        ref_fmt = drift.categorical_counts(ref_ds, "fmt")
+        _atomic_write_json(hist_cache, {
+            "hists": {k: v.tolist() for k, v in ref_hists.items()},
+            "fmt": ref_fmt})
 
     def _complete(p: int) -> bool:
         entry = manifest["partitions"].get(str(p))

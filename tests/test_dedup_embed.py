@@ -150,3 +150,36 @@ def test_joins_native_and_bucketed():
                                       check_dtype=False)
     except Exception as e:  # pragma: no cover - version-dependent API
         pytest.skip(f"native Dataset.join unavailable/changed: {e!r}")
+
+
+def test_ivf_topk_recall_vs_bruteforce():
+    import pyarrow.parquet as pq
+    from autoprepad_ray.stages.embed import cosine_topk, ivf_topk
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    M = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in t["embedding"].to_pylist()])
+    ids = np.asarray(t["vec_id"].to_pylist())
+    Q, qids = M[:4], ids[:4]
+    ds = rd.from_arrow(t).repartition(3)
+    exact = cosine_topk(ds, "embedding", "vec_id", Q, qids, k=5).to_pandas()
+    approx = ivf_topk(ds, "embedding", "vec_id", Q, qids, k=5,
+                      nlist=16, nprobe=8).to_pandas()
+    recalls = []
+    for qid in qids:
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5, recalls   # half the lists probed
+    # probing every list reproduces the exact result
+    full = ivf_topk(ds, "embedding", "vec_id", Q, qids, k=5,
+                    nlist=16, nprobe=16).to_pandas()
+    for qid in qids:
+        e = list(exact[exact["query_id"] == qid]
+                 .sort_values(["cos", "vec_id"],
+                              ascending=[False, True])["vec_id"])
+        f = list(full[full["query_id"] == qid]
+                 .sort_values(["cos", "vec_id"],
+                              ascending=[False, True])["vec_id"])
+        assert e == f
