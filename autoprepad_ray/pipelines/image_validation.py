@@ -293,6 +293,7 @@ class ImageValidationReport:
     neardup_pairs: pd.DataFrame | None = None
     hamming_saturated: bool = False
     schema_errors: list = field(default_factory=list)
+    timings: dict = field(default_factory=dict)
 
     def failed_partitions(self) -> dict[str, list[int]]:
         out = {}
@@ -329,6 +330,9 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
                     neardup: bool = True,
                     viol_cap_per_block: int = 10_000,
                     mad_threshold: float = 3.5) -> ImageValidationReport:
+    import time as _time
+    timings: dict = {}
+    _t0 = _time.perf_counter()
     ds_schema = rd.read_parquet(images_dir)
     schema_errors = assert_schema(ds_schema)
     meta = rd.read_parquet(images_dir, columns=META_COLS)
@@ -341,6 +345,8 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
     sketches, hists, (id_vals, id_cnts), (ph_vals, ph_cnts), \
         (band_vals, band_cnts), nrows = _merge_p1(
             [pickle.loads(r["payload"]) for r in p1m.take_all()])
+    timings["pass1_profile_census"] = round(_time.perf_counter() - _t0, 3)
+    _t0 = _time.perf_counter()
     prof = TableProfile(columns=sketches,
                         n_rows=sum(nrows[p] for p in ref_partitions
                                    if p in nrows))
@@ -513,6 +519,10 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
         else:
             nd_pairs = pd.DataFrame({"id_a": [], "id_b": [], "dist": []})
 
+    timings["pass2_evidence_listings"] = round(
+        _time.perf_counter() - _t0, 3)
+    _t0 = _time.perf_counter()
+
     # ---- PASS 3: decode (payload read, actor pool) ----
     decode_df = None
     decode_fail: set = set()
@@ -528,6 +538,8 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
             batch_format="pyarrow").to_pandas()
         if len(decode_df):
             decode_fail = set(decode_df["partition_id"].astype(int))
+
+    timings["pass3_decode"] = round(_time.perf_counter() - _t0, 3)
 
     # ---- verdict composition (OR-merge) ----
     vr = []
@@ -554,6 +566,6 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
         dup_ids=dup_df, orphans=orphan_df, drift_psi=drift_df,
         decode_violations=decode_df, neardup_groups=nd_groups,
         neardup_pairs=nd_pairs, hamming_saturated=hamming_saturated,
-        schema_errors=schema_errors)
+        schema_errors=schema_errors, timings=timings)
 
 

@@ -103,6 +103,7 @@ def run_bench() -> dict:
     assert len(rep.verdicts) == IMG_PARTITIONS
     t_img = time.perf_counter() - t0
     queries["image_validation"] = round(t_img, 3)
+    img_passes = rep.timings
     n_images = IMG_PARTITIONS * IMG_ROWS
 
     for name in BENCH_QUERIES:
@@ -120,6 +121,7 @@ def run_bench() -> dict:
         "num_cpus": ncpu,
         "images": n_images,
         "images_per_sec": round(n_images / t_img, 1),
+        "image_validation_passes": img_passes,
     }
     ray.shutdown()
     return out
