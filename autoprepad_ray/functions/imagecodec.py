@@ -28,19 +28,29 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
 
 
-def decode_ppm(data: bytes) -> np.ndarray:
-    if not data.startswith(PPM_MAGIC):
+def _as_view(data) -> np.ndarray:
+    """bytes / memoryview / ndarray -> zero-copy uint8 view."""
+    if isinstance(data, np.ndarray):
+        return data
+    return np.frombuffer(data, dtype=np.uint8)
+
+
+def decode_ppm(data) -> np.ndarray:
+    """Accepts bytes or a zero-copy uint8 view (Arrow buffer slice)."""
+    view = _as_view(data)
+    header = bytes(view[:64])
+    if not header.startswith(PPM_MAGIC):
         raise ValueError("not a P6 ppm payload")
     # header: P6\n<w> <h>\n255\n
-    nl1 = data.index(b"\n")
-    nl2 = data.index(b"\n", nl1 + 1)
-    nl3 = data.index(b"\n", nl2 + 1)
-    w, h = (int(x) for x in data[nl1 + 1:nl2].split())
-    body = data[nl3 + 1:]
+    nl1 = header.index(b"\n")
+    nl2 = header.index(b"\n", nl1 + 1)
+    nl3 = header.index(b"\n", nl2 + 1)
+    w, h = (int(x) for x in header[nl1 + 1:nl2].split())
+    body = view[nl3 + 1:]
     expected = w * h * 3
     if len(body) < expected:
         raise ValueError(f"truncated ppm body: {len(body)} < {expected}")
-    return np.frombuffer(body[:expected], dtype=np.uint8).reshape(h, w, 3)
+    return body[:expected].reshape(h, w, 3)
 
 
 def encode_qraw(img: np.ndarray) -> bytes:
@@ -49,15 +59,17 @@ def encode_qraw(img: np.ndarray) -> bytes:
     return QRAW_MAGIC + np.array([w, h], dtype="<u4").tobytes() + q.tobytes()
 
 
-def decode_qraw(data: bytes) -> np.ndarray:
-    if not data.startswith(QRAW_MAGIC):
+def decode_qraw(data) -> np.ndarray:
+    """Accepts bytes or a zero-copy uint8 view (Arrow buffer slice)."""
+    view = _as_view(data)
+    if bytes(view[:4]) != QRAW_MAGIC:
         raise ValueError("not a qraw payload")
-    w, h = np.frombuffer(data[4:12], dtype="<u4")
-    body = data[12:]
+    w, h = np.frombuffer(bytes(view[4:12]), dtype="<u4")
+    body = view[12:]
     expected = int(w) * int(h) * 3
     if len(body) < expected:
         raise ValueError(f"truncated qraw body: {len(body)} < {expected}")
-    q = np.frombuffer(body[:expected], dtype=np.uint8).reshape(int(h), int(w), 3)
+    q = body[:expected].reshape(int(h), int(w), 3)
     # bit-replicate 6 -> 8 bits (max error 2 -> PSNR ~46 dB)
     return ((q.astype(np.uint16) << 2) | (q >> 4)).astype(np.uint8)
 
@@ -72,10 +84,11 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
     raise NotImplementedError(f"no codec for fmt={fmt!r} in this sandbox")
 
 
-def sniff_format(data: bytes) -> str | None:
-    if data.startswith(PPM_MAGIC):
+def sniff_format(data) -> str | None:
+    head = bytes(_as_view(data)[:4])
+    if head.startswith(PPM_MAGIC):
         return "ppm"
-    if data.startswith(QRAW_MAGIC):
+    if head.startswith(QRAW_MAGIC):
         return "qraw"
     return None
 

@@ -21,9 +21,18 @@ import pyarrow.compute as pc
 NAN_TOKENS = ("NaN", "nan", " ", "")
 
 
-def canonicalize_nan_tokens(arr: pa.ChunkedArray | pa.Array) -> pa.Array | pa.ChunkedArray:
+def canonicalize_nan_tokens(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Map the reference's string NaN tokens to real nulls
-    (XCopySchemaTransformer.py:55-63)."""
+    (XCopySchemaTransformer.py:55-63).
+
+    The input is COMPACTED to offset 0 first: pyarrow 16.1's ``if_else``
+    with a null string scalar SILENTLY CORRUPTS values when the string
+    array is an offset slice (zero-copy batches sliced by batch_size hit
+    this) — regression-pinned in tests/test_row_checks.py."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.offset != 0:
+        arr = pa.concat_arrays([arr])
     mask = pc.is_in(arr, value_set=pa.array(NAN_TOKENS))
     return pc.if_else(mask, pa.scalar(None, type=pa.string()), arr)
 

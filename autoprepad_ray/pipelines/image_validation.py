@@ -44,7 +44,7 @@ import ray.data as rd
 
 from ..functions.strings import canonicalize_nan_tokens
 from ..profile import ColumnSketch, TableProfile, _col_kind
-from ..sketches import hash64
+from ..sketches import hash64, np_object
 from ..validators import row_checks as rc
 from ..validators.drift import psi_from_counts
 from ..validators.near_dup import (_band_rows, _merge_count_arrays,
@@ -112,13 +112,37 @@ def _hist_partial(batch: pa.Table, pid: np.ndarray, uniq, inv) -> dict:
         counts = np.zeros((len(uniq), nb), dtype=np.int64)
         np.add.at(counts, (inv[keep], idx), 1)
         out[col] = counts
-    fmt = np.asarray(batch["fmt"].to_numpy(zero_copy_only=False),
-                     dtype=object)
+    fmt = np_object(batch["fmt"])
     d: dict = {}
     for k, u in enumerate(uniq):
         vv, cc = np.unique(fmt[inv == k], return_counts=True)
         d[int(u)] = dict(zip(vv.tolist(), cc.tolist()))
     out["fmt"] = d
+    return out
+
+
+N_SLICES = 8
+
+
+def _slice_of(vals_u64: np.ndarray) -> np.ndarray:
+    """Balanced census slice id from the top bits of a mixed key."""
+    with np.errstate(over="ignore"):
+        mixed = vals_u64.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return (mixed >> np.uint64(61)).astype(np.int8)
+
+
+def _census_rows(kind: str, side: int, vals: np.ndarray,
+                 cnts: np.ndarray) -> list[tuple[str, int, bytes]]:
+    """Split one (vals, cnts) census partial into range-sliced rows so
+    the merge+filter happens DISTRIBUTED, per (kind, slice) — the full
+    near-unique census never centralizes anywhere (the 10^12 path)."""
+    sl = _slice_of(vals.view(np.uint64) if vals.dtype != np.uint64
+                   else vals)
+    out = []
+    for s in range(N_SLICES):
+        m = sl == s
+        if m.any():
+            out.append((kind, s, pickle.dumps((side, vals[m], cnts[m]))))
     return out
 
 
@@ -147,11 +171,16 @@ def _make_p1_partial(ref_set: list[int]):
         hists = {col: {int(u): raw[col][k] for k, u in enumerate(uniq)}
                  for col in ("w", "h", "caption_len")}
         hists["fmt"] = raw["fmt"]
-        ids_hash = np.unique(hash64(
-            batch["image_id"].to_numpy(zero_copy_only=False)),
-            return_counts=True)
+        nrows = {int(u): int(c) for u, c in
+                 zip(uniq, np.bincount(inv, minlength=len(uniq)))}
+        rows: list[tuple[str, int, bytes]] = [
+            ("prof", -1, pickle.dumps((sketches, hists, nrows)))]
+        idv, idc = np.unique(hash64(np_object(batch["image_id"])),
+                             return_counts=True)
+        rows += _census_rows("idcap", 0, idv, idc)
         ph = batch["phash"].to_numpy(zero_copy_only=False)
-        ph_census = np.unique(ph, return_counts=True)
+        phv, phc = np.unique(ph, return_counts=True)
+        rows += _census_rows("ph", 0, phv.astype(np.int64), phc)
         u64 = ph.astype(np.int64).view(np.uint64)
         band_keys = []
         for b in range(4):
@@ -159,23 +188,25 @@ def _make_p1_partial(ref_set: list[int]):
                 (np.int64(b) << np.int64(20))
                 | ((u64 >> np.uint64(16 * b)) & np.uint64(0xFFFF))
                 .astype(np.int64))
-        band_census = np.unique(np.concatenate(band_keys),
-                                return_counts=True)
-        nrows = {int(u): int(c) for u, c in
-                 zip(uniq, np.bincount(inv, minlength=len(uniq)))}
-        return _pickled((sketches, hists, ids_hash, ph_census,
-                         band_census, nrows))
+        bv, bc = np.unique(np.concatenate(band_keys), return_counts=True)
+        rows += _census_rows("band", 0, bv, bc)
+        return pa.table({
+            "kind": pa.array([r[0] for r in rows]),
+            "slice": pa.array([r[1] for r in rows], type=pa.int8()),
+            "payload": pa.array([r[2] for r in rows],
+                                type=pa.large_binary())})
 
     return p1
 
 
-def _merge_p1(payloads: list) -> tuple:
+def _merge_prof(payloads: list) -> tuple:
+    """Merge the small per-block profile partials (sketches + hists +
+    row counts) — KBs per block, driver-side fold is fine."""
     sketches: dict[str, ColumnSketch] = {}
     hists: dict = {"w": {}, "h": {}, "caption_len": {}, "fmt": {}}
-    id_parts, ph_parts, band_parts = [], [], []
     nrows: dict = {}
     for p in payloads:
-        sk, hi, idc, phc, bdc, nr = p
+        sk, hi, nr = p
         for col, cs in sk.items():
             if col in sketches:
                 sketches[col].merge(cs)
@@ -191,20 +222,53 @@ def _merge_p1(payloads: list) -> tuple:
             tgt = hists["fmt"].setdefault(u, {})
             for v, n in vc.items():
                 tgt[v] = tgt.get(v, 0) + n
-        id_parts.append(idc)
-        ph_parts.append(phc)
-        band_parts.append(bdc)
         for u, n in nr.items():
             nrows[u] = nrows.get(u, 0) + n
-    ids = _merge_count_arrays(id_parts)
-    phs = _merge_count_arrays(ph_parts)
-    bands = _merge_count_arrays(band_parts)
-    return sketches, hists, ids, phs, bands, nrows
+    return sketches, hists, nrows
 
 
-def _merge_p1_batch(batch: pa.Table) -> pa.Table:
-    payloads = [pickle.loads(p) for p in batch["payload"].to_pylist()]
-    return _pickled(_merge_p1(payloads))
+def _make_census_reduce(has_captions: bool):
+    """Per-(kind, slice) distributed merge + candidate filter: only
+    duplicates / orphans / hot buckets leave the reducer."""
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        kind = g["kind"].iloc[0]
+        if kind == "prof":
+            merged = _merge_prof([pickle.loads(p) for p in g["payload"]])
+            return pd.DataFrame({"kind": ["prof"],
+                                 "payload": [pickle.dumps(merged)]})
+        sides: dict[int, list] = {0: [], 1: []}
+        for p in g["payload"]:
+            side, vals, cnts = pickle.loads(p)
+            sides[side].append((vals, cnts))
+        if kind == "idcap":
+            iv, ic = (_merge_count_arrays(sides[0]) if sides[0]
+                      else (np.empty(0, np.uint64), np.empty(0, np.int64)))
+            dup = iv[ic >= 2]
+            if has_captions:
+                cv, _ = (_merge_count_arrays(sides[1]) if sides[1]
+                         else (np.empty(0, np.uint64),
+                               np.empty(0, np.int64)))
+                orph_img = np.setdiff1d(iv.astype(np.uint64),
+                                        cv.astype(np.uint64),
+                                        assume_unique=True)
+                orph_cap = np.setdiff1d(cv.astype(np.uint64),
+                                        iv.astype(np.uint64),
+                                        assume_unique=True)
+            else:
+                orph_img = orph_cap = np.empty(0, np.uint64)
+            out = pickle.dumps((dup, orph_img, orph_cap))
+        elif kind == "ph":
+            pv, pc_ = _merge_count_arrays(sides[0])
+            m = pc_ >= 2
+            out = pickle.dumps((pv[m], pc_[m]))
+        else:  # band
+            bv, bc = _merge_count_arrays(sides[0])
+            m = bc >= 2
+            out = pickle.dumps((bv[m], bc[m], int(bc.sum())))
+        return pd.DataFrame({"kind": [kind], "payload": [out]})
+
+    return reduce
 
 
 # ---------------------------------------------------------------------------
@@ -251,7 +315,7 @@ class _P2Partial:
             pa.array(viol))
         if viol_tbl.num_rows > self.viol_cap:
             viol_tbl = viol_tbl.slice(0, self.viol_cap)
-        ids = checked["image_id"].to_numpy(zero_copy_only=False)
+        ids = np_object(checked["image_id"])
         idh = hash64(ids)
         dup_rows = None
         if self.dup_id_hashes.size:
@@ -304,20 +368,23 @@ class ImageValidationReport:
         return out
 
 
-def _caption_census(captions_path: str) -> tuple[np.ndarray, np.ndarray]:
+def _caption_census_rows(captions_path: str):
+    """Caption-side id-hash census as sliced rows (side=1), unioned into
+    the same distributed (kind, slice) reduce as the image side."""
     caps = rd.read_parquet(captions_path, columns=["image_id"])
 
     def partial(t: pa.Table) -> pa.Table:
-        return _pickled(np.unique(
-            hash64(t["image_id"].to_numpy(zero_copy_only=False)),
-            return_counts=True))
+        v, c = np.unique(hash64(np_object(t["image_id"])),
+                         return_counts=True)
+        rows = _census_rows("idcap", 1, v, c)
+        return pa.table({
+            "kind": pa.array([r[0] for r in rows]),
+            "slice": pa.array([r[1] for r in rows], type=pa.int8()),
+            "payload": pa.array([r[2] for r in rows],
+                                type=pa.large_binary())})
 
-    parts = [pickle.loads(r["payload"]) for r in
-             caps.map_batches(partial, batch_format="pyarrow",
-                              zero_copy_batch=True).take_all()]
-    if not parts:
-        return np.empty(0, np.uint64), np.empty(0, np.int64)
-    return _merge_count_arrays(parts)
+    return caps.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 def validate_images(images_dir: str, captions_path: str | None = None, *,
@@ -338,13 +405,57 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
     meta = rd.read_parquet(images_dir, columns=META_COLS)
 
     # ---- PASS 1 ----
+    # ONE execution: per-block partials (profile + sliced censuses) ->
+    # one keyed groupby reduces everything DISTRIBUTED per
+    # (kind, slice) — only candidates (dups / orphans / hot buckets)
+    # and the merged few-KB profile ever reach the driver (the 10^12
+    # path)
+    # large pass-1 batches: censuses dedupe within a batch, so fewer,
+    # bigger partials mean less census volume through the reduce shuffle
     p1 = meta.map_batches(_make_p1_partial(list(ref_partitions)),
-                          batch_format="pyarrow", zero_copy_batch=True)
-    p1m = p1.map_batches(_merge_p1_batch, batch_size=32,
-                         batch_format="pyarrow")
-    sketches, hists, (id_vals, id_cnts), (ph_vals, ph_cnts), \
-        (band_vals, band_cnts), nrows = _merge_p1(
-            [pickle.loads(r["payload"]) for r in p1m.take_all()])
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=100_000)
+    if captions_path is not None:
+        p1 = p1.union(_caption_census_rows(captions_path))
+    reduced = p1.groupby(["kind", "slice"]).map_groups(
+        _make_census_reduce(captions_path is not None),
+        batch_format="pandas").take_all()
+    prof_payload = None
+    dup_parts_, oimg_parts, ocap_parts = [], [], []
+    ph_parts_: list = []
+    band_parts_: list = []
+    band_total = 0
+    for r in reduced:
+        data = pickle.loads(r["payload"])
+        if r["kind"] == "prof":
+            prof_payload = data
+        elif r["kind"] == "idcap":
+            dup_parts_.append(data[0])
+            oimg_parts.append(data[1])
+            ocap_parts.append(data[2])
+        elif r["kind"] == "ph":
+            ph_parts_.append(data)
+        else:
+            band_parts_.append((data[0], data[1]))
+            band_total += data[2]
+
+    def _cat(parts, dtype):
+        return (np.sort(np.concatenate(parts)) if parts
+                else np.empty(0, dtype))
+
+    dup_id_hashes = _cat(dup_parts_, np.uint64).astype(np.uint64)
+    orphan_img_hashes = _cat(oimg_parts, np.uint64).astype(np.uint64)
+    orphan_cap_hashes = _cat(ocap_parts, np.uint64).astype(np.uint64)
+    ph_vals = (np.concatenate([p[0] for p in ph_parts_])
+               if ph_parts_ else np.empty(0, np.int64))
+    ph_cnts = (np.concatenate([p[1] for p in ph_parts_])
+               if ph_parts_ else np.empty(0, np.int64))
+    hot_band_vals = (np.concatenate([p[0] for p in band_parts_])
+                     if band_parts_ else np.empty(0, np.int64))
+    hot_band_cnts = (np.concatenate([p[1] for p in band_parts_])
+                     if band_parts_ else np.empty(0, np.int64))
+
+    sketches, hists, nrows = prof_payload
     timings["pass1_profile_census"] = round(_time.perf_counter() - _t0, 3)
     _t0 = _time.perf_counter()
     prof = TableProfile(columns=sketches,
@@ -377,12 +488,12 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
         psi_rows.append(row)
     drift_df = pd.DataFrame(psi_rows)
 
-    # candidate sets
-    dup_id_hashes = np.sort(id_vals[id_cnts >= 2].astype(np.uint64))
-    dup_phashes = (np.sort(ph_vals[ph_cnts >= 2].astype(np.int64))
-                   if neardup else np.empty(0, np.int64))
-    hot_bands = (np.sort(band_vals[band_cnts >= 2].astype(np.int64))
-                 if neardup else np.empty(0, np.int64))
+    # candidate sets (already filtered distributed; reducers emitted
+    # ONLY dup phashes and hot band buckets)
+    dup_phashes = (np.sort(ph_vals.astype(np.int64)) if neardup
+                   else np.empty(0, np.int64))
+    hot_bands = (np.sort(hot_band_vals.astype(np.int64)) if neardup
+                 else np.empty(0, np.int64))
     # saturation breaker: 16-bit bands only separate near-dups from
     # random collisions while n << 2^16 per band.  When the census shows
     # collision rows past the bound, the banded stage would enumerate
@@ -391,24 +502,11 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
     # The scale fix is wider band keys (bits > log2 n), not a bigger cap.
     hamming_saturated = False
     if neardup and hot_bands.size:
-        collision_rows = int(band_cnts[band_cnts >= 2].sum())
-        if collision_rows > max(100_000, int(0.02 * band_cnts.sum())):
+        collision_rows = int(hot_band_cnts.sum())
+        if collision_rows > max(100_000, int(0.02 * band_total)):
             hamming_saturated = True
             hot_bands = np.empty(0, np.int64)
-    ph_count_map = dict(zip(ph_vals[ph_cnts >= 2].tolist(),
-                            ph_cnts[ph_cnts >= 2].tolist()))
-
-    orphan_img_hashes = np.empty(0, np.uint64)
-    orphan_cap_hashes = np.empty(0, np.uint64)
-    cap_vals = cap_cnts = None
-    if captions_path is not None:
-        cap_vals, cap_cnts = _caption_census(captions_path)
-        img_set = id_vals.astype(np.uint64)
-        cap_set = cap_vals.astype(np.uint64)
-        orphan_img_hashes = np.setdiff1d(img_set, cap_set,
-                                         assume_unique=True)
-        orphan_cap_hashes = np.setdiff1d(cap_set, img_set,
-                                         assume_unique=True)
+    ph_count_map = dict(zip(ph_vals.tolist(), ph_cnts.tolist()))
 
     # ---- PASS 2 ----
     blob_ref = ray.put((states, dup_id_hashes, dup_phashes, hot_bands,
@@ -483,7 +581,7 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
             oc_ref = ray.put(orphan_cap_hashes)
 
             def cap_orphans(t: pa.Table) -> pa.Table:
-                h = hash64(t["image_id"].to_numpy(zero_copy_only=False))
+                h = hash64(np_object(t["image_id"]))
                 return t.filter(pa.array(np.isin(h, ray.get(oc_ref))))
 
             cap_rows = caps.map_batches(cap_orphans,

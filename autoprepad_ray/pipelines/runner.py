@@ -182,9 +182,8 @@ def run_validation(images_dir: str, out_dir: str, *,
                           0, len(edges) - 2)
             hists[col] = np.bincount(idx, minlength=len(edges) - 1) \
                 .astype(np.int64)
-        fv, fc = np.unique(np.asarray(
-            checked["fmt"].to_numpy(zero_copy_only=False), dtype=object),
-            return_counts=True)
+        from ..sketches import np_object
+        fv, fc = np.unique(np_object(checked["fmt"]), return_counts=True)
         fmt_counts = dict(zip(fv.tolist(), fc.tolist()))
         payload = pickle.dumps((counts, viol_tbl, hists, fmt_counts))
         return pa.table({"payload": pa.array([payload],

@@ -88,11 +88,12 @@ class ColumnSketch:
                 if clean.size:
                     self.hll.add_hashes(hash64(clean))
         elif self.kind == "string":
-            vals = arr.drop_null().to_numpy(zero_copy_only=False)
+            from .sketches import np_object
+            vals = np_object(arr.drop_null())
             self.moments.nulls += nulls
             self.moments.n += len(vals)
             if not self.values.overflow:
-                self.values.update(np.asarray(vals, dtype=object))
+                self.values.update(vals)
                 if self.values.overflow:
                     self._spill_to_sketches()
             elif len(vals):

@@ -37,6 +37,18 @@ import pandas as pd
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
+def np_object(arr) -> np.ndarray:
+    """pa.Array/ChunkedArray/array-like -> numpy object array, robustly.
+
+    StringArray.to_numpy(zero_copy_only=False) can fail on large chunks
+    ("Wrapping ... failed"); the pandas conversion path is reliable."""
+    import pyarrow as _pa
+
+    if isinstance(arr, (_pa.Array, _pa.ChunkedArray)):
+        return np.asarray(arr.to_pandas(), dtype=object)
+    return np.asarray(arr, dtype=object)
+
+
 def hash64(values: Any, seed: int = 0) -> np.ndarray:
     """Deterministic vectorized 64-bit hashes of an array-like.
 

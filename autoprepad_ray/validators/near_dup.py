@@ -186,9 +186,9 @@ def hamming_neardup_pairs(ds, *, max_dist: int = 4,
     """
 
     def explode(t: pa.Table) -> dict:
+        from ..sketches import np_object
         ph = t[phash_col].to_numpy(zero_copy_only=False)
-        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False))
-        return _band_rows(ph, ids)
+        return _band_rows(ph, np_object(t[id_col]))
 
     band_ds = ds.map_batches(explode, batch_format="pyarrow",
                              zero_copy_batch=True)

@@ -21,9 +21,9 @@ from ..sketches import HyperLogLog, hash64
 
 
 def _key_hashes(batch: pa.Table, cols: list[str]) -> np.ndarray:
-    h = hash64(batch[cols[0]].to_numpy(zero_copy_only=False))
+    h = hash64(batch[cols[0]].to_pandas())
     for i, c in enumerate(cols[1:], start=1):
-        h = h ^ hash64(batch[c].to_numpy(zero_copy_only=False), seed=i)
+        h = h ^ hash64(batch[c].to_pandas(), seed=i)
     return h
 
 

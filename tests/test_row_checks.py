@@ -209,3 +209,21 @@ def test_partition_histograms_single_pass():
     assert num["x"][0].tolist() == [500, 0]
     assert num["x"][1].tolist() == [0, 500]
     assert cat["f"][0] == {"a": 500} and cat["f"][1] == {"b": 500}
+
+
+def test_canonicalize_on_sliced_array_regression():
+    """pyarrow 16.1 if_else corrupts values on offset-sliced string
+    arrays (NUL garbage); canonicalize_nan_tokens must compact first.
+    Zero-copy Ray batches sliced by batch_size produce exactly such
+    arrays, so this is a silent-corruption landmine."""
+    import pyarrow as pa
+    from autoprepad_ray.functions.strings import canonicalize_nan_tokens
+
+    vals = [f"caption number {i}" for i in range(50_000)] + ["NaN", "ok"]
+    arr = pa.array(vals)
+    sliced = arr.slice(40_000, 10_002)
+    out = canonicalize_nan_tokens(sliced)
+    assert out[0].as_py() == "caption number 40000"
+    assert out[9_999].as_py() == "caption number 49999"
+    assert out[10_000].as_py() is None   # the NaN token
+    assert out[10_001].as_py() == "ok"
