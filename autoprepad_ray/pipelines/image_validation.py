@@ -181,15 +181,18 @@ def _make_p1_partial(ref_set: list[int]):
         ph = batch["phash"].to_numpy(zero_copy_only=False)
         phv, phc = np.unique(ph, return_counts=True)
         rows += _census_rows("ph", 0, phv.astype(np.int64), phc)
+        # band census is DENSE: the keyspace is only 4 x 2^16 slots, so a
+        # bincount per batch + vector-add merge beats sparse unique-merge
         u64 = ph.astype(np.int64).view(np.uint64)
         band_keys = []
         for b in range(4):
             band_keys.append(
-                (np.int64(b) << np.int64(20))
-                | ((u64 >> np.uint64(16 * b)) & np.uint64(0xFFFF))
+                np.int64(b * 65536)
+                + ((u64 >> np.uint64(16 * b)) & np.uint64(0xFFFF))
                 .astype(np.int64))
-        bv, bc = np.unique(np.concatenate(band_keys), return_counts=True)
-        rows += _census_rows("band", 0, bv, bc)
+        dense = np.bincount(np.concatenate(band_keys),
+                            minlength=4 * 65536).astype(np.int32)
+        rows.append(("bandd", 0, pickle.dumps(dense)))
         return pa.table({
             "kind": pa.array([r[0] for r in rows]),
             "slice": pa.array([r[1] for r in rows], type=pa.int8()),
@@ -239,8 +242,12 @@ def _make_census_reduce(has_captions: bool):
                                  "payload": [pickle.dumps(merged)]})
         sides: dict[int, list] = {0: [], 1: []}
         for p in g["payload"]:
-            side, vals, cnts = pickle.loads(p)
-            sides[side].append((vals, cnts))
+            data = pickle.loads(p)
+            if kind == "bandd":
+                sides[0].append((data, None))
+            else:
+                side, vals, cnts = data
+                sides[side].append((vals, cnts))
         if kind == "idcap":
             iv, ic = (_merge_count_arrays(sides[0]) if sides[0]
                       else (np.empty(0, np.uint64), np.empty(0, np.int64)))
@@ -262,10 +269,12 @@ def _make_census_reduce(has_captions: bool):
             pv, pc_ = _merge_count_arrays(sides[0])
             m = pc_ >= 2
             out = pickle.dumps((pv[m], pc_[m]))
-        else:  # band
-            bv, bc = _merge_count_arrays(sides[0])
-            m = bc >= 2
-            out = pickle.dumps((bv[m], bc[m], int(bc.sum())))
+        else:  # bandd (dense)
+            total = np.zeros(4 * 65536, dtype=np.int64)
+            for vals, _ in sides[0]:
+                total += vals
+            hot = np.nonzero(total >= 2)[0].astype(np.int64)
+            out = pickle.dumps((hot, total[hot], int(total.sum())))
         return pd.DataFrame({"kind": [kind], "payload": [out]})
 
     return reduce
@@ -333,8 +342,8 @@ class _P2Partial:
         band_rows = None
         if self.hot_bands.size:
             br = _band_rows(ph, np.asarray(ids))
-            combo = (br["band"].astype(np.int64) << np.int64(20)) \
-                | br["band_val"].astype(np.int64)
+            combo = br["band"].astype(np.int64) * 65536 \
+                + br["band_val"].astype(np.int64)
             m = np.isin(combo, self.hot_bands)
             band_rows = (combo[m], br["image_id"][m], br["phash"][m])
         return _pickled((counts, viol_tbl, dup_rows, orphan_rows,
@@ -435,7 +444,7 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
             ocap_parts.append(data[2])
         elif r["kind"] == "ph":
             ph_parts_.append(data)
-        else:
+        else:  # bandd
             band_parts_.append((data[0], data[1]))
             band_total += data[2]
 
