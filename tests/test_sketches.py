@@ -149,3 +149,33 @@ def test_columnsketch_exact_to_approx_handoff():
     cs.merge(cs2)
     both = np.concatenate([x, y])
     assert abs(cs.quantile(0.5) - np.quantile(both, 0.5)) < 1.0
+
+
+@given(st.lists(st.floats(-1e5, 1e5), min_size=6, max_size=400),
+       st.integers(2, 5))
+@settings(max_examples=40, deadline=None)
+def test_columnsketch_merge_associativity(xs, nsplits):
+    """SURVEY §5: finalize(merge(split(X))) == finalize(X) for the full
+    column sketch (moments exact, quantiles exact under the ValueCounts
+    bound, distinct exact)."""
+    import pyarrow as pa
+    from autoprepad_ray.profile import ColumnSketch
+
+    x = np.array(xs)
+    whole = ColumnSketch(name="x", kind="numeric")
+    whole.update_array(pa.array(x))
+    merged = ColumnSketch(name="x", kind="numeric")
+    for part in np.array_split(x, nsplits):
+        cs = ColumnSketch(name="x", kind="numeric")
+        cs.update_array(pa.array(part))
+        merged.merge(cs)
+    assert merged.count == whole.count
+    assert np.isclose(merged.moments.mean, whole.moments.mean,
+                      rtol=1e-9, atol=1e-12, equal_nan=True)
+    assert np.isclose(merged.moments.std, whole.moments.std,
+                      rtol=1e-6, atol=1e-9)
+    assert merged.distinct() == whole.distinct()
+    for q in (0.0, 0.25, 0.5, 0.75, 1.0):
+        a, b = merged.quantile(q), whole.quantile(q)
+        assert (np.isnan(a) and np.isnan(b)) or np.isclose(
+            a, b, rtol=1e-12, atol=1e-12)
