@@ -69,12 +69,17 @@ def assert_schema(ds) -> list[str]:
     schema = ds.schema()
     errors = []
     have = dict(zip(schema.names, schema.types))
+
+    def _is_bin(t) -> bool:
+        return pa.types.is_binary(t) or pa.types.is_large_binary(t)
+
     for name, typ in EXPECTED_FIELDS.items():
         if name not in have:
             errors.append(f"missing column {name}")
         elif have[name] != typ and not (
-                pa.types.is_binary(have[name]) and pa.types.is_binary(typ)
-                or pa.types.is_large_binary(have[name])):
+                # only the bytes column tolerates binary<->large_binary;
+                # a large_binary where a string was declared is an error
+                name == "bytes" and _is_bin(have[name]) and _is_bin(typ)):
             errors.append(f"{name}: {have[name]} != {typ}")
     return errors
 

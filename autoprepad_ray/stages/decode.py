@@ -43,8 +43,13 @@ class DecodeVerify:
         # per-row .as_py() copy would double memory traffic on the
         # hottest stage (memory bandwidth is the scaling ceiling here)
         off_buf, data_buf = blobs.buffers()[1], blobs.buffers()[2]
-        offsets = np.frombuffer(off_buf, dtype=np.int64)[
-            blobs.offset:blobs.offset + n + 1]
+        # offset width follows the Arrow type: binary carries int32
+        # offsets, large_binary int64 — reading the wrong width silently
+        # garbles every payload slice
+        off_dtype = (np.int64 if pa.types.is_large_binary(blobs.type)
+                     else np.int32)
+        offsets = np.frombuffer(off_buf, dtype=off_dtype)[
+            blobs.offset:blobs.offset + n + 1].astype(np.int64)
         payload = np.frombuffer(data_buf, dtype=np.uint8)
         fmts = batch["fmt"].to_pylist()
         ws = batch["w"].to_numpy(zero_copy_only=False)

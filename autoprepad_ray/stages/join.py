@@ -72,10 +72,11 @@ def bucketed_join(left, right, on: str, *, num_buckets: int = 32,
                                        zero_copy_batch=True)))
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == 0].drop(columns=["__side", "__bucket"])
-        rg = g[g["__side"] == 1].drop(columns=["__side", "__bucket"])
-        lg = lg.dropna(axis=1, how="all")
-        rg = rg.dropna(axis=1, how="all")
+        # drop exactly the other side's typed-null padding columns by
+        # NAME — inferring by all-nullness would also drop a genuinely
+        # all-null real column within the bucket
+        lg = g.loc[g["__side"] == 0, lcols]
+        rg = g.loc[g["__side"] == 1, rcols]
         if not len(lg) or not len(rg):
             return pd.DataFrame()
         return lg.merge(rg, on=on, how="inner")

@@ -200,6 +200,10 @@ def ks_from_valuecounts(a: ValueCounts, b: ValueCounts) -> float:
     """Exact two-sample KS statistic from exact value counts."""
     va, ca = a.sorted_arrays()
     vb, cb = b.sorted_arrays()
+    if len(va) == 0 or len(vb) == 0:
+        # one empty side: KS is 0 when both are empty, else the full CDF
+        # gap (np.where below would index an empty array otherwise)
+        return 0.0 if len(va) == len(vb) else 1.0
     allv = np.unique(np.concatenate([va, vb]))
     cum_a = np.cumsum(ca) / max(1, ca.sum())
     cum_b = np.cumsum(cb) / max(1, cb.sum())

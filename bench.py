@@ -148,9 +148,10 @@ def run_scaling() -> None:
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # best-of-2 per level: single runs vary ±15% with OS cache and
-    # background load; the best run per level reflects the pipeline's
-    # actual capacity at that parallelism
+    # each CPU level runs once here; the best-of-3 repetition happens
+    # INSIDE the img-only child (reps=3 under GRAFT_BENCH_IMG_ONLY), so
+    # the reported rate per level is already a best-of-3 — single passes
+    # vary ±15% with OS cache and background load
     lo, hi = 8, 32
     r_lo = run(lo)
     r_hi = run(hi)

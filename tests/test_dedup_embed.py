@@ -183,3 +183,19 @@ def test_ivf_topk_recall_vs_bruteforce():
                  .sort_values(["cos", "vec_id"],
                               ascending=[False, True])["vec_id"])
         assert e == f
+
+
+def test_bucketed_join_keeps_allnull_column():
+    """A genuinely all-null real column must survive the per-bucket merge
+    (regression: null-padding was stripped by all-nullness inference)."""
+    from autoprepad_ray.stages.join import bucketed_join
+
+    l = pa.table({"k": pa.array([1, 2], type=pa.int64()),
+                  "a": pa.array([None, None], type=pa.int64())})
+    r = pa.table({"k": pa.array([1, 2], type=pa.int64()),
+                  "b": pa.array(["x", "y"])})
+    out = bucketed_join(rd.from_arrow(l), rd.from_arrow(r), "k",
+                        num_buckets=2).to_pandas()
+    assert len(out) == 2
+    assert "a" in out.columns and out["a"].isna().all()
+    assert sorted(out["b"]) == ["x", "y"]

@@ -125,3 +125,47 @@ def test_row_invariant_payloads_untouched(fimg):
     row = merged[merged["fmt_in"] == "ppm"].iloc[0]
     assert np.array_equal(ic.decode_ppm(row["bytes_in"]),
                           ic.decode_ppm(row["bytes_out"]))
+
+
+def test_assert_schema_binary_tolerance_scoped_to_bytes(tmp_path):
+    """Only the bytes column tolerates binary<->large_binary; any other
+    column arriving as large_binary is a schema error (regression: the
+    tolerance clause parsed as (A and B) or C and let everything pass)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from autoprepad_ray.pipelines.image_validation import assert_schema
+
+    t = pa.table({
+        "image_id": pa.array(["a"]),
+        "bytes": pa.array([b"x"], type=pa.binary()),          # tolerated
+        "w": pa.array([1], type=pa.int32()),
+        "h": pa.array([1], type=pa.int32()),
+        "fmt": pa.array(["ppm"]),
+        "caption": pa.array([b"cap"], type=pa.large_binary()),  # error
+        "phash": pa.array([0], type=pa.int64()),
+    })
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(t, p)
+    errs = assert_schema(rd.read_parquet(p))
+    assert any(e.startswith("caption") for e in errs), errs
+    assert not any(e.startswith("bytes") for e in errs), errs
+
+
+def test_decode_verify_plain_binary_offsets(fimg):
+    """bytes arriving as plain binary (int32 offsets) must decode
+    correctly (regression: offsets were always read as int64)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from autoprepad_ray.stages.decode import decode_verify
+
+    d, _ = fimg
+    t = rd.read_parquet(f"{d}/images/partition=0").limit(50) \
+        .to_arrow_refs()
+    import ray
+    tbl = pa.concat_tables([ray.get(r) for r in t])
+    tbl = tbl.set_column(tbl.column_names.index("bytes"), "bytes",
+                         tbl["bytes"].cast(pa.binary()))
+    out = decode_verify(rd.from_arrow(tbl), concurrency=1).to_pandas()
+    assert (out["decode_ok"] == 1).all(), \
+        out.loc[out["decode_ok"] == 0, "decode_reason"].tolist()

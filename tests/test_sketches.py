@@ -179,3 +179,16 @@ def test_columnsketch_merge_associativity(xs, nsplits):
         a, b = merged.quantile(q), whole.quantile(q)
         assert (np.isnan(a) and np.isnan(b)) or np.isclose(
             a, b, rtol=1e-12, atol=1e-12)
+
+
+def test_ks_empty_side_no_crash():
+    """ks_from_valuecounts on an empty side: 0 when both empty, else the
+    full CDF gap (regression: np.where indexed an empty array with -1)."""
+    from autoprepad_ray.validators.drift import ks_from_valuecounts
+
+    a = ValueCounts()
+    a.update(np.array([1.0, 2.0, 3.0]))
+    b = ValueCounts()
+    assert ks_from_valuecounts(a, b) == 1.0
+    assert ks_from_valuecounts(b, a) == 1.0
+    assert ks_from_valuecounts(ValueCounts(), ValueCounts()) == 0.0
