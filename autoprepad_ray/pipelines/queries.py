@@ -687,14 +687,16 @@ def ann_topk_embeddings(sf_dir: str):
     k = 5
 
     def partial(t: pa.Table) -> pa.Table:
+        from ..stages.embed import _matrix
+
         ids_, Qn_ = ray.get(q_ref)
         t = t.filter(pc.greater_equal(t["vec_id"], 3))
         if t.num_rows == 0:
             return pa.table({"query_id": _i64([]), "vec_id": _i64([]),
                              "cos": pa.array([], type=pa.float64())})
         vids = t["vec_id"].to_numpy(zero_copy_only=False)
-        M = np.stack(t["embedding"].to_pylist()).astype(np.float64)
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = _matrix(t["embedding"])  # zero-copy flatten, no per-row pylist
+        Mn = Mn / np.linalg.norm(Mn, axis=1, keepdims=True)
         S = Mn @ Qn_.T  # (rows, queries)
         out_q, out_v, out_c = [], [], []
         for j, qid in enumerate(ids_):

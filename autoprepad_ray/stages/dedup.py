@@ -201,44 +201,47 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, *,
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
-class SimHasher:
-    """64-bit SimHash over word unigrams (weighted bit-sign sum)."""
+def _simhash_batch(texts: list, *, _bits=np.arange(64, dtype=np.uint64)
+                   ) -> np.ndarray:
+    """64-bit SimHash over word unigrams for a whole batch at once.
 
-    def __init__(self, text_col: str, id_col: str):
-        self.text_col, self.id_col = text_col, id_col
-        self.bit_cols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
-
-    def _simhash(self, text: str) -> int:
-        toks = (text or "").split()
-        if not toks:
-            return 0
-        words, counts = np.unique(toks, return_counts=True)
-        h = hash64(words)
-        bits = ((h[:, None] & self.bit_cols[None, :]) != 0)
-        score = (np.where(bits, 1.0, -1.0)
-                 * counts[:, None].astype(np.float64)).sum(axis=0)
-        val = np.uint64(0)
-        for k in np.nonzero(score > 0)[0]:
-            val |= self.bit_cols[k]
-        return int(val.astype(np.int64))
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col]
-        hashes = [self._simhash(t) for t in batch[self.text_col].to_pylist()]
-        return pa.table({self.id_col: ids,
-                         "simhash": pa.array(hashes, type=pa.int64())})
+    Token-count weighting means the per-doc weighted bit-sign sum equals
+    the plain sign sum over ALL token instances — so the batch folds to
+    ONE hash64 call over every token and one segment-summed (docs, 64)
+    sign matrix; no per-document loop, no per-document unique."""
+    toks_per_doc = [(t or "").split() for t in texts]
+    lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+    n = len(texts)
+    out = np.zeros(n, dtype=np.int64)
+    all_toks = [w for toks in toks_per_doc for w in toks]
+    if not all_toks:
+        return out
+    h = hash64(all_toks)
+    signs = (((h[:, None] >> _bits[None, :]) & np.uint64(1))
+             .astype(np.int8) * 2 - 1)                      # (tokens, 64)
+    doc_idx = np.repeat(np.arange(n), lens)
+    score = np.zeros((n, 64), dtype=np.int64)
+    np.add.at(score, doc_idx, signs)
+    val = ((score > 0).astype(np.uint64) << _bits[None, :]).sum(axis=1)
+    out = val.view(np.int64)
+    out[lens == 0] = 0
+    return out
 
 
 def simhash_signatures(ds, text_col: str, id_col: str, *,
                        concurrency: int | None = None,
                        batch_size: int = 512):
-    if concurrency is None:
-        from ..context import default_pool_size
-        concurrency = default_pool_size()
-    return ds.map_batches(
-        SimHasher, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency, batch_size=batch_size,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col})
+    """Stateless vectorized task (no actor pool: there is no per-actor
+    state to amortize — the repo's actor-pool lesson)."""
+    del concurrency  # kept for call-site compatibility
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hashes = _simhash_batch(batch[text_col].to_pylist())
+        return pa.table({id_col: batch[id_col],
+                         "simhash": pa.array(hashes, type=pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size)
 
 
 def simhash_neardup_pairs(ds, text_col: str, id_col: str, *,

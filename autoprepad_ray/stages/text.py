@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 STOPWORDS = {
     "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "for"},
@@ -17,46 +16,43 @@ STOPWORDS = {
     "fr": {"le", "la", "les", "de", "et", "un", "une", "est", "que", "en"},
 }
 
-
-class LangId:
-    """Actor-pool callable: per-language stopword tables built once.
-
-    N-gram-free heuristic: argmax over per-language stopword hit rate;
-    'und' (undetermined) when no language scores above ``min_score``.
-    """
-
-    def __init__(self, text_col: str, *, min_score: float = 0.05):
-        self.text_col = text_col
-        self.min_score = min_score
-        self.tables = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
-
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        toks = df[self.text_col].fillna("").str.lower() \
-            .str.split(r"\s+", regex=True)
-        langs, scores = [], []
-        for ws in toks:
-            ws = ws if isinstance(ws, list) else []
-            n = max(1, len(ws))
-            best_lang, best = "und", 0.0
-            for lang, table in self.tables.items():
-                s = sum(1 for w in ws if w in table) / n
-                if s > best:
-                    best_lang, best = lang, s
-            if best < self.min_score:
-                best_lang = "und"
-            langs.append(best_lang)
-            scores.append(round(best, 6))
-        out = df.copy()
-        out["lang_pred"] = langs
-        out["lang_score"] = scores
-        return out
+_LANGS = list(STOPWORDS)
+_TABLES = [frozenset(STOPWORDS[lang]) for lang in _LANGS]
 
 
-def lang_id(ds, text_col: str = "text", *, concurrency: int | None = None,
-            batch_size: int = 1024):
-    if concurrency is None:
-        from .. context import default_pool_size
-        concurrency = default_pool_size()
-    return ds.map_batches(LangId, batch_format="pandas",
-                          concurrency=concurrency, batch_size=batch_size,
-                          fn_constructor_kwargs={"text_col": text_col})
+def _langid_frame(df: pd.DataFrame, text_col: str,
+                  min_score: float) -> pd.DataFrame:
+    """Vectorized stopword language-ID: one explode + per-language isin
+    over the whole batch (no per-row Python loop).  Argmax over
+    per-language stopword hit rate; 'und' when no language scores above
+    ``min_score``.  Stateless — the per-language tables are 4 tiny
+    module-level frozensets, so a task (not an actor pool) is the right
+    stage shape."""
+    df = df.reset_index(drop=True)
+    toks = df[text_col].fillna("").str.lower() \
+        .str.split(r"\s+", regex=True)
+    n = toks.str.len().clip(lower=1).to_numpy(dtype=np.float64)
+    ex = toks.explode()
+    scores = np.zeros((len(df), len(_LANGS)))
+    for j, table in enumerate(_TABLES):
+        hits = ex.isin(table).groupby(level=0).sum()
+        scores[hits.index.to_numpy(), j] = hits.to_numpy(dtype=np.float64)
+    scores /= n[:, None]
+    best_j = np.argmax(scores, axis=1)          # ties -> earlier language
+    best = scores[np.arange(len(df)), best_j]
+    langs = np.where(best >= min_score,
+                     np.array(_LANGS, dtype=object)[best_j], "und")
+    out = df.copy()
+    out["lang_pred"] = langs
+    out["lang_score"] = np.round(best, 6)
+    return out
+
+
+def lang_id(ds, text_col: str = "text", *, min_score: float = 0.05,
+            concurrency: int | None = None, batch_size: int = 1024):
+    del concurrency  # stateless task now; kept for call-site compatibility
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return _langid_frame(df, text_col, min_score)
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=batch_size)
