@@ -17,10 +17,14 @@ passes over the image table, not one per check —
   row-shaped leaves the pass; the candidate sets are tiny.
 - PASS 2 (metadata read, candidates broadcast): row evidence flags,
   per-partition stat/null counts, and the row LISTINGS for exactly the
-  candidate keys (duplicate-id rows, orphan rows, dup-phash members,
-  hot-band rows for Hamming pairing).  Candidate listings are small by
-  construction; violation rows are capped per block (counts stay
-  exact).
+  candidate keys (duplicate-id rows, orphan rows, dup-phash members).
+  Candidate listings are small by construction; violation rows are
+  capped per block (counts stay exact).
+- Banded-Hamming pairing (own execution reading only image_id+phash):
+  hash-partitioned ``groupby(part).map_groups`` over the band stream —
+  pruned to hot buckets when collisions are rare, the full deduped
+  stream (multi-index hashing) when n >> 2^16 per band — with exact
+  verification inside the groups; only pairs reach the driver.
 - PASS 3 (payload read, actor pool): decode verification — the only
   pass that touches ``bytes``.
 
@@ -47,8 +51,9 @@ from ..profile import ColumnSketch, TableProfile, _col_kind
 from ..sketches import hash64, np_object
 from ..validators import row_checks as rc
 from ..validators.drift import psi_from_counts
-from ..validators.near_dup import (_band_rows, _merge_count_arrays,
-                                   _segment_pairs)
+from ..validators.near_dup import (_band_stream, _merge_count_arrays,
+                                   _pair_parts, _resolve_ids,
+                                   default_num_parts)
 
 EXPECTED_FIELDS = {
     "image_id": pa.string(), "bytes": pa.large_binary(),
@@ -300,7 +305,7 @@ class _P2Partial:
 
     def __init__(self, blob_ref):
         (states, self.dup_id_hashes, self.dup_phashes,
-         self.hot_bands, self.orphan_hashes, mad_threshold,
+         self.orphan_hashes, mad_threshold,
          self.viol_cap) = ray.get(blob_ref)
         self.checker = rc.RowChecker(pickle.dumps(states),
                                      mad_threshold=mad_threshold)
@@ -344,15 +349,8 @@ class _P2Partial:
         if self.dup_phashes.size:
             m = np.isin(ph, self.dup_phashes)
             ph_members = (np.asarray(ids[m]), ph[m])
-        band_rows = None
-        if self.hot_bands.size:
-            br = _band_rows(ph, np.asarray(ids))
-            combo = br["band"].astype(np.int64) * 65536 \
-                + br["band_val"].astype(np.int64)
-            m = np.isin(combo, self.hot_bands)
-            band_rows = (combo[m], br["image_id"][m], br["phash"][m])
         return _pickled((counts, viol_tbl, dup_rows, orphan_rows,
-                         ph_members, band_rows))
+                         ph_members))
 
 
 # ---------------------------------------------------------------------------
@@ -369,7 +367,8 @@ class ImageValidationReport:
     decode_violations: pd.DataFrame | None = None
     neardup_groups: pd.DataFrame | None = None
     neardup_pairs: pd.DataFrame | None = None
-    hamming_saturated: bool = False
+    hamming_saturated: bool = False      # legacy: always False now
+    hamming_path: str = "none"           # none | prune | mih_shuffle
     schema_errors: list = field(default_factory=list)
     timings: dict = field(default_factory=dict)
 
@@ -508,22 +507,23 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
                    else np.empty(0, np.int64))
     hot_bands = (np.sort(hot_band_vals.astype(np.int64)) if neardup
                  else np.empty(0, np.int64))
-    # saturation breaker: 16-bit bands only separate near-dups from
-    # random collisions while n << 2^16 per band.  When the census shows
-    # collision rows past the bound, the banded stage would enumerate
-    # noise pairs, not near-dups — skip it and say so (the exact-phash
-    # stage, which is the dominant real-world signal, still runs).
-    # The scale fix is wider band keys (bits > log2 n), not a bigger cap.
-    hamming_saturated = False
+    # path choice for the banded-Hamming stage: when collisions are rare
+    # the hot-bucket broadcast prunes the band stream to almost nothing;
+    # when collision rows pass the bound (n >> 2^16 per band) the filter
+    # would keep ~everything, so ship the whole deduped band stream
+    # through the hash-partitioned pairing exchange instead (the
+    # multi-index-hashing scale path — pairing happens IN the groups,
+    # never on the driver, so saturation no longer disables the stage)
+    hamming_path = "none"
     if neardup and hot_bands.size:
         collision_rows = int(hot_band_cnts.sum())
-        if collision_rows > max(100_000, int(0.02 * band_total)):
-            hamming_saturated = True
-            hot_bands = np.empty(0, np.int64)
+        hamming_path = ("mih_shuffle" if collision_rows
+                        > max(100_000, int(0.02 * band_total))
+                        else "prune")
     ph_count_map = dict(zip(ph_vals.tolist(), ph_cnts.tolist()))
 
     # ---- PASS 2 ----
-    blob_ref = ray.put((states, dup_id_hashes, dup_phashes, hot_bands,
+    blob_ref = ray.put((states, dup_id_hashes, dup_phashes,
                         orphan_img_hashes, mad_threshold,
                         viol_cap_per_block))
     def p2_fn(batch: pa.Table, _cache={}) -> pa.Table:
@@ -540,12 +540,9 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
     orphan_ids_all: list = []
     ph_member_ids: list = []
     ph_member_vals: list = []
-    band_keys_all: list = []
-    band_ids_all: list = []
-    band_ph_all: list = []
     for r in p2.take_all():
-        (cnts, viol_tbl, dup_rows, orphan_rows, ph_members,
-         band_rows) = pickle.loads(r["payload"])
+        (cnts, viol_tbl, dup_rows, orphan_rows,
+         ph_members) = pickle.loads(r["payload"])
         for u, (n, sv, nv) in cnts.items():
             agg = counts.setdefault(u, [0, 0, 0])
             agg[0] += n
@@ -561,10 +558,6 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
         if ph_members is not None and len(ph_members[0]):
             ph_member_ids.append(ph_members[0])
             ph_member_vals.append(ph_members[1])
-        if band_rows is not None and len(band_rows[0]):
-            band_keys_all.append(band_rows[0])
-            band_ids_all.append(band_rows[1])
-            band_ph_all.append(band_rows[2])
 
     stat_viol = (pa.concat_tables(viol_tables) if viol_tables
                  else None)
@@ -607,7 +600,7 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
         orphan_df = pd.DataFrame(rows, columns=["image_id", "left_n",
                                                 "right_n"])
 
-    # near-dup outputs
+    # near-dup group listings (exact-equal phashes)
     nd_groups = nd_pairs = None
     if neardup:
         if ph_member_ids:
@@ -623,16 +616,33 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
                 "ids": [sorted(by_hash[h])[:64] for h in hs]})
         else:
             nd_groups = pd.DataFrame({"phash": [], "n": [], "ids": []})
-        if band_keys_all:
-            nd_pairs = _segment_pairs(
-                np.concatenate(band_keys_all),
-                np.concatenate(band_ids_all),
-                np.concatenate(band_ph_all), 4, 512)
-        else:
-            nd_pairs = pd.DataFrame({"id_a": [], "id_b": [], "dist": []})
 
     timings["pass2_evidence_listings"] = round(
         _time.perf_counter() - _t0, 3)
+    _t0 = _time.perf_counter()
+
+    # ---- banded-Hamming pairing (distributed; own pruned execution) ----
+    # reads ONLY (image_id, phash); the pass-1 census already chose the
+    # path, so no second census runs here
+    if neardup:
+        if hamming_path != "none":
+            hot_ref = (ray.put(hot_bands) if hamming_path == "prune"
+                       else None)
+            # band stream reads ONLY phash; the (image_id, phash) read
+            # happens just in _resolve_ids, and only when pairs exist
+            bs = _band_stream(
+                rd.read_parquet(images_dir, columns=["phash"]),
+                "phash", default_num_parts(), hot_ref)
+            nd_pairs = _resolve_ids(
+                rd.read_parquet(images_dir,
+                                columns=["image_id", "phash"]),
+                "phash", "image_id", _pair_parts(bs, 4, 4096))
+        else:
+            nd_pairs = pd.DataFrame({
+                "id_a": pd.Series([], dtype=object),
+                "id_b": pd.Series([], dtype=object),
+                "dist": pd.Series([], dtype=np.int64)})
+    timings["hamming_pairs"] = round(_time.perf_counter() - _t0, 3)
     _t0 = _time.perf_counter()
 
     # ---- PASS 3: decode (payload read, actor pool) ----
@@ -677,7 +687,8 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
         verdicts=verdicts, profile=prof, stat_violations=stat_viol,
         dup_ids=dup_df, orphans=orphan_df, drift_psi=drift_df,
         decode_violations=decode_df, neardup_groups=nd_groups,
-        neardup_pairs=nd_pairs, hamming_saturated=hamming_saturated,
+        neardup_pairs=nd_pairs, hamming_saturated=False,
+        hamming_path=hamming_path,
         schema_errors=schema_errors, timings=timings)
 
 

@@ -77,7 +77,10 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
 def popcount64(x: np.ndarray) -> np.ndarray:
     """Exact vectorized popcount for uint64 (numpy<2 has no bitwise_count)."""
     x = np.atleast_1d(np.asarray(x))
-    b = x.astype(np.uint64).view(np.uint8).reshape(*x.shape, 8)
+    # force C-order: fancy indexing can hand us F-ordered arrays whose
+    # last axis is not contiguous, which the uint8 view rejects
+    b = np.ascontiguousarray(x, dtype=np.uint64) \
+        .view(np.uint8).reshape(*x.shape, 8)
     return _POP8[b].sum(axis=-1).astype(np.int64)
 
 

@@ -11,14 +11,27 @@ groupby is deliberately avoided here because bucket keys are near-unique
 (a groupby would pay a full sort exchange to mostly rediscover
 singletons).
 
-Banded Hamming: the 64-bit hash splits into 4x16-bit bands; hashes
-within Hamming distance <= 4 share at least one band unless all
-differing bits land in distinct bands (documented recall bound;
-exact-equal hashes are the other stage's job).  Candidate pairing runs
-on the pruned rows only (rows in buckets with >= 2 members), segment-
-vectorized after a single lexsort.  ``max_candidates`` bounds driver
-memory: past it, the pairing falls back to per-bucket capped sampling —
-reported via the ``capped`` flag, never silent.
+Banded Hamming (multi-index hashing, Norouzi et al.'s substring
+pigeonhole): the 64-bit hash splits into 4x16-bit bands; two hashes at
+Hamming distance d share an exact band whenever some band carries none
+of the d differing bits — guaranteed for d <= 3 (4 bands, pigeonhole),
+~90% for d = 4 under uniform bit positions (documented recall bound;
+exact-equal hashes are the other stage's job).
+
+Execution shape — pairing and verification are DISTRIBUTED, never
+driver-side:
+1. dense band census (4x65536 bincount partials, vector-add tree merge)
+   decides the path: ``prune`` broadcasts the multi-member bucket keys
+   and ships only their rows; ``mih_shuffle`` (when collisions are the
+   norm, n >> 2^16 per band) skips the pointless filter and ships the
+   whole band stream;
+2. either way, ONE hash-partitioned exchange on ``part =
+   splitmix64(band_key) % P`` co-locates complete buckets, and
+   ``groupby(part).map_groups`` pairs within lexsorted segments — full
+   64-bit Hamming verification happens inside the group.  Rows are
+   deduped to one representative per distinct hash value (min id) both
+   per block and per part, which also neutralizes hot-value skew.
+Only verified (id_a, id_b, dist) pairs — the output — reach the driver.
 """
 
 from __future__ import annotations
@@ -31,8 +44,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
-
-from ..functions.imagecodec import hamming64
 
 
 def _pickled(obj) -> pa.Table:
@@ -122,13 +133,21 @@ def _band_rows(phash: np.ndarray, ids: np.ndarray) -> dict[str, np.ndarray]:
             "phash": np.concatenate(hashes)}
 
 
+_GROUPED_SEG_MAX = 256  # segments up to this size batch by size class
+
+
 def _segment_pairs(keys: np.ndarray, ids: np.ndarray, ph: np.ndarray,
                    max_dist: int, bucket_cap: int) -> pd.DataFrame:
     """Vectorized within-bucket pairing over lexsorted candidate rows.
 
-    Size-2 segments (the overwhelming majority under random band
-    collisions) are paired in one vectorized shot; only larger segments
-    fall into the per-segment loop."""
+    Segments are batched BY SIZE CLASS: all size-m buckets stack into a
+    (k, m) hash matrix and every intra-bucket pair is verified with one
+    XOR + popcount broadcast per class — no per-segment Python loop (at
+    n >> 2^16 per band the average bucket holds n/2^16 rows and the
+    loop, not the shuffle, dominated).  Segments past _GROUPED_SEG_MAX
+    (rare; capped at ``bucket_cap``) fall back to a row-vs-rest sweep."""
+    from ..sketches import popcount64
+
     order = np.argsort(keys, kind="mergesort")
     keys, ids, ph = keys[order], ids[order], ph[order]
     bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
@@ -137,102 +156,244 @@ def _segment_pairs(keys: np.ndarray, ids: np.ndarray, ph: np.ndarray,
     out_a: list = []
     out_b: list = []
     out_d: list = []
-    s2 = starts[sizes == 2]
-    if s2.size:
-        d = hamming64(ph[s2], ph[s2 + 1])
-        hit = (d >= 1) & (d <= max_dist)
-        a = ids[s2[hit]]
-        b = ids[s2[hit] + 1]
+    u = ph.astype(np.int64).view(np.uint64)
+
+    def emit(a, b, d):
         swap = a > b
-        a2 = np.where(swap, b, a)
-        b2 = np.where(swap, a, b)
-        out_a.extend(a2.tolist())
-        out_b.extend(b2.tolist())
-        out_d.extend(d[hit].tolist())
-    seen = set(zip(out_a, out_b))
-    for s, size in zip(starts[sizes > 2], sizes[sizes > 2]):
+        out_a.append(np.where(swap, b, a))
+        out_b.append(np.where(swap, a, b))
+        out_d.append(d)
+
+    sel = (sizes >= 2) & (sizes <= _GROUPED_SEG_MAX)
+    for m in np.unique(sizes[sel]):
+        st = starts[sizes == m]
+        idx = st[:, None] + np.arange(m)[None, :]          # (k, m)
+        iu, ju = np.triu_indices(int(m), 1)
+        P = u[idx]
+        # chunk so the (k, m(m-1)/2) pair matrix stays ~32 MB
+        step = max(1, 4_000_000 // max(1, len(iu)))
+        for c in range(0, len(st), step):
+            Pc = P[c:c + step]
+            d = popcount64(Pc[:, iu] ^ Pc[:, ju]).astype(np.int64)
+            hit = (d >= 1) & (d <= max_dist)
+            if not hit.any():
+                continue
+            ks, ps = np.nonzero(hit)
+            ic = idx[c:c + step]
+            emit(ids[ic[ks, iu[ps]]], ids[ic[ks, ju[ps]]], d[hit])
+    for s, size in zip(starts[sizes > _GROUPED_SEG_MAX],
+                       sizes[sizes > _GROUPED_SEG_MAX]):
         e = s + min(int(size), bucket_cap)
-        seg_ids = ids[s:e]
-        seg_ph = ph[s:e]
-        for i in range(len(seg_ids) - 1):
-            d = hamming64(seg_ph[i + 1:], int(seg_ph[i]))
-            for j in np.nonzero((d >= 1) & (d <= max_dist))[0]:
-                a, b = seg_ids[i], seg_ids[i + 1 + j]
-                if a > b:
-                    a, b = b, a
-                if (a, b) not in seen:
-                    seen.add((a, b))
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_d.append(int(d[j]))
-    df = pd.DataFrame({"id_a": out_a, "id_b": out_b, "dist": out_d})
-    # a pair can surface from several bands (size-2 path has no dedupe)
+        for i in range(s, e - 1):
+            d = popcount64(u[i + 1:e] ^ u[i]).astype(np.int64)
+            hit = (d >= 1) & (d <= max_dist)
+            if hit.any():
+                j = np.nonzero(hit)[0] + i + 1
+                emit(np.broadcast_to(ids[i], j.shape).copy(), ids[j],
+                     d[hit])
+    if out_a:
+        df = pd.DataFrame({
+            "id_a": pd.Series(np.concatenate(out_a)),
+            "id_b": pd.Series(np.concatenate(out_b)),
+            "dist": pd.Series(np.concatenate(out_d), dtype=np.int64)})
+    else:
+        # typed even when empty: map_groups concatenates per-group frames
+        # and an untyped empty column would break schema unification
+        df = pd.DataFrame({
+            "id_a": pd.Series(np.asarray([], dtype=ids.dtype)),
+            "id_b": pd.Series(np.asarray([], dtype=ids.dtype)),
+            "dist": pd.Series([], dtype=np.int64)})
+    # a pair can surface from several bands
     return df.drop_duplicates(subset=["id_a", "id_b"])
+
+
+N_BANDS = 4
+BAND_SLOTS = 65536  # 16-bit substrings; dense combo key = band*65536+val
+
+_EMPTY_PAIRS = {"id_a": pd.Series([], dtype=object),
+                "id_b": pd.Series([], dtype=object),
+                "dist": pd.Series([], dtype=np.int64)}
+
+
+def _band_combos(ph: np.ndarray) -> np.ndarray:
+    """(n, 4) dense band-bucket keys for 64-bit hashes."""
+    u = ph.astype(np.int64).view(np.uint64)
+    out = np.empty((len(ph), N_BANDS), dtype=np.int64)
+    for b in range(N_BANDS):
+        out[:, b] = np.int64(b * BAND_SLOTS) + (
+            (u >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+    return out
+
+
+def _dense_band_census(ds, phash_col: str) -> np.ndarray:
+    """Total per-bucket counts over the (block-deduped) band stream:
+    per-block 4x65536 bincount, vector-add tree merge."""
+    def partial(t: pa.Table) -> pa.Table:
+        ph = np.unique(t[phash_col].to_numpy(zero_copy_only=False))
+        dense = np.bincount(_band_combos(ph).ravel(),
+                            minlength=N_BANDS * BAND_SLOTS) \
+            .astype(np.int32)
+        return _pickled(dense)
+
+    def merge(batch: pa.Table) -> pa.Table:
+        total = np.zeros(N_BANDS * BAND_SLOTS, dtype=np.int64)
+        for p in batch["payload"].to_pylist():
+            total += pickle.loads(p)
+        return _pickled(total)
+
+    merged = ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .map_batches(merge, batch_size=32, batch_format="pyarrow")
+    total = np.zeros(N_BANDS * BAND_SLOTS, dtype=np.int64)
+    for r in merged.take_all():
+        total += pickle.loads(r["payload"])
+    return total
+
+
+def _band_stream(ds, phash_col: str, num_parts: int, hot_ref=None):
+    """Sliced band-row payloads over DISTINCT per-block hash values —
+    pairing runs in hash space (ids resolved only for matched pairs).
+    Each block emits ONE pickled (keys, hashes) array pair per key-hash
+    slice (the pass-1 census packing: the exchange moves blocks x slices
+    payload ROWS, not 4n row-shaped records — Ray's per-row shuffle
+    overhead is the cost at bench scale, not the bytes).  Slicing by
+    splitmix64(bucket key) keeps every bucket complete in one slice;
+    per-block dedupe also neutralizes hot-value skew (a popular hash
+    contributes one row per bucket per block, not thousands)."""
+    from ..sketches import splitmix64
+
+    def fn(t: pa.Table) -> pa.Table:
+        ph = np.unique(t[phash_col].to_numpy(zero_copy_only=False))
+        keys = _band_combos(ph).ravel()
+        out_ph = np.repeat(ph, N_BANDS)
+        if hot_ref is not None:
+            m = np.isin(keys, ray.get(hot_ref))
+            keys, out_ph = keys[m], out_ph[m]
+        if not len(keys):
+            return pa.table({"slice": pa.array([], type=pa.int32()),
+                             "payload": pa.array([],
+                                                 type=pa.large_binary())})
+        sl = (splitmix64(keys.view(np.uint64))
+              % np.uint64(num_parts)).astype(np.int32)
+        order = np.argsort(sl, kind="stable")
+        sl, keys, out_ph = sl[order], keys[order], out_ph[order]
+        bounds = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1], True])
+        slices, payloads = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            slices.append(int(sl[s]))
+            payloads.append(pickle.dumps((keys[s:e], out_ph[s:e])))
+        return pa.table({"slice": pa.array(slices, type=pa.int32()),
+                         "payload": pa.array(payloads,
+                                             type=pa.large_binary())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pair_parts(band_ds, max_dist: int, bucket_cap: int) -> pd.DataFrame:
+    """Distributed pairing: ONE groupby(slice) exchange over payload
+    rows, within-group cross-block dedupe + segment-vectorized pairing +
+    exact Hamming verify.  Only verified (ph_a, ph_b, dist) pairs leave
+    the tasks."""
+
+    def pair_part(g: pd.DataFrame) -> pd.DataFrame:
+        parts = [pickle.loads(p) for p in g["payload"]]
+        keys = np.concatenate([p[0] for p in parts])
+        ph = np.concatenate([p[1] for p in parts])
+        uniq = np.unique(np.stack([keys, ph], axis=1), axis=0)
+        out = _segment_pairs(uniq[:, 0], uniq[:, 1], uniq[:, 1],
+                             max_dist, bucket_cap)
+        return out.rename(columns={"id_a": "ph_a", "id_b": "ph_b"})
+
+    out = band_ds.groupby("slice").map_groups(pair_part,
+                                              batch_format="pandas") \
+        .to_pandas()
+    if not len(out):
+        return pd.DataFrame({"ph_a": pd.Series([], dtype=np.int64),
+                             "ph_b": pd.Series([], dtype=np.int64),
+                             "dist": pd.Series([], dtype=np.int64)})
+    # a pair can surface in several buckets routed to different slices
+    return out.drop_duplicates(["ph_a", "ph_b"]).reset_index(drop=True)
+
+
+def _resolve_ids(ds, phash_col: str, id_col: str,
+                 ph_pairs: pd.DataFrame) -> pd.DataFrame:
+    """Map hash pairs to (id_a, id_b, dist) with the GLOBAL min id as
+    each hash's representative: one pruned execution (broadcast matched
+    hashes, per-block min-id partials — tiny by construction)."""
+    if not len(ph_pairs):
+        return pd.DataFrame(_EMPTY_PAIRS)
+    need = np.unique(np.concatenate([ph_pairs["ph_a"].to_numpy(),
+                                     ph_pairs["ph_b"].to_numpy()]))
+    need_ref = ray.put(need.astype(np.int64))
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..sketches import np_object
+        ph = t[phash_col].to_numpy(zero_copy_only=False)
+        m = np.isin(ph, ray.get(need_ref))
+        ph, ids = ph[m], np_object(t[id_col])[m]
+        if not len(ph):
+            return pa.table({"ph": pa.array([], type=pa.int64()),
+                             "id": t[id_col].slice(0, 0)})
+        order = np.lexsort((ids, ph))
+        ph, ids = ph[order], ids[order]
+        first = np.r_[True, ph[1:] != ph[:-1]]
+        return pa.table({"ph": pa.array(ph[first]),
+                         "id": pa.array(ids[first])})
+
+    rep: dict[int, object] = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all():
+        p, i = r["ph"], r["id"]
+        if p not in rep or i < rep[p]:
+            rep[p] = i
+    a = np.array([rep[p] for p in ph_pairs["ph_a"]], dtype=object)
+    b = np.array([rep[p] for p in ph_pairs["ph_b"]], dtype=object)
+    swap = a > b
+    out = pd.DataFrame({
+        "id_a": pd.Series(np.where(swap, b, a)),
+        "id_b": pd.Series(np.where(swap, a, b)),
+        "dist": ph_pairs["dist"].astype(np.int64).to_numpy()})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def default_num_parts(mult: int = 4, floor: int = 16) -> int:
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+    except Exception:
+        cpus = 4
+    return max(floor, cpus * mult)
 
 
 def hamming_neardup_pairs(ds, *, max_dist: int = 4,
                           phash_col: str = "phash",
                           id_col: str = "image_id",
-                          bucket_cap: int = 512,
-                          max_candidates: int = 2_000_000) -> pd.DataFrame:
-    """Banded-LSH candidates + exact Hamming verification.
+                          bucket_cap: int = 4096,
+                          num_parts: int | None = None,
+                          sat_min: int = 100_000, sat_frac: float = 0.02,
+                          force_path: str | None = None) -> pd.DataFrame:
+    """Banded-LSH candidates + exact Hamming verification, distributed.
 
     Returns a DataFrame (id_a, id_b, dist), id_a < id_b, 1 <= dist <=
-    max_dist.  Phase 1 tree-counts bucket sizes; phase 2 prunes to rows
-    in multi-member buckets (typically a small fraction) and pairs them
-    segment-vectorized.  At 10^12-row scale phase 2's pairing moves into
-    per-bucket-range tasks over the same pruned stream; the pruning
-    itself is already distributed.
+    max_dist, one representative id per distinct hash value.  The dense
+    census picks the path: ``prune`` (collisions rare — ship only
+    multi-member buckets' rows) or ``mih_shuffle`` (collisions the norm
+    at n >> 2^16 per band — ship the whole deduped band stream; the
+    filter would keep ~everything anyway).  Both paths end in the same
+    hash-partitioned groupby pairing; results are path-independent.
     """
-
-    def explode(t: pa.Table) -> dict:
-        from ..sketches import np_object
-        ph = t[phash_col].to_numpy(zero_copy_only=False)
-        return _band_rows(ph, np_object(t[id_col]))
-
-    band_ds = ds.map_batches(explode, batch_format="pyarrow",
-                             zero_copy_batch=True)
-
-    def census(t: dict) -> pa.Table:
-        combo = (t["band"].astype(np.int64) << np.int64(20)) \
-            | t["band_val"].astype(np.int64)
-        return _pickled(np.unique(combo, return_counts=True))
-
-    cvals, ccnts = _tree_counts(band_ds.map_batches(census,
-                                                    batch_format="numpy"))
-    hot = cvals[ccnts >= 2].astype(np.int64)
+    if num_parts is None:
+        num_parts = default_num_parts()
+    census = _dense_band_census(ds, phash_col)
+    hot = np.nonzero(census >= 2)[0].astype(np.int64)
     if hot.size == 0:
-        return pd.DataFrame({"id_a": pd.Series([], dtype=object),
-                             "id_b": pd.Series([], dtype=object),
-                             "dist": pd.Series([], dtype=np.int64)})
-    hot_ref = ray.put(hot)
-
-    def keep_hot(t: dict) -> dict:
-        keys = ray.get(hot_ref)
-        combo = (t["band"].astype(np.int64) << np.int64(20)) \
-            | t["band_val"].astype(np.int64)
-        mask = np.isin(combo, keys)
-        return {"key": combo[mask], "id": np.asarray(t["image_id"])[mask],
-                "ph": t["phash"][mask]}
-
-    k_parts, i_parts, p_parts = [], [], []
-    for b in band_ds.map_batches(keep_hot, batch_format="numpy") \
-            .iter_batches(batch_size=65536, batch_format="numpy"):
-        k_parts.append(np.asarray(b["key"], dtype=np.int64))
-        i_parts.append(np.asarray(b["id"], dtype=object))
-        p_parts.append(np.asarray(b["ph"], dtype=np.int64))
-    keys = np.concatenate(k_parts) if k_parts else np.empty(0, np.int64)
-    ids = np.concatenate(i_parts) if i_parts else np.empty(0, object)
-    ph = np.concatenate(p_parts) if p_parts else np.empty(0, np.int64)
-    if len(keys) > max_candidates:
-        # bounded fallback: keep the first bucket_cap rows per bucket
-        # (counts stay exact upstream; pairing recall is reported capped)
-        order = np.argsort(keys, kind="mergesort")
-        keys, ids, ph = keys[order], ids[order], ph[order]
-        first_of = np.r_[True, keys[1:] != keys[:-1]]
-        rank = np.arange(len(keys)) - np.maximum.accumulate(
-            np.where(first_of, np.arange(len(keys)), 0))
-        keep = rank < bucket_cap
-        keys, ids, ph = keys[keep], ids[keep], ph[keep]
-    out = _segment_pairs(keys, ids, ph, max_dist, bucket_cap)
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        return pd.DataFrame(_EMPTY_PAIRS)
+    collision_rows = int(census[hot].sum())
+    path = force_path or (
+        "mih_shuffle"
+        if collision_rows > max(sat_min, int(sat_frac * census.sum()))
+        else "prune")
+    hot_ref = ray.put(hot) if path == "prune" else None
+    band_ds = _band_stream(ds, phash_col, num_parts, hot_ref)
+    ph_pairs = _pair_parts(band_ds, max_dist, bucket_cap)
+    return _resolve_ids(ds, phash_col, id_col, ph_pairs)

@@ -1,0 +1,110 @@
+"""Banded-Hamming near-dup (distributed pairing, multi-index hashing)
+vs an exact brute-force oracle on planted fixtures.
+
+Oracle semantics: a pair (a, b) is reported iff 1 <= hamming(a, b) <=
+max_dist AND the hashes share at least one exact 16-bit band (the
+documented MIH recall condition — guaranteed for d <= 3, ~90% at d = 4),
+with one min-id representative per distinct hash value.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from autoprepad_ray.functions.imagecodec import hamming64
+from autoprepad_ray.validators.near_dup import hamming_neardup_pairs
+
+
+def _bands(v: np.ndarray) -> np.ndarray:
+    u = v.astype(np.int64).view(np.uint64)
+    return np.stack([((u >> np.uint64(16 * b)) & np.uint64(0xFFFF))
+                     for b in range(4)], axis=1)
+
+
+def brute_pairs(ids, ph, max_dist):
+    ids = np.asarray(ids, dtype=object)
+    ph = np.asarray(ph, dtype=np.int64)
+    order = np.lexsort((ids, ph))
+    ph, ids = ph[order], ids[order]
+    first = np.r_[True, ph[1:] != ph[:-1]]
+    ph, ids = ph[first], ids[first]
+    bands = _bands(ph)
+    out = {}
+    for i in range(len(ph) - 1):
+        d = hamming64(ph[i + 1:], int(ph[i]))
+        share = (bands[i + 1:] == bands[i][None, :]).any(axis=1)
+        for j in np.nonzero((d >= 1) & (d <= max_dist) & share)[0]:
+            a, b = ids[i], ids[i + 1 + j]
+            if a > b:
+                a, b = b, a
+            out[(a, b)] = int(d[j])
+    return out
+
+
+def _fixture(n_base=400, n_planted=30, seed=9):
+    rng = np.random.default_rng(seed)
+    ph = rng.integers(-2**62, 2**62, n_base).astype(np.int64)
+    ids = [f"d{i:05d}" for i in range(n_base)]
+    for k in range(n_planted):
+        flips = (k % 4) + 1                      # distances 1..4
+        v = np.uint64(np.int64(ph[k]).view(np.uint64))
+        for bit in rng.choice(64, size=flips, replace=False):
+            v ^= np.uint64(1) << np.uint64(bit)
+        ph = np.append(ph, np.int64(v.view(np.int64)))
+        ids.append(f"p{k:05d}")
+    return pa.table({"image_id": pa.array(ids),
+                     "phash": pa.array(ph, type=pa.int64())})
+
+
+def _got_pairs(df: pd.DataFrame) -> dict:
+    return {(a, b): int(d) for a, b, d in
+            zip(df["id_a"], df["id_b"], df["dist"])}
+
+
+def test_hamming_pairs_match_bruteforce_exactly():
+    t = _fixture()
+    ds = rd.from_arrow(t).repartition(5)
+    got = _got_pairs(hamming_neardup_pairs(ds, max_dist=4))
+    exp = brute_pairs(t["image_id"].to_pylist(), t["phash"].to_numpy(),
+                      4)
+    assert got == exp
+    # every planted pair within distance <= 3 is guaranteed recalled
+    for k in range(30):
+        if (k % 4) + 1 <= 3:
+            pair = (f"d{k:05d}", f"p{k:05d}")
+            assert pair in got, pair
+
+
+def test_hamming_paths_agree():
+    """prune and mih_shuffle must produce identical pairs — the path is
+    a shuffle-volume choice, never a semantics choice."""
+    t = _fixture(n_base=200, n_planted=20, seed=3)
+    ds = rd.from_arrow(t).repartition(4)
+    a = _got_pairs(hamming_neardup_pairs(ds, force_path="prune"))
+    b = _got_pairs(hamming_neardup_pairs(ds, force_path="mih_shuffle"))
+    assert a == b and len(a) >= 15
+
+
+def test_hamming_dup_heavy_saturated_path():
+    """Dup-heavy fixture (every bucket multi-member — the regime that
+    used to hit the driver-side max_candidates cap / saturation skip):
+    the full-shuffle path still returns the exact oracle pairs."""
+    rng = np.random.default_rng(17)
+    base = rng.integers(-2**62, 2**62, 25).astype(np.int64)
+    ph_list, ids = [], []
+    for i in range(3000):
+        v = np.uint64(np.int64(base[i % 25]).view(np.uint64))
+        for bit in rng.choice(64, size=rng.integers(0, 3), replace=False):
+            v ^= np.uint64(1) << np.uint64(bit)
+        ph_list.append(np.int64(v.view(np.int64)))
+        ids.append(f"r{i:05d}")
+    ph = np.array(ph_list, dtype=np.int64)
+    t = pa.table({"image_id": pa.array(ids),
+                  "phash": pa.array(ph, type=pa.int64())})
+    ds = rd.from_arrow(t).repartition(6)
+    # sat_min low -> the census (almost every bucket >= 2 members)
+    # flips to the mih_shuffle path organically
+    got = _got_pairs(hamming_neardup_pairs(ds, max_dist=4, sat_min=100))
+    exp = brute_pairs(ids, ph, 4)
+    assert got == exp and len(exp) > 50
