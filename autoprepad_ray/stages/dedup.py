@@ -104,6 +104,126 @@ def exact_jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
+def _candidate_pairs_distributed(keyed, bucket_cap: int) -> pd.DataFrame:
+    """Distributed LSH candidate pairing: per-block (slice, payload)
+    packing of the pruned (key, doc_id) rows, ONE groupby(slice)
+    exchange co-locating complete buckets, per-group enumeration —
+    no bucket rows ever collect on the driver, only the pairs."""
+    import pickle
+
+    num_slices = 64
+
+    def pack(t: dict) -> pa.Table:
+        keys = np.asarray(t["key"], dtype=np.int64)
+        ids = np.asarray(t["doc_id"], dtype=object)
+        if not len(keys):
+            return pa.table({"slice": pa.array([], type=pa.int32()),
+                             "payload": pa.array([],
+                                                 type=pa.large_binary())})
+        sl = (splitmix64(keys.view(np.uint64))
+              % np.uint64(num_slices)).astype(np.int32)
+        order = np.argsort(sl, kind="stable")
+        sl, keys, ids = sl[order], keys[order], ids[order]
+        bounds = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1], True])
+        slices, payloads = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            slices.append(int(sl[s]))
+            payloads.append(pickle.dumps((keys[s:e], ids[s:e])))
+        return pa.table({"slice": pa.array(slices, type=pa.int32()),
+                         "payload": pa.array(payloads,
+                                             type=pa.large_binary())})
+
+    def pair_slice(g: pd.DataFrame) -> pd.DataFrame:
+        parts = [pickle.loads(p) for p in g["payload"]]
+        keys = np.concatenate([p[0] for p in parts])
+        ids = np.concatenate([p[1] for p in parts])
+        order = np.lexsort((ids, keys))
+        keys, ids = keys[order], ids[order]
+        first = np.r_[True, (keys[1:] != keys[:-1]) | (ids[1:] != ids[:-1])]
+        keys, ids = keys[first], ids[first]
+        bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+        out_a, out_b = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            members = ids[s:min(e, s + bucket_cap)]
+            for i in range(len(members) - 1):
+                a = members[i]
+                for b in members[i + 1:]:
+                    out_a.append(a)
+                    out_b.append(b)
+        return pd.DataFrame({"id_a": pd.Series(out_a, dtype=object),
+                             "id_b": pd.Series(out_b, dtype=object)})
+
+    out = keyed.map_batches(pack, batch_format="numpy") \
+        .groupby("slice").map_groups(pair_slice, batch_format="pandas") \
+        .to_pandas()
+    if not len(out):
+        return pd.DataFrame({"id_a": [], "id_b": []})
+    return out.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _verify_jaccard_distributed(ds, text_col: str, id_col: str,
+                                cand: pd.DataFrame, n_words: int
+                                ) -> pd.DataFrame:
+    """Distributed exact-Jaccard verification as a candidate join: the
+    tiny pair list is broadcast as a doc->verify-part routing map; the
+    docs stream computes shingle sets for exactly the candidate docs and
+    ships each to the part(s) whose pairs need it; per-part map_groups
+    evaluates its pairs locally.  Driver memory stays O(pairs) — no
+    candidate document text ever collects on the driver."""
+    import pickle
+
+    num_parts = max(4, min(64, len(cand) // 32 + 1))
+    pair_arr = list(zip(cand["id_a"], cand["id_b"]))
+    part_of = [hash((a, b)) % num_parts for a, b in pair_arr]
+    pairs_by_part: dict[int, list] = {}
+    doc_parts: dict = {}
+    for (a, b), p in zip(pair_arr, part_of):
+        pairs_by_part.setdefault(p, []).append((a, b))
+        doc_parts.setdefault(a, set()).add(p)
+        doc_parts.setdefault(b, set()).add(p)
+    route_ref = ray.put((pairs_by_part, doc_parts))
+
+    def ship_shingles(batch: pa.Table) -> pa.Table:
+        _, routes = ray.get(route_ref)
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        parts_out, ids_out, payloads = [], [], []
+        for i, t in zip(ids, texts):
+            tgt = routes.get(i)
+            if not tgt:
+                continue
+            blob = pickle.dumps(_shingle_hashes(t or "", n_words))
+            for p in tgt:
+                parts_out.append(p)
+                ids_out.append(i)
+                payloads.append(blob)
+        return pa.table({
+            "part": pa.array(parts_out, type=pa.int32()),
+            "doc_id": pa.array(ids_out),
+            "payload": pa.array(payloads, type=pa.large_binary())})
+
+    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
+        pairs, _ = ray.get(route_ref)
+        local = {i: pickle.loads(p)
+                 for i, p in zip(g["doc_id"], g["payload"])}
+        part = int(g["part"].iloc[0])
+        rows = [(a, b, exact_jaccard(local[a], local[b]))
+                for a, b in pairs.get(part, [])
+                if a in local and b in local]
+        return pd.DataFrame({
+            "id_a": pd.Series([r[0] for r in rows], dtype=object),
+            "id_b": pd.Series([r[1] for r in rows], dtype=object),
+            "jaccard": pd.Series([r[2] for r in rows], dtype=np.float64)})
+
+    out = ds.map_batches(ship_shingles, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("part").map_groups(verify_part, batch_format="pandas") \
+        .to_pandas()
+    if not len(out):
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    return out
+
+
 def minhash_lsh_pairs(ds, text_col: str, id_col: str, *,
                       num_perm: int = 128, bands: int = 32,
                       n_words: int = 3, threshold: float = 0.5,
@@ -111,9 +231,11 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, *,
                       batch_size: int = 512):
     """Near-duplicate pairs with verified word-shingle Jaccard >= threshold.
 
-    Returns a pandas DataFrame (id_a, id_b, jaccard) — the candidate set
-    is tiny relative to the corpus, so verification happens driver-side
-    over just the candidate documents (broadcast-filtered fetch).
+    Returns a pandas DataFrame (id_a, id_b, jaccard).  Every heavy step
+    is distributed: signature + band keys in an actor pool, candidate
+    buckets census-pruned then paired inside a groupby(slice) exchange,
+    exact-Jaccard verification as a broadcast-routed candidate join —
+    the driver only ever holds the candidate/verified PAIR lists.
     """
     if concurrency is None:
         from ..context import default_pool_size
@@ -125,11 +247,10 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, *,
                                "num_perm": num_perm, "bands": bands,
                                "n_words": n_words})
 
-    # candidate generation uses the census-prune-pair plan from
+    # candidate generation uses the census-prune plan from
     # validators.near_dup: tree-count bucket sizes, broadcast the
-    # multi-member bucket keys, collect only their rows, pair within
-    # lexsorted segments — no sort-groupby over (mostly singleton)
-    # buckets.
+    # multi-member bucket keys — no sort-groupby over (mostly
+    # singleton) buckets.
     from ..validators.near_dup import _pickled, _tree_counts
 
     def fold_key(t: pa.Table) -> dict:
@@ -141,7 +262,11 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, *,
                 "doc_id": np.asarray(t["doc_id"].to_numpy(
                     zero_copy_only=False))}
 
-    keyed = band_rows.map_batches(fold_key, batch_format="pyarrow")
+    # keyed is consumed twice (census, then pruned pairing); materialize
+    # so the signature actor pool runs ONCE — the keyed stream is small
+    # (bands x n rows of int64 + id) and object-store-resident/spillable
+    keyed = band_rows.map_batches(fold_key,
+                                  batch_format="pyarrow").materialize()
 
     def census(t: dict) -> pa.Table:
         return _pickled(np.unique(t["key"], return_counts=True))
@@ -157,47 +282,13 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, *,
         mask = np.isin(t["key"], ray.get(hot_ref))
         return {"key": t["key"][mask], "doc_id": t["doc_id"][mask]}
 
-    k_parts, d_parts = [], []
-    for b in keyed.map_batches(keep_hot, batch_format="numpy") \
-            .iter_batches(batch_size=65536, batch_format="numpy"):
-        k_parts.append(np.asarray(b["key"], dtype=np.int64))
-        d_parts.append(np.asarray(b["doc_id"], dtype=object))
-    keys = np.concatenate(k_parts) if k_parts else np.empty(0, np.int64)
-    docs_arr = np.concatenate(d_parts) if d_parts else np.empty(0, object)
-    order = np.argsort(keys, kind="mergesort")
-    keys, docs_arr = keys[order], docs_arr[order]
-    bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
-    pairs_set: set = set()
-    for s, e in zip(bounds[:-1], bounds[1:]):
-        if e - s < 2:
-            continue
-        members = pd.unique(docs_arr[s:e])[:bucket_cap]
-        for i in range(len(members) - 1):
-            for j in range(i + 1, len(members)):
-                a, b = members[i], members[j]
-                if a > b:
-                    a, b = b, a
-                pairs_set.add((a, b))
-    if not pairs_set:
+    pruned = keyed.map_batches(keep_hot, batch_format="numpy")
+    cand = _candidate_pairs_distributed(pruned, bucket_cap)
+    if not len(cand):
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-    cand = pd.DataFrame(sorted(pairs_set), columns=["id_a", "id_b"])
-
-    # verify: fetch shingle sets for candidate docs only
-    need = set(cand["id_a"]) | set(cand["id_b"])
-    need_ref = ray.put(need)
-
-    def fetch(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(need_ref)
-        mask = pa.array([i in wanted for i in batch[id_col].to_pylist()])
-        return batch.select([id_col, text_col]).filter(mask)
-
-    docs = ds.map_batches(fetch, batch_format="pyarrow").take_all()
-    shingles = {r[id_col]: _shingle_hashes(r[text_col] or "", n_words)
-                for r in docs}
-    jac = [exact_jaccard(shingles[a], shingles[b])
-           for a, b in zip(cand["id_a"], cand["id_b"])]
-    cand = cand.assign(jaccard=jac)
-    out = cand[cand["jaccard"] >= threshold][["id_a", "id_b", "jaccard"]]
+    verified = _verify_jaccard_distributed(ds, text_col, id_col, cand,
+                                           n_words)
+    out = verified[verified["jaccard"] >= threshold]
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 

@@ -199,3 +199,32 @@ def test_bucketed_join_keeps_allnull_column():
     assert len(out) == 2
     assert "a" in out.columns and out["a"].isna().all()
     assert sorted(out["b"]) == ["x", "y"]
+
+
+def test_minhash_dup_heavy_clusters():
+    """Dup-heavy corpus (3 clusters of 20 near-identical docs -> dense
+    buckets, ~570 intra-cluster pairs): the distributed pairing + verify
+    must return exactly the brute-force pair set — the regime where the
+    old driver-side bucket collection was the scale flaw."""
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(50)]
+    ids, texts = [], []
+    for c in range(3):
+        base = " ".join(rng.choice(words, size=40))
+        for k in range(20):
+            # drop one word per doc -> pairwise jaccard stays >= ~0.9
+            toks = base.split()
+            del toks[int(rng.integers(len(toks)))]
+            ids.append(c * 1000 + k)
+            texts.append(" ".join(toks))
+    tbl = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                    "text": pa.array(texts)})
+    got = minhash_lsh_pairs(rd.from_arrow(tbl).repartition(4),
+                            "text", "doc_id", threshold=0.5)
+    got_pairs = {(a, b): j for a, b, j in
+                 zip(got["id_a"], got["id_b"], got["jaccard"])}
+    exact = brute_force_pairs(tbl, 0.5)
+    assert set(got_pairs) == set(exact), \
+        (len(got_pairs), len(exact))
+    for p, j in got_pairs.items():
+        assert np.isclose(j, exact[p])
