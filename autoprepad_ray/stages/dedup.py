@@ -161,15 +161,15 @@ def _candidate_pairs_distributed(keyed, bucket_cap: int) -> pd.DataFrame:
     return out.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
 
 
-def _verify_jaccard_distributed(ds, text_col: str, id_col: str,
-                                cand: pd.DataFrame, n_words: int
-                                ) -> pd.DataFrame:
-    """Distributed exact-Jaccard verification as a candidate join: the
-    tiny pair list is broadcast as a doc->verify-part routing map; the
-    docs stream computes shingle sets for exactly the candidate docs and
-    ships each to the part(s) whose pairs need it; per-part map_groups
-    evaluates its pairs locally.  Driver memory stays O(pairs) — no
-    candidate document text ever collects on the driver."""
+def verify_pairs_routed(ds, id_col: str, cand: pd.DataFrame,
+                        extract, score, score_name: str) -> pd.DataFrame:
+    """Distributed pair verification as a broadcast-routed candidate
+    join: the tiny pair list is broadcast as an id->verify-part routing
+    map; the data stream computes each candidate row's payload (via
+    ``extract(batch, wanted_ids)``) and ships it only to the part(s)
+    whose pairs need it; per-part map_groups applies ``score(pa, pb)``
+    to its pairs locally.  Driver memory stays O(pairs) — candidate
+    payloads (texts, vectors) never collect on the driver."""
     import pickle
 
     num_parts = max(4, min(64, len(cand) // 32 + 1))
@@ -183,17 +183,13 @@ def _verify_jaccard_distributed(ds, text_col: str, id_col: str,
         doc_parts.setdefault(b, set()).add(p)
     route_ref = ray.put((pairs_by_part, doc_parts))
 
-    def ship_shingles(batch: pa.Table) -> pa.Table:
+    def ship(batch: pa.Table) -> pa.Table:
         _, routes = ray.get(route_ref)
-        ids = batch[id_col].to_pylist()
-        texts = batch[text_col].to_pylist()
+        ids, objs = extract(batch, routes)
         parts_out, ids_out, payloads = [], [], []
-        for i, t in zip(ids, texts):
-            tgt = routes.get(i)
-            if not tgt:
-                continue
-            blob = pickle.dumps(_shingle_hashes(t or "", n_words))
-            for p in tgt:
+        for i, obj in zip(ids, objs):
+            blob = pickle.dumps(obj)
+            for p in routes[i]:
                 parts_out.append(p)
                 ids_out.append(i)
                 payloads.append(blob)
@@ -207,21 +203,38 @@ def _verify_jaccard_distributed(ds, text_col: str, id_col: str,
         local = {i: pickle.loads(p)
                  for i, p in zip(g["doc_id"], g["payload"])}
         part = int(g["part"].iloc[0])
-        rows = [(a, b, exact_jaccard(local[a], local[b]))
+        rows = [(a, b, score(local[a], local[b]))
                 for a, b in pairs.get(part, [])
                 if a in local and b in local]
         return pd.DataFrame({
             "id_a": pd.Series([r[0] for r in rows], dtype=object),
             "id_b": pd.Series([r[1] for r in rows], dtype=object),
-            "jaccard": pd.Series([r[2] for r in rows], dtype=np.float64)})
+            score_name: pd.Series([r[2] for r in rows],
+                                  dtype=np.float64)})
 
-    out = ds.map_batches(ship_shingles, batch_format="pyarrow",
+    out = ds.map_batches(ship, batch_format="pyarrow",
                          zero_copy_batch=True) \
         .groupby("part").map_groups(verify_part, batch_format="pandas") \
         .to_pandas()
     if not len(out):
-        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        return pd.DataFrame({"id_a": [], "id_b": [], score_name: []})
     return out
+
+
+def _verify_jaccard_distributed(ds, text_col: str, id_col: str,
+                                cand: pd.DataFrame, n_words: int
+                                ) -> pd.DataFrame:
+    def extract(batch: pa.Table, routes: dict):
+        ids_out, objs = [], []
+        for i, t in zip(batch[id_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            if i in routes:
+                ids_out.append(i)
+                objs.append(_shingle_hashes(t or "", n_words))
+        return ids_out, objs
+
+    return verify_pairs_routed(ds, id_col, cand, extract, exact_jaccard,
+                               "jaccard")
 
 
 def minhash_lsh_pairs(ds, text_col: str, id_col: str, *,

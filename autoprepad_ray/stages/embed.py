@@ -75,7 +75,17 @@ def cosine_neardup_pairs(ds, vec_col: str, id_col: str, *,
     probability (1 - arccos(c)/pi)^planes; with c=0.95, planes=12,
     tables=4 -> ~93% overall.  Raise ``tables`` for higher recall; the
     brute-force baseline is :func:`cosine_topk`.
+
+    Shuffle shape: the LSH exchange carries ONLY (bucket key, id) rows —
+    never the vectors (x``tables`` vector shipping was the old scale
+    flaw); candidate pairs come from the shared sliced-payload
+    groupby(slice) pairing, and exact float64 cosine verification is a
+    broadcast-routed candidate join that ships each candidate's
+    normalized vector only to the part(s) whose pairs need it, so total
+    exchange volume stays well under 1x the dataset.
     """
+    from .dedup import _candidate_pairs_distributed, verify_pairs_routed
+
     rng = np.random.default_rng(seed)
     first = ds.take(1)
     if not first:
@@ -85,50 +95,39 @@ def cosine_neardup_pairs(ds, vec_col: str, id_col: str, *,
     g_ref = ray.put(G)
     powers = (1 << np.arange(planes)).astype(np.int64)
 
-    def explode(t: pa.Table) -> pa.Table:
+    def explode_keys(t: pa.Table) -> dict:
         G_ = ray.get(g_ref)
         M = _matrix(t[vec_col])
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        out_t, out_b, out_i, out_v = [], [], [], []
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False))
+        keys, out_i = [], []
         for ti in range(G_.shape[0]):
             signs = (Mn @ G_[ti].T) > 0
             buckets = (signs @ powers).astype(np.int64)
-            out_t.append(np.full(len(ids), ti, dtype=np.int8))
-            out_b.append(buckets)
+            keys.append(np.int64(ti << planes) | buckets)
             out_i.append(ids)
-            out_v.append(Mn)
-        return pa.table({
-            "table_id": pa.array(np.concatenate(out_t)),
-            "bucket": pa.array(np.concatenate(out_b)),
-            id_col: pa.array(np.concatenate(out_i)),
-            "_vec": pa.array(list(np.concatenate(out_v, axis=0)),
-                             type=pa.list_(pa.float64()))})
+        return {"key": np.concatenate(keys),
+                "doc_id": np.concatenate(out_i)}
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[id_col]).head(bucket_cap)
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
-        M = np.stack(g["_vec"].to_numpy())
-        ids = g[id_col].to_numpy()
-        S = M @ M.T
-        iu, ju = np.triu_indices(len(g), 1)
-        hit = S[iu, ju] >= threshold
-        a = ids[iu[hit]]
-        b = ids[ju[hit]]
-        lo = np.minimum(a, b)
-        hi = np.maximum(a, b)
-        return pd.DataFrame({"id_a": lo, "id_b": hi,
-                             "cos": S[iu[hit], ju[hit]]})
+    keyed = ds.map_batches(explode_keys, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    cand = _candidate_pairs_distributed(keyed, bucket_cap)
+    if not len(cand):
+        return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
 
-    from ray.data.aggregate import Max
+    def extract(batch: pa.Table, routes: dict):
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
+        m = np.array([i in routes for i in ids.tolist()], dtype=bool)
+        if not m.any():
+            return [], []
+        Mn = _matrix(batch[vec_col])[m]
+        Mn = Mn / np.linalg.norm(Mn, axis=1, keepdims=True)
+        return ids[m].tolist(), [Mn[k] for k in range(len(Mn))]
 
-    pairs = (ds.map_batches(explode, batch_format="pyarrow",
-                            zero_copy_batch=True)
-             .groupby(["table_id", "bucket"])
-             .map_groups(bucket_pairs, batch_format="pandas"))
-    out = pairs.groupby(["id_a", "id_b"]).aggregate(
-        Max("cos", alias_name="cos")).to_pandas()
+    verified = verify_pairs_routed(
+        ds, id_col, cand, extract,
+        lambda a, b: float(a @ b), "cos")
+    out = verified[verified["cos"] >= threshold]
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
