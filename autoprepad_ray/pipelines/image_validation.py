@@ -349,8 +349,14 @@ class _P2Partial:
         if self.dup_phashes.size:
             m = np.isin(ph, self.dup_phashes)
             ph_members = (np.asarray(ids[m]), ph[m])
-        return _pickled((counts, viol_tbl, dup_rows, orphan_rows,
-                         ph_members))
+        # two row kinds: the small per-block aggregate (driver-bound) and
+        # the capped violation table (object-store-bound — the driver
+        # never concatenates violation rows; see validate_images)
+        agg = pickle.dumps((counts, dup_rows, orphan_rows, ph_members))
+        viol = pickle.dumps(viol_tbl)
+        return pa.table({
+            "kind": pa.array(["agg", "viol"]),
+            "payload": pa.array([agg, viol], type=pa.large_binary())})
 
 
 # ---------------------------------------------------------------------------
@@ -360,7 +366,11 @@ class _P2Partial:
 class ImageValidationReport:
     verdicts: pd.DataFrame
     profile: Any
-    stat_violations: Any = None          # Arrow table: flagged rows (capped)
+    # LAZY ray.data.Dataset over the materialized pass-2 blocks: flagged
+    # rows (capped per block).  Consume with iter_batches/write_parquet/
+    # to_pandas; also written to ``violations_dir`` when given.
+    stat_violations: Any = None
+    stat_violations_path: str | None = None
     dup_ids: pd.DataFrame | None = None
     orphans: pd.DataFrame | None = None
     drift_psi: pd.DataFrame | None = None
@@ -409,6 +419,7 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
                     decode_concurrency: int | None = None,
                     neardup: bool = True,
                     viol_cap_per_block: int = 10_000,
+                    violations_dir: str | None = None,
                     mad_threshold: float = 3.5) -> ImageValidationReport:
     import time as _time
     timings: dict = {}
@@ -531,25 +542,31 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
             _cache["p"] = _P2Partial(blob_ref)
         return _cache["p"](batch)
 
-    p2 = meta.map_batches(p2_fn, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    # ONE execution of the metadata pass, materialized to the object
+    # store (spillable): the driver then take_all()s ONLY the small agg
+    # rows; the capped violation tables stay distributed and are exposed
+    # as a lazy dataset / written to a parquet sink — never concatenated
+    # on the driver (block count is unbounded at 10^12 rows even if each
+    # block's listing is capped)
+    p2_out = meta.map_batches(p2_fn, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
     counts: dict[int, list[int]] = {}
-    viol_tables = []
     dup_ids_all: list = []
     dup_pids_all: list = []
     orphan_ids_all: list = []
     ph_member_ids: list = []
     ph_member_vals: list = []
-    for r in p2.take_all():
-        (cnts, viol_tbl, dup_rows, orphan_rows,
+    agg_only = p2_out.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "agg")),
+        batch_format="pyarrow")
+    for r in agg_only.take_all():
+        (cnts, dup_rows, orphan_rows,
          ph_members) = pickle.loads(r["payload"])
         for u, (n, sv, nv) in cnts.items():
             agg = counts.setdefault(u, [0, 0, 0])
             agg[0] += n
             agg[1] += sv
             agg[2] += nv
-        if viol_tbl.num_rows:
-            viol_tables.append(viol_tbl)
         if dup_rows is not None and len(dup_rows[0]):
             dup_ids_all.append(dup_rows[0])
             dup_pids_all.append(dup_rows[1])
@@ -559,8 +576,19 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
             ph_member_ids.append(ph_members[0])
             ph_member_vals.append(ph_members[1])
 
-    stat_viol = (pa.concat_tables(viol_tables) if viol_tables
-                 else None)
+    def _unpack_viol(t: pa.Table) -> pa.Table:
+        # batch_size=None -> one batch per block, and every block holds
+        # exactly one always-emitted viol row, so tabs is never empty
+        tabs = [pickle.loads(p) for p in
+                t.filter(pc.equal(t["kind"], "viol"))["payload"]
+                .to_pylist()]
+        return pa.concat_tables(tabs, promote_options="default")
+
+    stat_viol = p2_out.map_batches(_unpack_viol, batch_format="pyarrow",
+                                   batch_size=None)
+    if violations_dir is not None:
+        from ..io import write_partitioned
+        write_partitioned(stat_viol, violations_dir)
 
     # uniqueness listing (exact counts per actual id)
     dup_df = pd.DataFrame({"image_id": [], "n": []})
@@ -685,6 +713,7 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
 
     return ImageValidationReport(
         verdicts=verdicts, profile=prof, stat_violations=stat_viol,
+        stat_violations_path=violations_dir,
         dup_ids=dup_df, orphans=orphan_df, drift_psi=drift_df,
         decode_violations=decode_df, neardup_groups=nd_groups,
         neardup_pairs=nd_pairs, hamming_saturated=False,

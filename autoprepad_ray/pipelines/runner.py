@@ -185,27 +185,31 @@ def run_validation(images_dir: str, out_dir: str, *,
         from ..sketches import np_object
         fv, fc = np.unique(np_object(checked["fmt"]), return_counts=True)
         fmt_counts = dict(zip(fv.tolist(), fc.tolist()))
-        payload = pickle.dumps((counts, viol_tbl, hists, fmt_counts))
-        return pa.table({"payload": pa.array([payload],
-                                             type=pa.large_binary())})
+        # agg rows go to the driver; viol rows stay distributed and are
+        # written straight to the partition's violations sink
+        return pa.table({
+            "kind": pa.array(["agg", "viol"]),
+            "payload": pa.array(
+                [pickle.dumps((counts, hists, fmt_counts)),
+                 pickle.dumps(viol_tbl)], type=pa.large_binary())})
 
     for pid in pending:
         t0 = time.time()
         schema_errors = assert_schema(rd.read_parquet(parts[pid]))
         meta = rd.read_parquet(parts[pid], columns=META_COLS)
         n_rows = stat_viol = null_viol = 0
-        viol_tables = []
         cur_hists = {c: np.zeros(len(e) - 1, dtype=np.int64)
                      for c, e in hist_specs.items()}
         cur_fmt: dict = {}
-        for r in meta.map_batches(meta_pass, batch_format="pyarrow",
-                                  zero_copy_batch=True).take_all():
-            (n, sv, nv), vt, hi, fc = pickle.loads(r["payload"])
+        mp = meta.map_batches(meta_pass, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+        for r in mp.map_batches(
+                lambda t: t.filter(pc.equal(t["kind"], "agg")),
+                batch_format="pyarrow").take_all():
+            (n, sv, nv), hi, fc = pickle.loads(r["payload"])
             n_rows += n
             stat_viol += sv
             null_viol += nv
-            if vt.num_rows:
-                viol_tables.append(vt)
             for c in cur_hists:
                 cur_hists[c] += hi[c]
             for k, v in fc.items():
@@ -259,9 +263,17 @@ def run_validation(images_dir: str, out_dir: str, *,
         os.makedirs(tmp)
         viol_dir = os.path.join(tmp, "violations")
         os.makedirs(viol_dir, exist_ok=True)  # keep the dir even if empty
-        if viol_tables:
-            pq.write_table(pa.concat_tables(viol_tables),
-                           os.path.join(viol_dir, "part-0.parquet"))
+        if stat_viol or null_viol:
+            # distributed write: violation blocks never concat on the
+            # driver (capped per block, unbounded block count at scale)
+            def _unpack(t: pa.Table) -> pa.Table:
+                tabs = [pickle.loads(p) for p in
+                        t.filter(pc.equal(t["kind"], "viol"))["payload"]
+                        .to_pylist()]
+                return pa.concat_tables(tabs, promote_options="default")
+
+            mp.map_batches(_unpack, batch_format="pyarrow",
+                           batch_size=None).write_parquet(viol_dir)
         _atomic_write_json(os.path.join(tmp, "verdict.json"), verdict)
         if os.path.exists(pdir):
             shutil.rmtree(pdir)

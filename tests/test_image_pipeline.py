@@ -169,3 +169,21 @@ def test_decode_verify_plain_binary_offsets(fimg):
     out = decode_verify(rd.from_arrow(tbl), concurrency=1).to_pandas()
     assert (out["decode_ok"] == 1).all(), \
         out.loc[out["decode_ok"] == 0, "decode_reason"].tolist()
+
+
+def test_violations_stream_to_sink(fimg, tmp_path):
+    """Pass-2 violations stream to a partitioned parquet sink (never a
+    driver-side concat); the report carries a lazy dataset + the path."""
+    import ray.data as rd
+    from autoprepad_ray.pipelines.image_validation import validate_images
+
+    d, exp = fimg
+    sink = str(tmp_path / "viol")
+    rep = validate_images(f"{d}/images", f"{d}/captions.parquet",
+                          decode=False, violations_dir=sink)
+    assert rep.stat_violations_path == sink
+    ondisk = rd.read_parquet(sink).to_pandas()
+    assert set(exp.outlier_w_ids) <= set(ondisk["image_id"])
+    # lazy dataset agrees with the sink
+    lazy = rep.stat_violations.to_pandas()
+    assert sorted(lazy["image_id"]) == sorted(ondisk["image_id"])
