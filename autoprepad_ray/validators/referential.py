@@ -37,6 +37,7 @@ def _side_partial(key_cols: list[str], side: int):
 
 def orphans(left_ds, right_ds, key_cols: list[str] | str, *,
             direction: str = "both", strategy: str = "auto",
+            sizes: tuple[int, int] | None = None,
             broadcast_limit: int = 5_000_000):
     """Anti-join on ``key_cols``.
 
@@ -46,8 +47,9 @@ def orphans(left_ds, right_ds, key_cols: list[str] | str, *,
     mismatches.
 
     Strategies:
-    - ``broadcast`` (auto-chosen when both key sets fit
-      ``broadcast_limit``): per-side distinct key-count census
+    - ``broadcast`` (auto-chosen when the caller-provided ``sizes``
+      row-count hint fits ``broadcast_limit`` — auto never runs extra
+      dataset executions to count): per-side distinct key-count census
       (tree-merged partials, no shuffle), then each side's key set is
       broadcast and compared vectorized — EXACT, and avoids the
       sort-exchange entirely.  Returns an Arrow table.
@@ -61,9 +63,15 @@ def orphans(left_ds, right_ds, key_cols: list[str] | str, *,
     if isinstance(key_cols, str):
         key_cols = [key_cols]
     if strategy == "auto":
-        strategy = "broadcast" if (
-            left_ds.count() <= broadcast_limit
-            and right_ds.count() <= broadcast_limit) else "shuffle"
+        # never spend extra dataset EXECUTIONS just to pick a strategy
+        # (ds.count() on a transformed dataset runs the whole plan):
+        # with caller-provided row counts pick broadcast when both sides
+        # fit; without a hint default to the always-correct shuffle path
+        if sizes is not None:
+            strategy = ("broadcast"
+                        if max(sizes) <= broadcast_limit else "shuffle")
+        else:
+            strategy = "shuffle"
     if strategy == "broadcast":
         return _orphans_broadcast_counts(left_ds, right_ds, key_cols,
                                          direction)

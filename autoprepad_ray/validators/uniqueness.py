@@ -109,22 +109,42 @@ def _duplicate_keys_shuffle(ds, cols: list[str], min_count: int) -> pa.Table:
 
 
 def distinct_counts(ds, cols: list[str]) -> dict[str, int]:
-    """Exact distinct counts per column in ONE pass (per-block unique ->
-    merged python sets on the tiny partials).  Exactness bounded by
-    driver memory; the unbounded-cardinality path is :func:`hll_distinct`."""
+    """Exact distinct counts per column in ONE pass: per-block Arrow
+    ``unique`` partials, 32-way Arrow-vectorized tree merge (concat +
+    unique per merge task), one final vectorized fold — never a Python
+    set union on the driver.  Exactness bounded by the merged distinct
+    sets fitting a task heap; the unbounded-cardinality path is
+    :func:`hll_distinct`."""
     import pickle
 
+    def _merge(parts: list[dict]) -> dict:
+        out = {}
+        for c in cols:
+            arrs = [p[c] for p in parts if len(p[c])]
+            if not arrs:
+                out[c] = parts[0][c]
+            else:
+                out[c] = pc.unique(pa.chunked_array(arrs))
+        return out
+
     def partial(batch: pa.Table) -> pa.Table:
-        out = {c: set(pc.unique(batch[c]).to_pylist()) for c in cols}
+        out = {c: pc.unique(batch[c].drop_null().combine_chunks()
+                            if isinstance(batch[c], pa.ChunkedArray)
+                            else batch[c].drop_null()) for c in cols}
         return pa.table({"payload": pa.array([pickle.dumps(out)],
                                              type=pa.large_binary())})
 
-    sets: dict[str, set] = {c: set() for c in cols}
-    for row in ds.map_batches(partial, batch_format="pyarrow",
-                              zero_copy_batch=True).take_all():
-        for c, s in pickle.loads(row["payload"]).items():
-            sets[c] |= s
-    return {c: len(s - {None}) for c, s in sets.items()}
+    def merge_batch(batch: pa.Table) -> pa.Table:
+        parts = [pickle.loads(p) for p in batch["payload"].to_pylist()]
+        return pa.table({"payload": pa.array([pickle.dumps(_merge(parts))],
+                                             type=pa.large_binary())})
+
+    merged = ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .map_batches(merge_batch, batch_size=32, batch_format="pyarrow")
+    parts = [pickle.loads(r["payload"]) for r in merged.take_all()]
+    final = _merge(parts)
+    return {c: len(final[c].drop_null()) for c in final}
 
 
 def hll_distinct(ds, cols: list[str], *, p: int = 14) -> dict[str, float]:

@@ -74,3 +74,26 @@ def test_entry_smoke():
     df = _to_pandas(ds)
     assert len(df) > 0
     assert "AnomalyScore" in df.columns and "AnomalyLabel" in df.columns
+
+
+def test_orphans_auto_never_counts(ray_session, monkeypatch):
+    """strategy='auto' must not spend dataset executions on ds.count()
+    (regression: two extra full executions just to pick a strategy)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data import Dataset
+    from autoprepad_ray.validators import referential
+
+    l = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3], pa.int64())}))
+    r = rd.from_arrow(pa.table({"k": pa.array([2, 3, 4], pa.int64())}))
+
+    def boom(self):
+        raise AssertionError("count() called by auto strategy")
+
+    monkeypatch.setattr(Dataset, "count", boom)
+    out = referential.orphans(l, r, "k", direction="both").to_pandas()
+    assert sorted(out["k"]) == [1, 4]
+    # with a sizes hint, broadcast is chosen -- still no count() call
+    out2 = referential.orphans(l, r, "k", direction="both",
+                               sizes=(3, 3)).to_pandas()
+    assert sorted(out2["k"]) == [1, 4]
