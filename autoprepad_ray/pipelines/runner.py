@@ -5,9 +5,11 @@ metrics").
 Layout under ``out_dir``::
 
     profile_<fingerprint>.json            # cached fit-phase artifact
+    capcensus_<fingerprint>.parquet       # cached caption-side id census
     manifest.json                         # completed partitions + lineage
     partitions/partition=<pid>/verdict.json
-    partitions/partition=<pid>/violations.parquet
+    partitions/partition=<pid>/violations/*.parquet
+    partitions/partition=<pid>/keycensus.parquet  # (kind, hash, n)
 
 Contracts:
 - the profile artifact is keyed by an input fingerprint (paths + sizes
@@ -20,11 +22,13 @@ Contracts:
 - on resume, completed partitions are skipped and their input files are
   never read (the pending-partition filter is pushed into the read);
 - cross-partition key checks (uniqueness, referential, near-dup) are
-  run-scoped, not partition-scoped: they re-run over key columns only
-  (bytes are never read for them) and their results are recorded in the
-  manifest run section.  At 10^12-row scale these become incremental
-  merges of per-partition key sketches — the per-partition HLL/count
-  partials this engine already emits are the building blocks.
+  run-scoped and INCREMENTAL: each completed partition checkpoints its
+  distinct-key census (id-hash + phash counts), and a resumed run
+  merges the cached censuses instead of re-reading completed
+  partitions' key columns — only partitions that actually contain
+  globally-duplicated keys are re-read, and only their id column, for
+  the exact violation listing.  The manifest records which partitions'
+  censuses were computed vs cached per run.
 """
 
 from __future__ import annotations
@@ -45,7 +49,7 @@ import ray.data as rd
 
 from .. import __version__
 from ..profile import TableProfile, profile_dataset
-from ..validators import drift, near_dup, referential, row_checks as rc, uniqueness
+from ..validators import drift, row_checks as rc
 from .image_validation import _prep, assert_schema
 
 
@@ -62,6 +66,64 @@ def _atomic_write_json(path: str, obj) -> None:
     with open(tmp, "w") as f:
         json.dump(obj, f, indent=1, default=str)
     os.replace(tmp, path)
+
+
+def _hash_census(files: list[str], *, with_phash: bool) -> pa.Table:
+    """(kind, hash, n) distinct-key census over a file set: per-block
+    np.unique partials, 32-way vectorized tree merge, driver fold —
+    the partition-scoped building block the incremental global checks
+    merge across runs.  ``kind`` is 'id' (hash64 of image_id) and,
+    when ``with_phash``, 'ph' (the raw phash value — exact)."""
+    import pickle
+
+    from ..sketches import hash64, np_object
+    from ..validators.near_dup import _merge_count_arrays
+
+    cols = ["image_id", "phash"] if with_phash else ["image_id"]
+    ds = rd.read_parquet(files, columns=cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = {"id": np.unique(hash64(np_object(t["image_id"])),
+                               return_counts=True)}
+        if with_phash:
+            out["ph"] = np.unique(
+                t["phash"].to_numpy(zero_copy_only=False),
+                return_counts=True)
+        return pa.table({"payload": pa.array([pickle.dumps(out)],
+                                             type=pa.large_binary())})
+
+    def merge(batch: pa.Table) -> pa.Table:
+        parts = [pickle.loads(p) for p in batch["payload"].to_pylist()]
+        out = {k: _merge_count_arrays([p[k] for p in parts])
+               for k in parts[0]}
+        return pa.table({"payload": pa.array([pickle.dumps(out)],
+                                             type=pa.large_binary())})
+
+    merged = ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .map_batches(merge, batch_size=32, batch_format="pyarrow")
+    parts = [pickle.loads(r["payload"]) for r in merged.take_all()]
+    final = {k: _merge_count_arrays([p[k] for p in parts])
+             for k in parts[0]}
+    kinds, hashes, counts = [], [], []
+    for k, (v, c) in final.items():
+        kinds.extend([k] * len(v))
+        hashes.append(v.astype(np.uint64).view(np.int64))
+        counts.append(c)
+    return pa.table({
+        "kind": pa.array(kinds),
+        "hash": pa.array(np.concatenate(hashes) if hashes
+                         else np.empty(0, np.int64)),
+        "n": pa.array(np.concatenate(counts) if counts
+                      else np.empty(0, np.int64))})
+
+
+def _census_arrays(tbl: pa.Table, kind: str
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    t = tbl.filter(pc.equal(tbl["kind"], kind))
+    return (t["hash"].to_numpy(zero_copy_only=False)
+            .astype(np.int64).view(np.uint64),
+            t["n"].to_numpy(zero_copy_only=False).astype(np.int64))
 
 
 def discover_partitions(images_dir: str) -> dict[int, list[str]]:
@@ -274,6 +336,10 @@ def run_validation(images_dir: str, out_dir: str, *,
 
             mp.map_batches(_unpack, batch_format="pyarrow",
                            batch_size=None).write_parquet(viol_dir)
+        # checkpoint this partition's distinct-key census so future
+        # runs' global checks never re-read its key columns
+        pq.write_table(_hash_census(parts[pid], with_phash=True),
+                       os.path.join(tmp, "keycensus.parquet"))
         _atomic_write_json(os.path.join(tmp, "verdict.json"), verdict)
         if os.path.exists(pdir):
             shutil.rmtree(pdir)
@@ -293,20 +359,88 @@ def run_validation(images_dir: str, out_dir: str, *,
     run_entry = {"started_at": time.time(), "pending": pending,
                  "profile_fp": prof_fp}
     if run_global_checks:
-        all_files = [f for fs in parts.values() for f in fs]
-        key_ds = rd.read_parquet(all_files, columns=["image_id", "phash"])
-        dups = uniqueness.duplicate_keys(
-            key_ds.select_columns(["image_id"]), ["image_id"])
-        run_entry["uniqueness_violations"] = dups.num_rows
-        run_entry["uniqueness_sample"] = dups["image_id"].to_pylist()[:50]
-        nd = near_dup.duplicate_phash_groups(key_ds).to_pandas()
-        run_entry["neardup_groups"] = len(nd)
+        from ..sketches import hash64, np_object
+        from ..validators.near_dup import _merge_count_arrays
+
+        # incremental: merge per-partition key censuses; compute a
+        # census only for partitions that don't have one checkpointed
+        # (completed by an older engine version) — a resumed run reads
+        # NO completed partition's key columns
+        census_new: list[int] = []
+        census_cached: list[int] = []
+        id_cens: dict[int, tuple] = {}
+        ph_cens: dict[int, tuple] = {}
+        for pid in sorted(parts):
+            cpath = os.path.join(out_dir, "partitions",
+                                 f"partition={pid}", "keycensus.parquet")
+            if os.path.exists(cpath):
+                tbl = pq.read_table(cpath)
+                census_cached.append(pid)
+            else:
+                tbl = _hash_census(parts[pid], with_phash=True)
+                tmp_c = cpath + ".tmp"
+                os.makedirs(os.path.dirname(cpath), exist_ok=True)
+                pq.write_table(tbl, tmp_c)
+                os.replace(tmp_c, cpath)
+                census_new.append(pid)
+            id_cens[pid] = _census_arrays(tbl, "id")
+            ph_cens[pid] = _census_arrays(tbl, "ph")
+        iv, ic = _merge_count_arrays(list(id_cens.values()))
+        dup_hashes = iv[ic >= 2]
+        listing_pids = sorted(
+            pid for pid, (v, _) in id_cens.items()
+            if dup_hashes.size and np.isin(v, dup_hashes).any())
+        if listing_pids:
+            # exact listing: read ONLY the affected partitions' id
+            # column, pruned by the broadcast dup-hash set (hash
+            # collisions only add candidates; the exact value count
+            # filter removes them)
+            import ray as _ray
+            dup_ref = _ray.put(np.sort(dup_hashes))
+            cand_ds = rd.read_parquet(
+                [f for pid in listing_pids for f in parts[pid]],
+                columns=["image_id"])
+
+            def keep(t: pa.Table) -> pa.Table:
+                h = hash64(np_object(t["image_id"]))
+                return t.filter(pa.array(np.isin(
+                    h, _ray.get(dup_ref))))
+
+            ids = np.concatenate(
+                [np_object(b["image_id"]) for b in
+                 cand_ds.map_batches(keep, batch_format="pyarrow")
+                 .iter_batches(batch_size=65536, batch_format="pyarrow")]
+                or [np.empty(0, object)])
+            uv, uc = np.unique(ids, return_counts=True)
+            real = uv[uc >= 2]
+            run_entry["uniqueness_violations"] = int(len(real))
+            run_entry["uniqueness_sample"] = sorted(real.tolist())[:50]
+        else:
+            run_entry["uniqueness_violations"] = 0
+            run_entry["uniqueness_sample"] = []
+        pv, pn = _merge_count_arrays(list(ph_cens.values()))
+        run_entry["neardup_groups"] = int((pn >= 2).sum())
         if captions_path is not None:
-            orp = referential.orphans(
-                key_ds.select_columns(["image_id"]),
-                rd.read_parquet(captions_path, columns=["image_id"]),
-                "image_id", direction="both").to_pandas()
-            run_entry["referential_orphans"] = len(orp)
+            # caption-side census cached by file fingerprint (64-bit
+            # hash-set diff; collision odds ~n^2/2^64 — negligible)
+            cap_fp = _fingerprint([captions_path])
+            cappath = os.path.join(out_dir, f"capcensus_{cap_fp}.parquet")
+            if os.path.exists(cappath):
+                cap_tbl = pq.read_table(cappath)
+            else:
+                cap_tbl = _hash_census([captions_path], with_phash=False)
+                tmp_c = cappath + ".tmp"
+                pq.write_table(cap_tbl, tmp_c)
+                os.replace(tmp_c, cappath)
+            cv, _ = _census_arrays(cap_tbl, "id")
+            run_entry["referential_orphans"] = int(
+                np.setdiff1d(iv, cv).size + np.setdiff1d(cv, iv).size)
+        run_entry["global_checks"] = {
+            "method": "incremental-census",
+            "census_new_partitions": census_new,
+            "census_cached_partitions": census_cached,
+            "listing_partitions": listing_pids,
+        }
     manifest["runs"].append(run_entry)
     _atomic_write_json(manifest_path, manifest)
     return manifest

@@ -91,3 +91,36 @@ def test_resume_invalidates_on_input_change(fimg_small, tmp_path):
                for p in m2["partitions"].values())
     profs = [f for f in os.listdir(out) if f.startswith("profile_")]
     assert len(profs) == 2  # both artifacts cached, keyed by fingerprint
+
+
+def test_incremental_global_checks(fimg_small, tmp_path):
+    """Global key checks merge checkpointed per-partition censuses: a
+    resumed run re-reads NO completed partition's key columns (censuses
+    all cached), re-reads only dup-affected partitions for the exact
+    listing, and rebuilds a census only when its file is missing."""
+    d, exp = fimg_small
+    out = str(tmp_path / "out")
+    m1 = run_validation(f"{d}/images", out,
+                        captions_path=f"{d}/captions.parquet", decode=False)
+    g1 = m1["runs"][-1]["global_checks"]
+    # censuses were checkpointed while each partition was processed
+    assert g1["census_new_partitions"] == []
+    assert g1["census_cached_partitions"] == list(range(8))
+    # injected dup ids live in partitions 1 and 6 only
+    assert g1["listing_partitions"] == [1, 6]
+    assert m1["runs"][-1]["uniqueness_violations"] == len(exp.dup_ids)
+
+    # simulate an older-version checkpoint: drop one census file
+    os.remove(os.path.join(out, "partitions", "partition=3",
+                           "keycensus.parquet"))
+    m2 = run_validation(f"{d}/images", out,
+                        captions_path=f"{d}/captions.parquet", decode=False)
+    assert m2["runs"][-1]["pending"] == []          # nothing re-validated
+    g2 = m2["runs"][-1]["global_checks"]
+    assert g2["census_new_partitions"] == [3]       # exactly the missing one
+    # results identical to the full run
+    for k in ("uniqueness_violations", "neardup_groups",
+              "referential_orphans"):
+        assert m2["runs"][-1][k] == m1["runs"][-1][k], k
+    assert sorted(m2["runs"][-1]["uniqueness_sample"]) == \
+        sorted(set(exp.dup_ids))
