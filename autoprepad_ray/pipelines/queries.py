@@ -1282,3 +1282,43 @@ def ivf_topk_embeddings(sf_dir: str):
                    nlist=16, nprobe=8).to_pandas()
     out["cos"] = np.round(out["cos"].astype(float), 6)
     return out
+
+
+@query("pca_scores_events")
+def pca_scores_events(sf_dir: str):
+    """F14 model-scorer parity (reference runs.py:162 clf.fit on the
+    wide matrix + runs.py:198 decision_function; pyod-PCA semantics =
+    squared reconstruction error after standardize+project): sample-fit
+    PCA over the preprocess feature matrix, scores min-max scaled with
+    the top-10% percentile label (runs.py:200-214).  Rows-only (SVD is
+    not SQL-expressible); pytest pins parity vs a numpy oracle."""
+    from ..pipelines.preprocess import preprocess_table
+    from ..profile import profile_dataset
+    from ..stages.scorer import fit_pca_scorer, pca_scores
+
+    ds = _t(sf_dir, "events", ["event_id", "value", "event_type", "ts"])
+    out, _ = preprocess_table(ds, numeric_cols=("value",),
+                              categorical_cols=("event_type",),
+                              datetime_cols=("ts",),
+                              passthrough_cols=("event_id",))
+    # consumed three times (fit sample, threshold profile, scoring) --
+    # materialize the feature matrix once
+    out = out.materialize()
+    cols = ["value_scaled", "value_TUKEY", "value_Z_MOD",
+            "event_type_code", "ts_HOUR", "ts_WKDAY"]
+    state = fit_pca_scorer(out, cols, n_components=3)
+    scored = pca_scores(out, state).materialize()
+    prof = profile_dataset(scored, columns=["pca_score"])
+    p = prof["pca_score"]
+    mn, mx, thr = p.moments.vmin, p.moments.vmax, p.quantile(0.9)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        raw = t["pca_score"].to_numpy(zero_copy_only=False)
+        sc = (np.round((raw - mn) / (mx - mn), 6) if mx > mn
+              else np.zeros(len(raw)))
+        return pa.table({
+            "event_id": t["event_id"],
+            "anomaly_score": pa.array(sc),
+            "anomaly_label": pa.array((raw > thr).astype(np.int64))})
+
+    return scored.map_batches(finalize, batch_format="pyarrow")
