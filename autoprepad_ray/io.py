@@ -23,13 +23,18 @@ def lance_available() -> bool:
 
 def read_table(path: str, columns: list[str] | None = None, **kwargs):
     """Read a dataset directory/file: Lance when the path is a ``.lance``
-    dataset and the library exists, else Parquet."""
-    if path.rstrip("/").endswith(".lance"):
+    dataset and the library exists, CSV for ``.csv`` (the reference's
+    caller-side source, main.py:16 ``pd.read_csv``), else Parquet."""
+    stripped = path.rstrip("/")
+    if stripped.endswith(".lance"):
         if not lance_available():
             raise ImportError(
                 "lance not available in this environment; materialize the "
                 "dataset as Parquet with the same partition layout")
         return rd.read_lance(path, columns=columns, **kwargs)
+    if stripped.endswith(".csv"):
+        ds = rd.read_csv(path, **kwargs)
+        return ds.select_columns(columns) if columns else ds
     return rd.read_parquet(path, columns=columns, **kwargs)
 
 

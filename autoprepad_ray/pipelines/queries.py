@@ -1322,3 +1322,60 @@ def pca_scores_events(sf_dir: str):
             "anomaly_label": pa.array((raw > thr).astype(np.int64))})
 
     return scored.map_batches(finalize, batch_format="pyarrow")
+
+
+@query("csv_roundtrip_region", sql="""
+SELECT r_regionkey, r_name FROM region""")
+def csv_roundtrip_region(sf_dir: str):
+    """CSV source (reference main.py:16 reads the input table with
+    pd.read_csv): the region table is exported to CSV once per sf
+    (cached under /tmp) and read back through io.read_table's CSV path;
+    values must match the parquet-backed oracle exactly."""
+    import os
+
+    from .. import io as aio
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    cache_dir = "/tmp/autoprepad_csv"
+    os.makedirs(cache_dir, exist_ok=True)
+    path = f"{cache_dir}/region_{tag}.csv"
+    if not os.path.exists(path):
+        import pyarrow.parquet as pq
+        df = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"]).to_pandas()
+        tmp = path + ".tmp"
+        df.to_csv(tmp, index=False)
+        os.replace(tmp, path)
+    ds = aio.read_table(path, columns=["r_regionkey", "r_name"])
+    return ds.map_batches(
+        lambda t: pa.table({
+            "r_regionkey": t["r_regionkey"].cast(pa.int64()),
+            "r_name": t["r_name"]}),
+        batch_format="pyarrow")
+
+
+@query("bfill_events_by_user", sql="""
+SELECT event_id,
+       FIRST_VALUE(CASE WHEN event_type <> 'error' THEN value END
+                   IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS value_bfill
+FROM events""")
+def bfill_events_by_user(sf_dir: str):
+    """Backward fill, the TimeSeriesImputer's other mode
+    (TimeSeriesImputer.py:36-43 supports bfill): 'error' rows are
+    treated as missing and filled from the NEXT value within the
+    user_id key ordered by (ts, event_id) — per-key groupby keeps the
+    fill deterministic under any block layout (mirror of
+    ffill_events_by_user)."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type",
+                               "value"])
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        v = g["value"].where(g["event_type"] != "error")
+        return pd.DataFrame({"event_id": g["event_id"],
+                             "value_bfill": v.bfill()})
+
+    return ds.groupby("user_id").map_groups(fill, batch_format="pandas")

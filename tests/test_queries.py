@@ -97,3 +97,30 @@ def test_orphans_auto_never_counts(ray_session, monkeypatch):
     out2 = referential.orphans(l, r, "k", direction="both",
                                sizes=(3, 3)).to_pandas()
     assert sorted(out2["k"]) == [1, 4]
+
+
+def test_validator_registry(ray_session):
+    """SURVEY §2.10 extension surface: built-ins resolvable by name,
+    custom validators registerable and invocable via config."""
+    import pyarrow as pa
+    import ray.data as rd
+    from autoprepad_ray.validators import registry
+
+    assert {"duplicate_keys", "hll_distinct", "orphans",
+            "hamming_neardup_pairs"} <= set(registry.names())
+
+    ds = rd.from_arrow(pa.table({"k": pa.array([1, 1, 2], pa.int64())}))
+    dup = registry.run("duplicate_keys", ds, cols=["k"])
+    assert dup.to_pydict() == {"k": [1], "n": [2]}
+
+    @registry.register("all_rows", "count every row")
+    def _all_rows(ds):
+        return ds.count()
+
+    assert registry.run("all_rows", ds) == 3
+    assert "all_rows" in registry.names()
+    try:
+        registry.get("nope")
+        assert False
+    except KeyError as e:
+        assert "nope" in str(e)
