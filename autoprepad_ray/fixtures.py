@@ -246,14 +246,22 @@ def generate_fimg(out_dir: str, *, partitions: int = 8, rows: int = 5000,
         "image_id": pa.array([c[0] for c in all_caps], type=pa.string()),
         "caption": pa.array([c[1] for c in all_caps], type=pa.string()),
     })
-    pq.write_table(cap_table, os.path.join(out_dir, "captions.parquet"))
+    # small row groups: a single-file parquet read parallelizes only at
+    # row-group granularity — default ~1Mi-row groups serialize the
+    # caption-census branch of image-validation pass 1
+    pq.write_table(cap_table, os.path.join(out_dir, "captions.parquet"),
+                   row_group_size=65536)
     return exp
+
+
+FIMG_CACHE_VERSION = 2  # bump when codec/hash semantics change
 
 
 def fimg_cache_dir(base: str, partitions: int, rows: int, seed: int,
                    inject: bool) -> str:
     return os.path.join(
-        base, f"fimg_p{partitions}_r{rows}_s{seed}_{'inj' if inject else 'clean'}")
+        base, f"fimg_v{FIMG_CACHE_VERSION}_p{partitions}_r{rows}_s{seed}"
+        f"_{'inj' if inject else 'clean'}")
 
 
 def ensure_fimg(base: str = "/tmp/autoprepad_fimg", *, partitions: int = 8,

