@@ -264,54 +264,67 @@ def _merge_prof(payloads: list) -> tuple:
     return sketches, hists, nrows
 
 
-def _make_census_reduce(has_captions: bool):
-    """Per-(kind, slice) distributed merge + candidate filter: only
+def _reduce_kind(kind: str, payloads: list, has_captions: bool) -> bytes:
+    """Merge one (kind, slice) group's partials + candidate filter: only
     duplicates / orphans / hot buckets leave the reducer."""
+    if kind == "prof":
+        return pickle.dumps(_merge_prof([pickle.loads(p)
+                                         for p in payloads]))
+    sides: dict[int, list] = {0: [], 1: []}
+    for p in payloads:
+        data = pickle.loads(p)
+        if kind == "bandd":
+            sides[0].append((data, None))
+        else:
+            side, vals, cnts = data
+            sides[side].append((vals, cnts))
+    if kind == "idcap":
+        iv, ic = (_merge_count_arrays(sides[0]) if sides[0]
+                  else (np.empty(0, np.uint64), np.empty(0, np.int64)))
+        dup = iv[ic >= 2]
+        if has_captions:
+            cv, _ = (_merge_count_arrays(sides[1]) if sides[1]
+                     else (np.empty(0, np.uint64),
+                           np.empty(0, np.int64)))
+            orph_img = np.setdiff1d(iv.astype(np.uint64),
+                                    cv.astype(np.uint64),
+                                    assume_unique=True)
+            orph_cap = np.setdiff1d(cv.astype(np.uint64),
+                                    iv.astype(np.uint64),
+                                    assume_unique=True)
+        else:
+            orph_img = orph_cap = np.empty(0, np.uint64)
+        return pickle.dumps((dup, orph_img, orph_cap))
+    if kind == "ph":
+        pv, pc_ = _merge_count_arrays(sides[0])
+        m = pc_ >= 2
+        return pickle.dumps((pv[m], pc_[m]))
+    # bandd (dense)
+    total = np.zeros(4 * 65536, dtype=np.int64)
+    for vals, _ in sides[0]:
+        total += vals
+    hot = np.nonzero(total >= 2)[0].astype(np.int64)
+    return pickle.dumps((hot, total[hot], int(total.sum())))
 
-    def reduce(g: pd.DataFrame) -> pd.DataFrame:
-        kind = g["kind"].iloc[0]
-        if kind == "prof":
-            merged = _merge_prof([pickle.loads(p) for p in g["payload"]])
-            return pd.DataFrame({"kind": ["prof"],
-                                 "payload": [pickle.dumps(merged)]})
-        sides: dict[int, list] = {0: [], 1: []}
-        for p in g["payload"]:
-            data = pickle.loads(p)
-            if kind == "bandd":
-                sides[0].append((data, None))
-            else:
-                side, vals, cnts = data
-                sides[side].append((vals, cnts))
-        if kind == "idcap":
-            iv, ic = (_merge_count_arrays(sides[0]) if sides[0]
-                      else (np.empty(0, np.uint64), np.empty(0, np.int64)))
-            dup = iv[ic >= 2]
-            if has_captions:
-                cv, _ = (_merge_count_arrays(sides[1]) if sides[1]
-                         else (np.empty(0, np.uint64),
-                               np.empty(0, np.int64)))
-                orph_img = np.setdiff1d(iv.astype(np.uint64),
-                                        cv.astype(np.uint64),
-                                        assume_unique=True)
-                orph_cap = np.setdiff1d(cv.astype(np.uint64),
-                                        iv.astype(np.uint64),
-                                        assume_unique=True)
-            else:
-                orph_img = orph_cap = np.empty(0, np.uint64)
-            out = pickle.dumps((dup, orph_img, orph_cap))
-        elif kind == "ph":
-            pv, pc_ = _merge_count_arrays(sides[0])
-            m = pc_ >= 2
-            out = pickle.dumps((pv[m], pc_[m]))
-        else:  # bandd (dense)
-            total = np.zeros(4 * 65536, dtype=np.int64)
-            for vals, _ in sides[0]:
-                total += vals
-            hot = np.nonzero(total >= 2)[0].astype(np.int64)
-            out = pickle.dumps((hot, total[hot], int(total.sum())))
-        return pd.DataFrame({"kind": [kind], "payload": [out]})
 
-    return reduce
+@ray.remote
+def _reduce_slice_task(slice_id: int, has_captions: bool,
+                       *blocks) -> list[tuple[str, bytes]]:
+    """Flat reduce task for one census slice: pulls its rows out of the
+    (plasma-shared, zero-copy) partial blocks and merges per kind.  The
+    keyspace is tiny (kinds x N_SLICES), so flat tasks over block refs
+    replace a sort-based groupby exchange — same distributed semantics
+    (merges happen in tasks, only candidates reach the driver), none of
+    the union+sort overhead."""
+    by_kind: dict[str, list] = {}
+    for b in blocks:
+        mask = pc.equal(b["slice"], pa.scalar(slice_id, type=pa.int8()))
+        t = b.filter(mask)
+        for kind, payload in zip(t["kind"].to_pylist(),
+                                 t["payload"].to_pylist()):
+            by_kind.setdefault(kind, []).append(payload)
+    return [(k, _reduce_kind(k, ps, has_captions))
+            for k, ps in by_kind.items()]
 
 
 # ---------------------------------------------------------------------------
@@ -482,21 +495,35 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
     meta = rd.read_parquet(images_dir, columns=META_COLS)
 
     # ---- PASS 1 ----
-    # ONE execution: per-block partials (profile + sliced censuses) ->
-    # one keyed groupby reduces everything DISTRIBUTED per
-    # (kind, slice) — only candidates (dups / orphans / hot buckets)
-    # and the merged few-KB profile ever reach the driver (the 10^12
-    # path)
+    # ONE image-side execution of per-block partials (profile + sliced
+    # censuses), the tiny caption-census execution overlapped under it,
+    # then FLAT per-slice reduce tasks over the partial block refs —
+    # everything merges DISTRIBUTED per (kind, slice); only candidates
+    # (dups / orphans / hot buckets) and the merged few-KB profile ever
+    # reach the driver (the 10^12 path).  A Dataset.union + sort-groupby
+    # expressed the same reduce but paid ~2-3 s of exchange overhead
+    # for a keyspace of a few dozen groups.
     # large pass-1 batches: censuses dedupe within a batch, so fewer,
-    # bigger partials mean less census volume through the reduce shuffle
+    # bigger partials mean less census volume through the reduce
+    import concurrent.futures as _cf
+
     p1 = meta.map_batches(_make_p1_partial(list(ref_partitions)),
                           batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=100_000)
-    if captions_path is not None:
-        p1 = p1.union(_caption_census_rows(captions_path))
-    reduced = p1.groupby(["kind", "slice"]).map_groups(
-        _make_census_reduce(captions_path is not None),
-        batch_format="pandas").take_all()
+    has_captions = captions_path is not None
+    if has_captions:
+        caps_rows = _caption_census_rows(captions_path)
+        with _cf.ThreadPoolExecutor(2) as pool:
+            f1 = pool.submit(p1.materialize)
+            f2 = pool.submit(caps_rows.materialize)
+            refs = f1.result().to_arrow_refs() \
+                + f2.result().to_arrow_refs()
+    else:
+        refs = p1.materialize().to_arrow_refs()
+    futures = [_reduce_slice_task.remote(s, has_captions, *refs)
+               for s in range(-1, N_SLICES)]
+    reduced = [{"kind": k, "payload": p}
+               for out in ray.get(futures) for k, p in out]
     prof_payload = None
     dup_parts_, oimg_parts, ocap_parts = [], [], []
     ph_parts_: list = []
