@@ -52,8 +52,7 @@ from ..sketches import hash64, np_object
 from ..validators import row_checks as rc
 from ..validators.drift import psi_from_counts
 from ..validators.near_dup import (_band_combos, _merge_count_arrays,
-                                   _pair_parts, _resolve_ids,
-                                   default_num_parts)
+                                   _resolve_ids, default_num_parts)
 
 EXPECTED_FIELDS = {
     "image_id": pa.string(), "bytes": pa.large_binary(),
@@ -305,6 +304,34 @@ def _reduce_kind(kind: str, payloads: list, has_captions: bool) -> bytes:
         total += vals
     hot = np.nonzero(total >= 2)[0].astype(np.int64)
     return pickle.dumps((hot, total[hot], int(total.sum())))
+
+
+@ray.remote
+def _pair_band_slice(slice_id: int, max_dist: int, bucket_cap: int,
+                     *blocks) -> pd.DataFrame:
+    """Flat pairing task for one band slice over the materialized
+    pass-2 blocks (same rationale as _reduce_slice_task: dozens of
+    groups don't need a sort exchange)."""
+    from ..validators.near_dup import _segment_pairs
+
+    keys_l, ph_l = [], []
+    for b in blocks:
+        m = pc.and_(pc.equal(b["kind"], "band"),
+                    pc.equal(b["slice"], slice_id))
+        for p in b.filter(m)["payload"].to_pylist():
+            k, ph = pickle.loads(p)
+            keys_l.append(k)
+            ph_l.append(ph)
+    if not keys_l:
+        return pd.DataFrame({"ph_a": pd.Series([], dtype=np.int64),
+                             "ph_b": pd.Series([], dtype=np.int64),
+                             "dist": pd.Series([], dtype=np.int64)})
+    keys = np.concatenate(keys_l)
+    ph = np.concatenate(ph_l)
+    uniq = np.unique(np.stack([keys, ph], axis=1), axis=0)
+    out = _segment_pairs(uniq[:, 0], uniq[:, 1], uniq[:, 1],
+                         max_dist, bucket_cap)
+    return out.rename(columns={"id_a": "ph_a", "id_b": "ph_b"})
 
 
 @ray.remote
@@ -740,14 +767,15 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
     # exist.
     if neardup:
         if hamming_path != "none":
-            band_rows = p2_out.map_batches(
-                lambda t: t.filter(pc.equal(t["kind"], "band"))
-                .select(["slice", "payload"]),
-                batch_format="pyarrow")
+            p2_refs = p2_out.to_arrow_refs()
+            futs = [_pair_band_slice.remote(s, 4, 4096, *p2_refs)
+                    for s in range(band_slices)]
+            ph_pairs = pd.concat(ray.get(futs), ignore_index=True) \
+                .drop_duplicates(["ph_a", "ph_b"])
             nd_pairs = _resolve_ids(
                 rd.read_parquet(images_dir,
                                 columns=["image_id", "phash"]),
-                "phash", "image_id", _pair_parts(band_rows, 4, 4096))
+                "phash", "image_id", ph_pairs)
         else:
             nd_pairs = pd.DataFrame({
                 "id_a": pd.Series([], dtype=object),
