@@ -118,21 +118,6 @@ def duplicate_phash_groups(ds, *, phash_col: str = "phash",
                         type=pa.list_(pa.string()))})
 
 
-def _band_rows(phash: np.ndarray, ids: np.ndarray) -> dict[str, np.ndarray]:
-    u = phash.astype(np.int64).view(np.uint64)
-    bands, vals, out_ids, hashes = [], [], [], []
-    for b in range(4):
-        bands.append(np.full(len(u), b, dtype=np.int8))
-        vals.append(((u >> np.uint64(16 * b)) & np.uint64(0xFFFF))
-                    .astype(np.int32))
-        out_ids.append(ids)
-        hashes.append(phash)
-    return {"band": np.concatenate(bands),
-            "band_val": np.concatenate(vals),
-            "image_id": np.concatenate(out_ids),
-            "phash": np.concatenate(hashes)}
-
-
 _GROUPED_SEG_MAX = 256  # segments up to this size batch by size class
 
 
