@@ -104,11 +104,45 @@ def exact_jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
+@ray.remote
+def _cand_pair_slice_task(slice_id: int, bucket_cap: int,
+                          *blocks) -> pd.DataFrame:
+    """Flat candidate-pairing task for one slice of the packed key
+    stream: cross-block bucket assembly + per-bucket enumeration."""
+    import pickle
+
+    import pyarrow.compute as pc
+
+    parts = []
+    for b in blocks:
+        t = b.filter(pc.equal(b["slice"], slice_id))
+        parts.extend(pickle.loads(p) for p in t["payload"].to_pylist())
+    out_a, out_b = [], []
+    if parts:
+        keys = np.concatenate([p[0] for p in parts])
+        ids = np.concatenate([p[1] for p in parts])
+        order = np.lexsort((ids, keys))
+        keys, ids = keys[order], ids[order]
+        first = np.r_[True, (keys[1:] != keys[:-1]) | (ids[1:] != ids[:-1])]
+        keys, ids = keys[first], ids[first]
+        bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            members = ids[s:min(e, s + bucket_cap)]
+            for i in range(len(members) - 1):
+                a = members[i]
+                for b2 in members[i + 1:]:
+                    out_a.append(a)
+                    out_b.append(b2)
+    return pd.DataFrame({"id_a": pd.Series(out_a, dtype=object),
+                         "id_b": pd.Series(out_b, dtype=object)})
+
+
 def _candidate_pairs_distributed(keyed, bucket_cap: int) -> pd.DataFrame:
     """Distributed LSH candidate pairing: per-block (slice, payload)
-    packing of the pruned (key, doc_id) rows, ONE groupby(slice)
-    exchange co-locating complete buckets, per-group enumeration —
-    no bucket rows ever collect on the driver, only the pairs."""
+    packing of the pruned (key, doc_id) rows, then FLAT per-slice ray
+    tasks enumerate complete buckets straight off the plasma-shared
+    block refs — no bucket rows ever collect on the driver, only the
+    pairs, and no sort exchange for a keyspace of dozens of slices."""
     import pickle
 
     num_slices = 64
@@ -133,29 +167,11 @@ def _candidate_pairs_distributed(keyed, bucket_cap: int) -> pd.DataFrame:
                          "payload": pa.array(payloads,
                                              type=pa.large_binary())})
 
-    def pair_slice(g: pd.DataFrame) -> pd.DataFrame:
-        parts = [pickle.loads(p) for p in g["payload"]]
-        keys = np.concatenate([p[0] for p in parts])
-        ids = np.concatenate([p[1] for p in parts])
-        order = np.lexsort((ids, keys))
-        keys, ids = keys[order], ids[order]
-        first = np.r_[True, (keys[1:] != keys[:-1]) | (ids[1:] != ids[:-1])]
-        keys, ids = keys[first], ids[first]
-        bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
-        out_a, out_b = [], []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            members = ids[s:min(e, s + bucket_cap)]
-            for i in range(len(members) - 1):
-                a = members[i]
-                for b in members[i + 1:]:
-                    out_a.append(a)
-                    out_b.append(b)
-        return pd.DataFrame({"id_a": pd.Series(out_a, dtype=object),
-                             "id_b": pd.Series(out_b, dtype=object)})
-
-    out = keyed.map_batches(pack, batch_format="numpy") \
-        .groupby("slice").map_groups(pair_slice, batch_format="pandas") \
-        .to_pandas()
+    refs = keyed.map_batches(pack, batch_format="numpy") \
+        .materialize().to_arrow_refs()
+    futs = [_cand_pair_slice_task.remote(s, bucket_cap, *refs)
+            for s in range(num_slices)]
+    out = pd.concat(ray.get(futs), ignore_index=True)
     if not len(out):
         return pd.DataFrame({"id_a": [], "id_b": []})
     return out.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)

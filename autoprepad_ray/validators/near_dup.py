@@ -274,24 +274,41 @@ def _band_stream(ds, phash_col: str, num_parts: int, hot_ref=None):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _pair_parts(band_ds, max_dist: int, bucket_cap: int) -> pd.DataFrame:
-    """Distributed pairing: ONE groupby(slice) exchange over payload
-    rows, within-group cross-block dedupe + segment-vectorized pairing +
-    exact Hamming verify.  Only verified (ph_a, ph_b, dist) pairs leave
-    the tasks."""
+@ray.remote
+def _hash_pair_slice_task(slice_id: int, max_dist: int, bucket_cap: int,
+                          *blocks) -> pd.DataFrame:
+    """Flat pairing task for one slice of the packed band stream."""
+    payloads = []
+    for b in blocks:
+        t = b.filter(pc.equal(b["slice"], slice_id))
+        payloads.extend(t["payload"].to_pylist())
+    if not payloads:
+        return pd.DataFrame({"ph_a": pd.Series([], dtype=np.int64),
+                             "ph_b": pd.Series([], dtype=np.int64),
+                             "dist": pd.Series([], dtype=np.int64)})
+    parts = [pickle.loads(p) for p in payloads]
+    keys = np.concatenate([p[0] for p in parts])
+    ph = np.concatenate([p[1] for p in parts])
+    uniq = np.unique(np.stack([keys, ph], axis=1), axis=0)
+    out = _segment_pairs(uniq[:, 0], uniq[:, 1], uniq[:, 1],
+                        max_dist, bucket_cap)
+    return out.rename(columns={"id_a": "ph_a", "id_b": "ph_b"})
 
-    def pair_part(g: pd.DataFrame) -> pd.DataFrame:
-        parts = [pickle.loads(p) for p in g["payload"]]
-        keys = np.concatenate([p[0] for p in parts])
-        ph = np.concatenate([p[1] for p in parts])
-        uniq = np.unique(np.stack([keys, ph], axis=1), axis=0)
-        out = _segment_pairs(uniq[:, 0], uniq[:, 1], uniq[:, 1],
-                             max_dist, bucket_cap)
-        return out.rename(columns={"id_a": "ph_a", "id_b": "ph_b"})
 
-    out = band_ds.groupby("slice").map_groups(pair_part,
-                                              batch_format="pandas") \
-        .to_pandas()
+def _pair_parts(band_ds, max_dist: int, bucket_cap: int,
+                num_parts: int | None = None) -> pd.DataFrame:
+    """Distributed pairing: the packed band stream materializes once and
+    FLAT per-slice ray tasks pair straight off the plasma-shared block
+    refs (cross-block dedupe + segment-vectorized pairing + exact
+    Hamming verify inside each task — a sort-groupby pays ~1-2 s of
+    exchange overhead for a keyspace of dozens of slices).  Only
+    verified (ph_a, ph_b, dist) pairs leave the tasks."""
+    if num_parts is None:
+        num_parts = default_num_parts()
+    refs = band_ds.materialize().to_arrow_refs()
+    futs = [_hash_pair_slice_task.remote(s, max_dist, bucket_cap, *refs)
+            for s in range(num_parts)]
+    out = pd.concat(ray.get(futs), ignore_index=True)
     if not len(out):
         return pd.DataFrame({"ph_a": pd.Series([], dtype=np.int64),
                              "ph_b": pd.Series([], dtype=np.int64),
@@ -380,5 +397,5 @@ def hamming_neardup_pairs(ds, *, max_dist: int = 4,
         else "prune")
     hot_ref = ray.put(hot) if path == "prune" else None
     band_ds = _band_stream(ds, phash_col, num_parts, hot_ref)
-    ph_pairs = _pair_parts(band_ds, max_dist, bucket_cap)
+    ph_pairs = _pair_parts(band_ds, max_dist, bucket_cap, num_parts)
     return _resolve_ids(ds, phash_col, id_col, ph_pairs)
