@@ -10,6 +10,7 @@ with one min-id representative per distinct hash value.
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from autoprepad_ray.functions.imagecodec import hamming64
@@ -108,3 +109,60 @@ def test_hamming_dup_heavy_saturated_path():
     got = _got_pairs(hamming_neardup_pairs(ds, max_dist=4, sat_min=100))
     exp = brute_pairs(ids, ph, 4)
     assert got == exp and len(exp) > 50
+
+
+def _brute_segment_pairs(keys, ids, ph, max_dist, bucket_cap):
+    """Independent per-bucket reference for _segment_pairs semantics."""
+    import collections
+    from autoprepad_ray.functions.imagecodec import hamming64
+
+    buckets = collections.defaultdict(list)
+    order = np.argsort(keys, kind="mergesort")
+    for i in order:
+        buckets[keys[i]].append(i)
+    out = {}
+    for rows in buckets.values():
+        rows = rows[:bucket_cap]
+        for x in range(len(rows) - 1):
+            for y in range(x + 1, len(rows)):
+                i, j = rows[x], rows[y]
+                d = int(hamming64(np.int64(ph[i]), np.int64(ph[j]))[0])
+                if 1 <= d <= max_dist:
+                    a, b = ids[i], ids[j]
+                    if a > b:
+                        a, b = b, a
+                    out.setdefault((a, b), d)
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_segment_pairs_property(seed):
+    """The size-class-batched kernel == per-bucket brute force, across
+    mixed segment sizes including the >_GROUPED_SEG_MAX fallback."""
+    from autoprepad_ray.validators.near_dup import (_GROUPED_SEG_MAX,
+                                                    _segment_pairs)
+
+    rng = np.random.default_rng(seed)
+    keys_l, ph_l = [], []
+    # many tiny buckets + several mid-size + one oversized bucket
+    sizes = ([int(s) for s in rng.integers(1, 5, 60)]
+             + [25, 40, 80] + [_GROUPED_SEG_MAX + 60])
+    base_pool = rng.integers(-2**62, 2**62, 40).astype(np.int64)
+    for k, size in enumerate(sizes):
+        for _ in range(size):
+            v = np.uint64(np.int64(base_pool[k % 40]).view(np.uint64))
+            for bit in rng.choice(64, size=rng.integers(0, 4),
+                                  replace=False):
+                v ^= np.uint64(1) << np.uint64(bit)
+            keys_l.append(k)
+            ph_l.append(np.int64(v.view(np.int64)))
+    keys = np.array(keys_l, dtype=np.int64)
+    ph = np.array(ph_l, dtype=np.int64)
+    # dedupe (key, ph) like the production callers do
+    uniq = np.unique(np.stack([keys, ph], axis=1), axis=0)
+    keys_u, ph_u = uniq[:, 0], uniq[:, 1]
+    got = _segment_pairs(keys_u, ph_u, ph_u, 4, 4096)
+    got_pairs = {(a, b): int(d) for a, b, d in
+                 zip(got["id_a"], got["id_b"], got["dist"])}
+    exp = _brute_segment_pairs(keys_u, ph_u, ph_u, 4, 4096)
+    assert got_pairs == exp and len(exp) > 20
