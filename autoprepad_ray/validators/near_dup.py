@@ -100,10 +100,27 @@ def duplicate_phash_groups(ds, *, phash_col: str = "phash",
     dup_ref = ray.put(vals[dup_mask].astype(np.int64))
 
     def members(t: pa.Table) -> pa.Table:
+        """Capped member sample PER BLOCK: at most sample_cap (min) ids
+        per dup hash leave each block, so the driver collection is
+        bounded by dup_hashes x sample_cap x blocks-touching-them even
+        when a hot hash has millions of rows (counts stay exact from
+        the census)."""
+        from ..sketches import np_object
+
         dups = ray.get(dup_ref)
         ph = t[phash_col].to_numpy(zero_copy_only=False)
-        return t.select([id_col, phash_col]).filter(
-            pa.array(np.isin(ph, dups)))
+        m = np.isin(ph, dups)
+        ph, ids = ph[m], np_object(t[id_col])[m]
+        order = np.lexsort((ids, ph))
+        ph, ids = ph[order], ids[order]
+        first = np.r_[True, ph[1:] != ph[:-1]] if len(ph) else \
+            np.empty(0, bool)
+        rank = np.arange(len(ph)) - np.maximum.accumulate(
+            np.where(first, np.arange(len(ph)), 0)) if len(ph) else \
+            np.empty(0, np.int64)
+        keep = rank < sample_cap
+        return pa.table({id_col: pa.array(ids[keep]),
+                         phash_col: pa.array(ph[keep])})
 
     rows = (ds.map_batches(members, batch_format="pyarrow",
                            zero_copy_batch=True).take_all())

@@ -166,3 +166,19 @@ def test_segment_pairs_property(seed):
                  zip(got["id_a"], got["id_b"], got["dist"])}
     exp = _brute_segment_pairs(keys_u, ph_u, ph_u, 4, 4096)
     assert got_pairs == exp and len(exp) > 20
+
+
+def test_duplicate_phash_groups_hot_hash_capped_sample():
+    """A hot hash with thousands of rows yields an exact count but a
+    bounded id sample — member collection is capped per block, so the
+    driver never sees the hot hash's full row set."""
+    from autoprepad_ray.validators.near_dup import duplicate_phash_groups
+
+    ids = [f"i{k:04d}" for k in range(600)]
+    ph = [7] * 500 + list(range(100, 200))
+    t = pa.table({"image_id": pa.array(ids),
+                  "phash": pa.array(ph, type=pa.int64())})
+    out = duplicate_phash_groups(rd.from_arrow(t).repartition(5))
+    assert out.num_rows == 1
+    r = out.to_pylist()[0]
+    assert r["phash"] == 7 and r["n"] == 500 and len(r["ids"]) == 64
