@@ -422,7 +422,7 @@ class _P2Partial:
         kinds = ["agg", "viol"]
         slices = [-1, -1]
         payloads = [pickle.dumps((counts, dup_rows, orphan_rows,
-                                  ph_members)),
+                                  ph_members, viol_tbl.schema)),
                     pickle.dumps(viol_tbl)]
         if self.band_mode != "none":
             from ..sketches import splitmix64
@@ -513,12 +513,23 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
                     violations_dir: str | None = None,
                     mad_threshold: float = 3.5) -> ImageValidationReport:
     import glob as _glob
+    import os as _os
     import time as _time
     timings: dict = {}
     _t0 = _time.perf_counter()
-    schema_errors = assert_schema_files(
-        sorted(_glob.glob(f"{images_dir.rstrip('/')}/**/*.parquet",
-                          recursive=True)))
+    # accept a single-file input too; a zero-match glob would silently
+    # skip the schema assert, so it is an error instead
+    if _os.path.isfile(images_dir):
+        _schema_paths = [images_dir]
+    else:
+        _schema_paths = sorted(
+            _glob.glob(f"{images_dir.rstrip('/')}/**/*.parquet",
+                       recursive=True))
+    if not _schema_paths:
+        raise ValueError(
+            f"no parquet files found under {images_dir!r} — "
+            "schema assert would silently pass on nothing")
+    schema_errors = assert_schema_files(_schema_paths)
     meta = rd.read_parquet(images_dir, columns=META_COLS)
 
     # ---- PASS 1 ----
@@ -670,9 +681,10 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
     agg_only = p2_out.map_batches(
         lambda t: t.filter(pc.equal(t["kind"], "agg")),
         batch_format="pyarrow")
+    viol_schema: pa.Schema | None = None
     for r in agg_only.take_all():
         (cnts, dup_rows, orphan_rows,
-         ph_members) = pickle.loads(r["payload"])
+         ph_members, viol_schema) = pickle.loads(r["payload"])
         for u, (n, sv, nv) in cnts.items():
             agg = counts.setdefault(u, [0, 0, 0])
             agg[0] += n
@@ -688,11 +700,15 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
             ph_member_vals.append(ph_members[1])
 
     def _unpack_viol(t: pa.Table) -> pa.Table:
-        # batch_size=None -> one batch per block, and every block holds
-        # exactly one always-emitted viol row, so tabs is never empty
+        # batch_size=None -> one batch per block; a block usually holds
+        # the always-emitted viol row, but Ray's dynamic block splitting
+        # (target max block size) can produce a block without one — fall
+        # back to the empty typed table so concat never sees []
         tabs = [pickle.loads(p) for p in
                 t.filter(pc.equal(t["kind"], "viol"))["payload"]
                 .to_pylist()]
+        if not tabs:
+            return viol_schema.empty_table()
         return pa.concat_tables(tabs, promote_options="default")
 
     stat_viol = p2_out.map_batches(_unpack_viol, batch_format="pyarrow",

@@ -252,7 +252,8 @@ def run_validation(images_dir: str, out_dir: str, *,
         return pa.table({
             "kind": pa.array(["agg", "viol"]),
             "payload": pa.array(
-                [pickle.dumps((counts, hists, fmt_counts)),
+                [pickle.dumps((counts, hists, fmt_counts,
+                               viol_tbl.schema)),
                  pickle.dumps(viol_tbl)], type=pa.large_binary())})
 
     for pid in pending:
@@ -265,10 +266,11 @@ def run_validation(images_dir: str, out_dir: str, *,
         cur_fmt: dict = {}
         mp = meta.map_batches(meta_pass, batch_format="pyarrow",
                               zero_copy_batch=True).materialize()
+        viol_schema: pa.Schema | None = None
         for r in mp.map_batches(
                 lambda t: t.filter(pc.equal(t["kind"], "agg")),
                 batch_format="pyarrow").take_all():
-            (n, sv, nv), hi, fc = pickle.loads(r["payload"])
+            (n, sv, nv), hi, fc, viol_schema = pickle.loads(r["payload"])
             n_rows += n
             stat_viol += sv
             null_viol += nv
@@ -288,7 +290,12 @@ def run_validation(images_dir: str, out_dir: str, *,
         decode_ids: list[str] = []
         if decode:
             from ..stages.decode import decode_verify
-            payload_ds = rd.read_parquet(parts[pid])
+            # column-pruned: the decode pool needs everything BUT caption
+            # (image_validation.py does the same — shipping the caption
+            # through the actor pool is pure waste)
+            payload_ds = rd.read_parquet(
+                parts[pid], columns=["image_id", "bytes", "w", "h",
+                                     "fmt", "phash"])
             bad = decode_verify(payload_ds,
                                 concurrency=decode_concurrency) \
                 .map_batches(
@@ -329,9 +336,13 @@ def run_validation(images_dir: str, out_dir: str, *,
             # distributed write: violation blocks never concat on the
             # driver (capped per block, unbounded block count at scale)
             def _unpack(t: pa.Table) -> pa.Table:
+                # dynamic block splitting can yield a block with no viol
+                # row — fall back to the empty typed table
                 tabs = [pickle.loads(p) for p in
                         t.filter(pc.equal(t["kind"], "viol"))["payload"]
                         .to_pylist()]
+                if not tabs:
+                    return viol_schema.empty_table()
                 return pa.concat_tables(tabs, promote_options="default")
 
             mp.map_batches(_unpack, batch_format="pyarrow",
@@ -435,6 +446,14 @@ def run_validation(images_dir: str, out_dir: str, *,
             cv, _ = _census_arrays(cap_tbl, "id")
             run_entry["referential_orphans"] = int(
                 np.setdiff1d(iv, cv).size + np.setdiff1d(cv, iv).size)
+            # the setdiff runs over 64-bit id-hash censuses, not raw ids:
+            # a hash collision can MISS an orphan (odds ~n^2/2^64).
+            # Record the method beside the count so consumers never
+            # assume exactness (pipelines.image_validation lists orphans
+            # from raw ids when exactness is needed).
+            run_entry["referential_method"] = (
+                "hash64-census setdiff (approximate: collisions can "
+                "mask orphans, odds ~n^2/2^64)")
         run_entry["global_checks"] = {
             "method": "incremental-census",
             "census_new_partitions": census_new,

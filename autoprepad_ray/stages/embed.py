@@ -149,6 +149,10 @@ def train_ivf_centroids(ds, vec_col: str, *, nlist: int = 64,
         remaining -= len(M)
         if remaining <= 0:
             break
+    if not sampled or not sum(len(s) for s in sampled):
+        raise ValueError(
+            "train_ivf_centroids: dataset yielded no rows to sample — "
+            "cannot train on an empty input")
     X = np.concatenate(sampled)
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)

@@ -48,6 +48,10 @@ def fit_pca_scorer(ds, cols, *, n_components: int | None = None,
         remaining -= len(M)
         if remaining <= 0:
             break
+    if not sampled or not sum(len(s) for s in sampled):
+        raise ValueError(
+            "fit_pca_scorer: dataset yielded no rows to sample — "
+            "cannot fit on an empty input")
     X = np.concatenate(sampled)
     mean = X.mean(axis=0)
     scale = X.std(axis=0)

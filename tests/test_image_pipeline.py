@@ -187,3 +187,28 @@ def test_violations_stream_to_sink(fimg, tmp_path):
     # lazy dataset agrees with the sink
     lazy = rep.stat_violations.to_pandas()
     assert sorted(lazy["image_id"]) == sorted(ondisk["image_id"])
+
+
+def test_validate_images_rejects_empty_dir(tmp_path):
+    """A zero-match glob must error, not silently skip the schema
+    assert (the old behavior passed schema on nothing)."""
+    from autoprepad_ray.pipelines.image_validation import validate_images
+
+    empty = tmp_path / "nothing"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no parquet files"):
+        validate_images(str(empty), decode=False, neardup=False)
+
+
+def test_validate_images_accepts_single_file(fimg):
+    """A direct .parquet file path validates that file (the glob
+    fallback from ADVICE r2)."""
+    import glob as _glob
+
+    from autoprepad_ray.pipelines.image_validation import validate_images
+
+    d, _ = fimg
+    one = sorted(_glob.glob(f"{d}/images/partition=0/*.parquet"))[0]
+    rep = validate_images(one, decode=False, neardup=False)
+    assert rep.schema_errors == []
+    assert int(rep.verdicts["n_rows"].sum()) == 250

@@ -49,3 +49,13 @@ def test_pca_scorer_batch_invariant():
     sb = pca_scores(b, st).to_pandas().sort_values("row_id")
     assert np.array_equal(sa["pca_score"].to_numpy(),
                           sb["pca_score"].to_numpy())
+
+
+def test_fit_pca_scorer_empty_input_raises():
+    import pyarrow as pa
+    import pytest as _pytest
+
+    empty = rd.from_arrow(pa.table(
+        {c: pa.array([], type=pa.float64()) for c in COLS}))
+    with _pytest.raises(ValueError, match="no rows"):
+        fit_pca_scorer(empty, COLS)
