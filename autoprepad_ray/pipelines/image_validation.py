@@ -307,34 +307,6 @@ def _reduce_kind(kind: str, payloads: list, has_captions: bool) -> bytes:
 
 
 @ray.remote
-def _pair_band_slice(slice_id: int, max_dist: int, bucket_cap: int,
-                     *blocks) -> pd.DataFrame:
-    """Flat pairing task for one band slice over the materialized
-    pass-2 blocks (same rationale as _reduce_slice_task: dozens of
-    groups don't need a sort exchange)."""
-    from ..validators.near_dup import _segment_pairs
-
-    keys_l, ph_l = [], []
-    for b in blocks:
-        m = pc.and_(pc.equal(b["kind"], "band"),
-                    pc.equal(b["slice"], slice_id))
-        for p in b.filter(m)["payload"].to_pylist():
-            k, ph = pickle.loads(p)
-            keys_l.append(k)
-            ph_l.append(ph)
-    if not keys_l:
-        return pd.DataFrame({"ph_a": pd.Series([], dtype=np.int64),
-                             "ph_b": pd.Series([], dtype=np.int64),
-                             "dist": pd.Series([], dtype=np.int64)})
-    keys = np.concatenate(keys_l)
-    ph = np.concatenate(ph_l)
-    uniq = np.unique(np.stack([keys, ph], axis=1), axis=0)
-    out = _segment_pairs(uniq[:, 0], uniq[:, 1], uniq[:, 1],
-                         max_dist, bucket_cap)
-    return out.rename(columns={"id_a": "ph_a", "id_b": "ph_b"})
-
-
-@ray.remote
 def _reduce_slice_task(slice_id: int, has_captions: bool,
                        *blocks) -> list[tuple[str, bytes]]:
     """Flat reduce task for one census slice: pulls its rows out of the
@@ -779,12 +751,17 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
     # ---- banded-Hamming pairing (distributed) ----
     # consumes the band payload rows already sitting in the materialized
     # pass-2 output — no extra read or census; the pass-1 census chose
-    # the path.  Ids resolve via a pruned 2-column read only when pairs
-    # exist.
+    # the path.  The slice-addressed scatter (stages.transport) splits
+    # out the band cells once per block, so pairing tasks never fetch
+    # the violation tables riding the same blocks and each band byte
+    # moves once even multi-node.  Ids resolve via a pruned 2-column
+    # read only when pairs exist.
     if neardup:
         if hamming_path != "none":
-            p2_refs = p2_out.to_arrow_refs()
-            futs = [_pair_band_slice.remote(s, 4, 4096, *p2_refs)
+            from ..stages.transport import scatter_slices
+            from ..validators.near_dup import _hash_pair_slice_task
+            per_slice = scatter_slices(p2_out, band_slices, kind="band")
+            futs = [_hash_pair_slice_task.remote(4, 4096, *per_slice[s])
                     for s in range(band_slices)]
             ph_pairs = pd.concat(ray.get(futs), ignore_index=True) \
                 .drop_duplicates(["ph_a", "ph_b"])

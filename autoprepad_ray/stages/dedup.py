@@ -105,45 +105,46 @@ def exact_jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 
 @ray.remote
-def _cand_pair_slice_task(slice_id: int, bucket_cap: int,
-                          *blocks) -> pd.DataFrame:
+def _cand_pair_slice_task(bucket_cap: int, *payload_lists
+                          ) -> pd.DataFrame:
     """Flat candidate-pairing task for one slice of the packed key
-    stream: cross-block bucket assembly + per-bucket enumeration."""
+    stream.  Receives ONLY its own slice's payloads (slice-addressed
+    scatter — bytes move once on a multi-node cluster).  Bucket
+    enumeration reuses the property-tested size-class kernel
+    (``near_dup._segment_pairs`` with verification off) — the nested
+    per-pair Python loop it replaces was the 8.8x-slower shape the
+    Hamming stage already abandoned."""
     import pickle
 
-    import pyarrow.compute as pc
+    from ..validators.near_dup import _segment_pairs
 
-    parts = []
-    for b in blocks:
-        t = b.filter(pc.equal(b["slice"], slice_id))
-        parts.extend(pickle.loads(p) for p in t["payload"].to_pylist())
-    out_a, out_b = [], []
-    if parts:
-        keys = np.concatenate([p[0] for p in parts])
-        ids = np.concatenate([p[1] for p in parts])
-        order = np.lexsort((ids, keys))
-        keys, ids = keys[order], ids[order]
-        first = np.r_[True, (keys[1:] != keys[:-1]) | (ids[1:] != ids[:-1])]
-        keys, ids = keys[first], ids[first]
-        bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            members = ids[s:min(e, s + bucket_cap)]
-            for i in range(len(members) - 1):
-                a = members[i]
-                for b2 in members[i + 1:]:
-                    out_a.append(a)
-                    out_b.append(b2)
-    return pd.DataFrame({"id_a": pd.Series(out_a, dtype=object),
-                         "id_b": pd.Series(out_b, dtype=object)})
+    parts = [pickle.loads(p) for lst in payload_lists for p in lst]
+    if not parts:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                             "id_b": pd.Series([], dtype=object)})
+    keys = np.concatenate([p[0] for p in parts])
+    ids = np.concatenate([p[1] for p in parts])
+    # one row per (bucket, id): a doc can land in one bucket via
+    # several bands and cross-block repeats are the norm
+    order = np.lexsort((ids, keys))
+    keys, ids = keys[order], ids[order]
+    first = np.r_[True, (keys[1:] != keys[:-1]) | (ids[1:] != ids[:-1])]
+    keys, ids = keys[first], ids[first]
+    out = _segment_pairs(keys, ids, np.zeros(len(ids), dtype=np.int64),
+                         0, bucket_cap, verify=False)
+    return out[["id_a", "id_b"]]
 
 
 def _candidate_pairs_distributed(keyed, bucket_cap: int) -> pd.DataFrame:
     """Distributed LSH candidate pairing: per-block (slice, payload)
-    packing of the pruned (key, doc_id) rows, then FLAT per-slice ray
-    tasks enumerate complete buckets straight off the plasma-shared
-    block refs — no bucket rows ever collect on the driver, only the
+    packing of the pruned (key, doc_id) rows, slice-addressed scatter
+    (``stages.transport`` — each payload byte moves once even
+    multi-node), then FLAT per-slice ray tasks enumerate complete
+    buckets — no bucket rows ever collect on the driver, only the
     pairs, and no sort exchange for a keyspace of dozens of slices."""
     import pickle
+
+    from .transport import scatter_slices
 
     num_slices = 64
 
@@ -167,9 +168,9 @@ def _candidate_pairs_distributed(keyed, bucket_cap: int) -> pd.DataFrame:
                          "payload": pa.array(payloads,
                                              type=pa.large_binary())})
 
-    refs = keyed.map_batches(pack, batch_format="numpy") \
-        .materialize().to_arrow_refs()
-    futs = [_cand_pair_slice_task.remote(s, bucket_cap, *refs)
+    packed = keyed.map_batches(pack, batch_format="numpy").materialize()
+    per_slice = scatter_slices(packed, num_slices)
+    futs = [_cand_pair_slice_task.remote(bucket_cap, *per_slice[s])
             for s in range(num_slices)]
     out = pd.concat(ray.get(futs), ignore_index=True)
     if not len(out):
@@ -181,12 +182,20 @@ def verify_pairs_routed(ds, id_col: str, cand: pd.DataFrame,
                         extract, score, score_name: str) -> pd.DataFrame:
     """Distributed pair verification as a broadcast-routed candidate
     join: the tiny pair list is broadcast as an id->verify-part routing
-    map; the data stream computes each candidate row's payload (via
-    ``extract(batch, wanted_ids)``) and ships it only to the part(s)
-    whose pairs need it; per-part map_groups applies ``score(pa, pb)``
-    to its pairs locally.  Driver memory stays O(pairs) — candidate
-    payloads (texts, vectors) never collect on the driver."""
+    map; the data stream computes each candidate row's payload and
+    ships it only to the part(s) whose pairs need it; per-part
+    map_groups applies ``score(pa, pb)`` to its pairs locally.  Driver
+    memory stays O(pairs) — candidate payloads (texts, vectors) never
+    collect on the driver.
+
+    ``extract(sub_batch)`` receives a batch already FILTERED to
+    candidate rows (vectorized hash64 mask against the sorted candidate
+    hash set — never a per-row Python membership scan over the full
+    dataset) and returns one payload object per row of ``sub_batch``.
+    """
     import pickle
+
+    from ..sketches import np_object
 
     num_parts = max(4, min(64, len(cand) // 32 + 1))
     pair_arr = list(zip(cand["id_a"], cand["id_b"]))
@@ -197,25 +206,35 @@ def verify_pairs_routed(ds, id_col: str, cand: pd.DataFrame,
         pairs_by_part.setdefault(p, []).append((a, b))
         doc_parts.setdefault(a, set()).add(p)
         doc_parts.setdefault(b, set()).add(p)
-    route_ref = ray.put((pairs_by_part, doc_parts))
+    # both sides hash OBJECT arrays: pandas' hash differs between
+    # int64-typed and object-typed inputs, so the batch side must go
+    # through np_object too (see test_verify_prefilter_hash_agreement)
+    cand_hashes = np.sort(hash64(np.array(list(doc_parts), dtype=object)))
+    route_ref = ray.put((pairs_by_part, doc_parts, cand_hashes))
 
     def ship(batch: pa.Table) -> pa.Table:
-        _, routes = ray.get(route_ref)
-        ids, objs = extract(batch, routes)
+        _, routes, ch = ray.get(route_ref)
+        ids_all = np_object(batch[id_col])
+        mask = np.isin(hash64(ids_all), ch)
         parts_out, ids_out, payloads = [], [], []
-        for i, obj in zip(ids, objs):
-            blob = pickle.dumps(obj)
-            for p in routes[i]:
-                parts_out.append(p)
-                ids_out.append(i)
-                payloads.append(blob)
+        if mask.any():
+            objs = extract(batch.filter(pa.array(mask)))
+            for i, obj in zip(ids_all[mask], objs):
+                ps = routes.get(i)
+                if ps is None:       # hash64 collision false positive
+                    continue
+                blob = pickle.dumps(obj)
+                for p in ps:
+                    parts_out.append(p)
+                    ids_out.append(i)
+                    payloads.append(blob)
         return pa.table({
             "part": pa.array(parts_out, type=pa.int32()),
-            "doc_id": pa.array(ids_out),
+            "doc_id": pa.array(ids_out, type=batch[id_col].type),
             "payload": pa.array(payloads, type=pa.large_binary())})
 
     def verify_part(g: pd.DataFrame) -> pd.DataFrame:
-        pairs, _ = ray.get(route_ref)
+        pairs, _, _ = ray.get(route_ref)
         local = {i: pickle.loads(p)
                  for i, p in zip(g["doc_id"], g["payload"])}
         part = int(g["part"].iloc[0])
@@ -240,14 +259,11 @@ def verify_pairs_routed(ds, id_col: str, cand: pd.DataFrame,
 def _verify_jaccard_distributed(ds, text_col: str, id_col: str,
                                 cand: pd.DataFrame, n_words: int
                                 ) -> pd.DataFrame:
-    def extract(batch: pa.Table, routes: dict):
-        ids_out, objs = [], []
-        for i, t in zip(batch[id_col].to_pylist(),
-                        batch[text_col].to_pylist()):
-            if i in routes:
-                ids_out.append(i)
-                objs.append(_shingle_hashes(t or "", n_words))
-        return ids_out, objs
+    def extract(sub: pa.Table) -> list:
+        # Python shingling runs ONLY over the surviving candidate rows
+        # (the hash64 mask in verify_pairs_routed filtered the batch)
+        return [_shingle_hashes(t or "", n_words)
+                for t in sub[text_col].to_pylist()]
 
     return verify_pairs_routed(ds, id_col, cand, extract, exact_jaccard,
                                "jaccard")
@@ -372,8 +388,11 @@ def simhash_neardup_pairs(ds, text_col: str, id_col: str, *,
 
     sigs = simhash_signatures(ds, text_col, id_col,
                               concurrency=concurrency)
+    # materialize: the Hamming stage consumes its input three times and
+    # would otherwise re-run the SimHash chain over all documents 3x
     return hamming_neardup_pairs(sigs, phash_col="simhash", id_col=id_col,
-                                 max_dist=max_dist)
+                                 max_dist=max_dist,
+                                 materialize_input=True)
 
 
 def exact_dedup(ds, key_cols: list[str], *, order_col: str):

@@ -115,14 +115,12 @@ def cosine_neardup_pairs(ds, vec_col: str, id_col: str, *,
     if not len(cand):
         return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
 
-    def extract(batch: pa.Table, routes: dict):
-        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
-        m = np.array([i in routes for i in ids.tolist()], dtype=bool)
-        if not m.any():
-            return [], []
-        Mn = _matrix(batch[vec_col])[m]
+    def extract(sub: pa.Table) -> list:
+        # sub is pre-filtered to candidate rows by the vectorized
+        # hash64 mask in verify_pairs_routed
+        Mn = _matrix(sub[vec_col])
         Mn = Mn / np.linalg.norm(Mn, axis=1, keepdims=True)
-        return ids[m].tolist(), [Mn[k] for k in range(len(Mn))]
+        return [Mn[k] for k in range(len(Mn))]
 
     verified = verify_pairs_routed(
         ds, id_col, cand, extract,

@@ -139,7 +139,8 @@ _GROUPED_SEG_MAX = 256  # segments up to this size batch by size class
 
 
 def _segment_pairs(keys: np.ndarray, ids: np.ndarray, ph: np.ndarray,
-                   max_dist: int, bucket_cap: int) -> pd.DataFrame:
+                   max_dist: int, bucket_cap: int, *,
+                   verify: bool = True) -> pd.DataFrame:
     """Vectorized within-bucket pairing over lexsorted candidate rows.
 
     Segments are batched BY SIZE CLASS: all size-m buckets stack into a
@@ -147,7 +148,12 @@ def _segment_pairs(keys: np.ndarray, ids: np.ndarray, ph: np.ndarray,
     XOR + popcount broadcast per class — no per-segment Python loop (at
     n >> 2^16 per band the average bucket holds n/2^16 rows and the
     loop, not the shuffle, dominated).  Segments past _GROUPED_SEG_MAX
-    (rare; capped at ``bucket_cap``) fall back to a row-vs-rest sweep."""
+    (rare; capped at ``bucket_cap``) fall back to a row-vs-rest sweep.
+
+    ``verify=False`` skips the Hamming check and emits EVERY intra-
+    bucket pair with dist 0 — the LSH candidate-enumeration mode (the
+    minhash / sign-LSH stages verify with their own exact metric
+    afterwards); ``ph`` is ignored there."""
     from ..sketches import popcount64
 
     order = np.argsort(keys, kind="mergesort")
@@ -171,28 +177,36 @@ def _segment_pairs(keys: np.ndarray, ids: np.ndarray, ph: np.ndarray,
         st = starts[sizes == m]
         idx = st[:, None] + np.arange(m)[None, :]          # (k, m)
         iu, ju = np.triu_indices(int(m), 1)
-        P = u[idx]
         # chunk so the (k, m(m-1)/2) pair matrix stays ~32 MB
         step = max(1, 4_000_000 // max(1, len(iu)))
         for c in range(0, len(st), step):
-            Pc = P[c:c + step]
-            d = popcount64(Pc[:, iu] ^ Pc[:, ju]).astype(np.int64)
-            hit = (d >= 1) & (d <= max_dist)
-            if not hit.any():
-                continue
-            ks, ps = np.nonzero(hit)
             ic = idx[c:c + step]
-            emit(ids[ic[ks, iu[ps]]], ids[ic[ks, ju[ps]]], d[hit])
+            if verify:
+                Pc = u[ic]
+                d = popcount64(Pc[:, iu] ^ Pc[:, ju]).astype(np.int64)
+                hit = (d >= 1) & (d <= max_dist)
+                if not hit.any():
+                    continue
+                ks, ps = np.nonzero(hit)
+                emit(ids[ic[ks, iu[ps]]], ids[ic[ks, ju[ps]]], d[hit])
+            else:
+                emit(ids[ic[:, iu].ravel()], ids[ic[:, ju].ravel()],
+                     np.zeros(len(ic) * len(iu), dtype=np.int64))
     for s, size in zip(starts[sizes > _GROUPED_SEG_MAX],
                        sizes[sizes > _GROUPED_SEG_MAX]):
         e = s + min(int(size), bucket_cap)
         for i in range(s, e - 1):
-            d = popcount64(u[i + 1:e] ^ u[i]).astype(np.int64)
-            hit = (d >= 1) & (d <= max_dist)
-            if hit.any():
-                j = np.nonzero(hit)[0] + i + 1
+            if verify:
+                d = popcount64(u[i + 1:e] ^ u[i]).astype(np.int64)
+                hit = (d >= 1) & (d <= max_dist)
+                if hit.any():
+                    j = np.nonzero(hit)[0] + i + 1
+                    emit(np.broadcast_to(ids[i], j.shape).copy(), ids[j],
+                         d[hit])
+            else:
+                j = np.arange(i + 1, e)
                 emit(np.broadcast_to(ids[i], j.shape).copy(), ids[j],
-                     d[hit])
+                     np.zeros(len(j), dtype=np.int64))
     if out_a:
         df = pd.DataFrame({
             "id_a": pd.Series(np.concatenate(out_a)),
@@ -292,13 +306,12 @@ def _band_stream(ds, phash_col: str, num_parts: int, hot_ref=None):
 
 
 @ray.remote
-def _hash_pair_slice_task(slice_id: int, max_dist: int, bucket_cap: int,
-                          *blocks) -> pd.DataFrame:
-    """Flat pairing task for one slice of the packed band stream."""
-    payloads = []
-    for b in blocks:
-        t = b.filter(pc.equal(b["slice"], slice_id))
-        payloads.extend(t["payload"].to_pylist())
+def _hash_pair_slice_task(max_dist: int, bucket_cap: int,
+                          *payload_lists) -> pd.DataFrame:
+    """Flat pairing task for ONE slice of the packed band stream.
+    Receives only its own slice's payload cells (slice-addressed
+    scatter, ``stages.transport``)."""
+    payloads = [p for lst in payload_lists for p in lst]
     if not payloads:
         return pd.DataFrame({"ph_a": pd.Series([], dtype=np.int64),
                              "ph_b": pd.Series([], dtype=np.int64),
@@ -314,16 +327,21 @@ def _hash_pair_slice_task(slice_id: int, max_dist: int, bucket_cap: int,
 
 def _pair_parts(band_ds, max_dist: int, bucket_cap: int,
                 num_parts: int | None = None) -> pd.DataFrame:
-    """Distributed pairing: the packed band stream materializes once and
-    FLAT per-slice ray tasks pair straight off the plasma-shared block
-    refs (cross-block dedupe + segment-vectorized pairing + exact
-    Hamming verify inside each task — a sort-groupby pays ~1-2 s of
-    exchange overhead for a keyspace of dozens of slices).  Only
-    verified (ph_a, ph_b, dist) pairs leave the tasks."""
+    """Distributed pairing: the packed band stream materializes once,
+    scatter tasks split it into slice-addressed cells (bytes move once
+    even on a multi-node cluster — ``stages.transport``), and FLAT
+    per-slice ray tasks pair their own cells (cross-block dedupe +
+    segment-vectorized pairing + exact Hamming verify inside each task
+    — a sort-groupby pays ~1-2 s of exchange overhead for a keyspace of
+    dozens of slices).  Only verified (ph_a, ph_b, dist) pairs leave
+    the tasks."""
+    from ..stages.transport import scatter_slices
+
     if num_parts is None:
         num_parts = default_num_parts()
-    refs = band_ds.materialize().to_arrow_refs()
-    futs = [_hash_pair_slice_task.remote(s, max_dist, bucket_cap, *refs)
+    per_slice = scatter_slices(band_ds.materialize(), num_parts)
+    futs = [_hash_pair_slice_task.remote(max_dist, bucket_cap,
+                                         *per_slice[s])
             for s in range(num_parts)]
     out = pd.concat(ray.get(futs), ignore_index=True)
     if not len(out):
@@ -390,7 +408,8 @@ def hamming_neardup_pairs(ds, *, max_dist: int = 4,
                           bucket_cap: int = 4096,
                           num_parts: int | None = None,
                           sat_min: int = 100_000, sat_frac: float = 0.02,
-                          force_path: str | None = None) -> pd.DataFrame:
+                          force_path: str | None = None,
+                          materialize_input: bool = False) -> pd.DataFrame:
     """Banded-LSH candidates + exact Hamming verification, distributed.
 
     Returns a DataFrame (id_a, id_b, dist), id_a < id_b, 1 <= dist <=
@@ -400,9 +419,17 @@ def hamming_neardup_pairs(ds, *, max_dist: int = 4,
     at n >> 2^16 per band — ship the whole deduped band stream; the
     filter would keep ~everything anyway).  Both paths end in the same
     hash-partitioned groupby pairing; results are path-independent.
+
+    ``ds`` is consumed up to three times (census, band stream, id
+    resolution).  For a cheap pruned parquet read that is the right
+    trade; when ``ds`` is a COMPUTED chain (e.g. SimHash signatures),
+    pass ``materialize_input=True`` so the chain executes once and the
+    small (id, hash) stream is object-store-resident for the re-reads.
     """
     if num_parts is None:
         num_parts = default_num_parts()
+    if materialize_input:
+        ds = ds.materialize()
     census = _dense_band_census(ds, phash_col)
     hot = np.nonzero(census >= 2)[0].astype(np.int64)
     if hot.size == 0:
