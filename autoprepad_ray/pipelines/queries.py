@@ -172,7 +172,15 @@ FROM f, s""")
 def anomaly_scores_events(sf_dir: str):
     """Min-max scaled anomaly score + percentile label
     (runs.py:200-201, runs.py:211-214)."""
-    scored = rc.attach_scores(_events_checked(sf_dir), pct=0.10)
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "value"])
+    prof = profile_dataset(ds, columns=["value"])
+    states = rc.fence_states(prof, ["value"])
+    # single-column check: the raw-score distribution folds straight off
+    # the profile's exact value counts — skips the score_threshold
+    # barrier, so the whole chain executes ONCE (profile + final pass)
+    stats = rc.score_stats_from_profile(prof, states, pct=0.10)
+    scored = rc.attach_scores(rc.check_rows(ds, states), pct=0.10,
+                              stats=stats)
     return scored.map_batches(
         lambda t: pa.table({
             "event_id": t["event_id"],

@@ -191,10 +191,64 @@ def score_threshold(checked_ds, *, pct: float = 0.10
     return float(lo), float(hi), float(thr)
 
 
-def attach_scores(checked_ds, *, pct: float = 0.10):
+def score_stats_from_profile(profile: TableProfile,
+                             states: dict[str, FenceState], *,
+                             pct: float = 0.10,
+                             mad_threshold: float = 3.5
+                             ) -> tuple[float, float, float] | None:
+    """Derive (min, max, percentile-threshold) of the raw flag-sum score
+    straight from the profile's EXACT value counts — zero extra dataset
+    executions when the check covers a SINGLE column.
+
+    The raw score is a deterministic function of that column's value,
+    so its multiset folds directly off the value counts; null/NaN rows
+    score 0 exactly as :class:`RowChecker` emits (flags are masked to
+    valid values).  Returns None when the states span several columns
+    (the joint flag-sum distribution is not derivable from marginals)
+    or the profile lost exactness — callers fall back to the
+    :func:`score_threshold` pass.
+    """
+    if len(states) != 1:
+        return None
+    (col, st), = states.items()
+    src = profile[col]
+    if not src.exact_quantiles:
+        return None
+    vals, cnts = src.values.sorted_arrays()
+    v = np.asarray(vals, dtype=np.float64)
+    cnts = np.asarray(cnts, dtype=np.int64)
+    # NaN entries live in the value counts AND in moments.nans;
+    # null_count covers both, so drop them here and score them 0 below
+    m = ~np.isnan(v)
+    v, cnts = v[m], cnts[m]
+    tuk = ((v < st.lo) | (v > st.hi)).astype(np.int64)
+    if st.mad and st.mad > 0 and not np.isnan(st.mad):
+        md = (np.abs(0.6745 * (v - st.med) / st.mad)
+              > mad_threshold).astype(np.int64)
+    else:
+        md = np.zeros(len(v), dtype=np.int64)
+    raw = tuk + md
+    zeros_extra = int(src.null_count)
+    if zeros_extra:
+        raw = np.concatenate([raw, [0]])
+        cnts = np.concatenate([cnts, [zeros_extra]])
+    vc = ValueCounts.from_items(raw, cnts, max_items=len(raw) + 1)
+    rv, _ = vc.sorted_arrays()
+    lo = float(rv[0]) if len(rv) else 0.0
+    hi = float(rv[-1]) if len(rv) else 0.0
+    return lo, hi, float(vc.quantile(1.0 - pct))
+
+
+def attach_scores(checked_ds, *, pct: float = 0.10,
+                  stats: tuple[float, float, float] | None = None):
     """Append ``AnomalyScore`` (min-max scaled raw flag sum, runs.py:200-201)
-    and ``AnomalyLabel`` (score_raw > percentile threshold, runs.py:211-214)."""
-    lo, hi, thr = score_threshold(checked_ds, pct=pct)
+    and ``AnomalyLabel`` (score_raw > percentile threshold, runs.py:211-214).
+
+    Pass ``stats`` (from :func:`score_stats_from_profile`) to skip the
+    :func:`score_threshold` barrier pass entirely — the whole chain then
+    executes once, at the final consumer."""
+    lo, hi, thr = stats if stats is not None \
+        else score_threshold(checked_ds, pct=pct)
     span = hi - lo
 
     def attach(batch: pa.Table) -> pa.Table:
@@ -260,11 +314,17 @@ def partition_verdicts(checked_ds, partition_col: str, *,
     """Per-partition pass/fail: violation share vs budget.
 
     A row is a violation if ANY evidence column is > 0 (the reference's
-    OR-merge, experiment.py:441-445).  Partial counts per block, then a
-    small ``groupby(partition_col)`` — partial+final, never row-shuffling.
+    OR-merge, experiment.py:441-445).  Partial counts per block, a
+    32-way Arrow tree-merge level, then a driver fold — a Ray
+    sort-groupby here pays 1-2 s of exchange overhead for a verdict
+    keyspace of dozens-to-thousands of partitions (verdict tables are
+    human/manifest-consumed; the flat-cost lesson from the census
+    reduces).  Driver rows stay O(partitions x blocks / 32).
     Returns a Dataset with (partition_col, n_rows, n_viol, fail).
     """
-    from ray.data.aggregate import Sum
+    import pandas as pd
+
+    import ray.data as rd
 
     def partial(batch: pa.Table) -> pa.Table:
         viol = np.zeros(batch.num_rows, dtype=bool)
@@ -278,16 +338,27 @@ def partition_verdicts(checked_ds, partition_col: str, *,
         return pa.table({partition_col: pa.array(uniq),
                          "n_rows": pa.array(n), "n_viol": pa.array(nv)})
 
-    agg = (checked_ds
-           .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-           .groupby(partition_col)
-           .aggregate(Sum("n_rows", alias_name="n_rows"),
-                      Sum("n_viol", alias_name="n_viol")))
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(partition_col).aggregate(
+            [("n_rows", "sum"), ("n_viol", "sum")])
+        return pa.table({partition_col: g[partition_col],
+                         "n_rows": g["n_rows_sum"],
+                         "n_viol": g["n_viol_sum"]})
 
-    def verdict(batch: pa.Table) -> pa.Table:
-        rate = (batch["n_viol"].to_numpy(zero_copy_only=False)
-                / batch["n_rows"].to_numpy(zero_copy_only=False))
-        fail = (rate > budget).astype(np.int8)
-        return batch.append_column("fail", pa.array(fail))
-
-    return agg.map_batches(verdict, batch_format="pyarrow")
+    rows = (checked_ds
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(merge, batch_size=32, batch_format="pyarrow")
+            ).take_all()
+    if not rows:
+        return rd.from_arrow(pa.table({
+            partition_col: pa.array([], type=pa.int64()),
+            "n_rows": pa.array([], type=pa.int64()),
+            "n_viol": pa.array([], type=pa.int64()),
+            "fail": pa.array([], type=pa.int8())}))
+    df = (pd.DataFrame(rows)
+          .groupby(partition_col, as_index=False)[["n_rows", "n_viol"]]
+          .sum())
+    df["fail"] = (df["n_viol"] / df["n_rows"] > budget).astype(np.int8)
+    return rd.from_pandas(
+        df.sort_values(partition_col).reset_index(drop=True))

@@ -227,3 +227,26 @@ def test_canonicalize_on_sliced_array_regression():
     assert out[9_999].as_py() == "caption number 49999"
     assert out[10_000].as_py() is None   # the NaN token
     assert out[10_001].as_py() == "ok"
+
+
+def test_score_stats_from_profile_matches_threshold_pass():
+    """The profile-derived (min, max, threshold) must equal the
+    score_threshold barrier pass exactly, including null and NaN rows
+    (which RowChecker scores 0)."""
+    rng = np.random.default_rng(9)
+    x = np.concatenate([rng.normal(10, 2, 400), [500.0, -400.0, 900.0],
+                        [np.nan] * 7])
+    arr = pa.array(x, type=pa.float64())
+    # add genuine arrow nulls on top of the NaNs
+    arr = pa.concat_arrays([arr, pa.array([None] * 5, type=pa.float64())])
+    ds = rd.from_arrow(pa.table({"x": arr})).repartition(4)
+    prof = profile_dataset(ds)
+    states = rc.fence_states(prof, ["x"])
+    checked = rc.check_rows(ds, states)
+    slow = rc.score_threshold(checked, pct=0.10)
+    fast = rc.score_stats_from_profile(prof, states, pct=0.10)
+    assert fast is not None
+    assert fast == slow
+    # fast path declines multi-column states (joint dist not derivable)
+    assert rc.score_stats_from_profile(prof, {"a": states["x"],
+                                              "b": states["x"]}) is None
