@@ -48,15 +48,65 @@ def duplicate_columns(ds, cols: list[str], *, threshold: float = 0.98
     return out
 
 
-def spearman(ds, col_x: str, col_y: str, *, max_exact: int = 2_000_000) -> float:
+def _rank_average(a: np.ndarray) -> np.ndarray:
+    """scipy.stats.rankdata(method='average') without scipy."""
+    uniq, inv, cnts = np.unique(a, return_inverse=True,
+                                return_counts=True)
+    cum = np.cumsum(cnts)
+    start = cum - cnts + 1
+    return (start + (cnts - 1) / 2.0)[inv]
+
+
+def spearman_sampled(ds, col_x: str, col_y: str, *,
+                     sample_rows: int = 1_000_000,
+                     seed: int = 17) -> float:
+    """Sampled Spearman — the path past the exact-rank bound.
+
+    The reference's SpearmanCheck (SpearmanCheck.py:23-41) runs
+    scipy.spearmanr on whatever frame fits memory, i.e. it is itself a
+    sample at scale; with rho-threshold 0.98 the duplicate-column
+    heuristic tolerates sampling noise (SE(rho) ~ 1/sqrt(n) ~ 0.001 at
+    n=1M).  A uniform ``random_sample`` bounds the collected rows; rank
+    + Pearson run driver-side on the bounded sample."""
+    n = ds.count()
+    frac = min(1.0, sample_rows / max(1, n))
+    sub = ds.select_columns([col_x, col_y])
+    if frac < 1.0:
+        sub = sub.random_sample(frac, seed=seed)
+    xs, ys = [], []
+    for b in sub.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        xs.append(b[col_x].cast(pa.float64()).to_numpy(
+            zero_copy_only=False))
+        ys.append(b[col_y].cast(pa.float64()).to_numpy(
+            zero_copy_only=False))
+    x = np.concatenate(xs) if xs else np.empty(0)
+    y = np.concatenate(ys) if ys else np.empty(0)
+    m = ~(np.isnan(x) | np.isnan(y))
+    x, y = x[m][:sample_rows], y[m][:sample_rows]
+    if len(x) < 2:
+        return float("nan")
+    rx = _rank_average(x)
+    ry = _rank_average(y)
+    rx -= rx.mean()
+    ry -= ry.mean()
+    sxx, syy, sxy = rx @ rx, ry @ ry, rx @ ry
+    if sxx == 0 or syy == 0:
+        return float("nan")
+    return float(sxy / np.sqrt(sxx * syy))
+
+
+def spearman(ds, col_x: str, col_y: str, *, max_exact: int = 2_000_000,
+             sample_rows: int = 1_000_000) -> float:
     prof = profile_dataset(ds, columns=[col_x, col_y], max_exact=max_exact)
     n = prof[col_x].count
     maps = {}
     for c in (col_x, col_y):
         if prof[c].values.overflow:
-            raise ValueError(
-                f"{c}: distinct count exceeds exact-rank bound {max_exact}; "
-                "use a sampled Spearman (reference runs on a sample anyway)")
+            # distinct count exceeded the exact-rank bound: fall back to
+            # the bounded-sample estimate (documented approximation —
+            # the reference itself never sees more rows than fit memory)
+            return spearman_sampled(ds, col_x, col_y,
+                                    sample_rows=sample_rows)
         vals, cnts = prof[c].values.sorted_arrays()
         maps[c] = _rank_map(vals, cnts)
     mean_rank = (n + 1) / 2.0

@@ -164,9 +164,24 @@ def hll_distinct(ds, cols: list[str], *, p: int = 14) -> dict[str, float]:
         return pa.table({"payload": pa.array([pickle.dumps(hs)],
                                              type=pa.large_binary())})
 
+    def merge_batch(batch: pa.Table) -> pa.Table:
+        # 32-way distributed merge level (register max is associative)
+        # so the driver folds O(blocks/32) payloads, not O(blocks)
+        parts = [pickle.loads(x) for x in batch["payload"].to_pylist()]
+        out = {}
+        for c in cols:
+            h = HyperLogLog(p=p)
+            for pt in parts:
+                h.merge(HyperLogLog.from_dict(pt[c]))
+            out[c] = h.to_dict()
+        return pa.table({"payload": pa.array([pickle.dumps(out)],
+                                             type=pa.large_binary())})
+
     merged = {c: HyperLogLog(p=p) for c in cols}
     for row in ds.map_batches(partial, batch_format="pyarrow",
-                              zero_copy_batch=True).take_all():
+                              zero_copy_batch=True) \
+            .map_batches(merge_batch, batch_size=32,
+                         batch_format="pyarrow").take_all():
         for c, d in pickle.loads(row["payload"]).items():
             merged[c].merge(HyperLogLog.from_dict(d))
     return {c: h.estimate() for c, h in merged.items()}
