@@ -16,7 +16,10 @@ pigeonhole): the 64-bit hash splits into 4x16-bit bands; two hashes at
 Hamming distance d share an exact band whenever some band carries none
 of the d differing bits — guaranteed for d <= 3 (4 bands, pigeonhole),
 ~90% for d = 4 under uniform bit positions (documented recall bound;
-exact-equal hashes are the other stage's job).
+exact-equal hashes are the other stage's job).  The opt-in
+``scheme='2x32f1'`` (2x32-bit bands, 1-bit-flip enumeration) makes
+recall EXACT through d = 5 at 66 keys/row — see
+:func:`_band_stream_flip`.
 
 Execution shape — pairing and verification are DISTRIBUTED, never
 driver-side:
@@ -266,6 +269,70 @@ def _dense_band_census(ds, phash_col: str) -> np.ndarray:
     return total
 
 
+def _pack_sliced(keys: np.ndarray, out_ph: np.ndarray,
+                 num_parts: int) -> pa.Table:
+    """Sort (key, hash) rows by key-hash slice and emit one pickled
+    payload row per slice (the packed-payload exchange shape)."""
+    from ..sketches import splitmix64
+
+    if not len(keys):
+        return pa.table({"slice": pa.array([], type=pa.int32()),
+                         "payload": pa.array([],
+                                             type=pa.large_binary())})
+    sl = (splitmix64(keys.view(np.uint64))
+          % np.uint64(num_parts)).astype(np.int32)
+    order = np.argsort(sl, kind="stable")
+    sl, keys, out_ph = sl[order], keys[order], out_ph[order]
+    bounds = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1], True])
+    slices, payloads = [], []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        slices.append(int(sl[s]))
+        payloads.append(pickle.dumps((keys[s:e], out_ph[s:e])))
+    return pa.table({"slice": pa.array(slices, type=pa.int32()),
+                     "payload": pa.array(payloads,
+                                         type=pa.large_binary())})
+
+
+def _band_stream_flip(ds, phash_col: str, num_parts: int):
+    """2x32-bit bands with 1-bit-flip enumeration — the EXACT d<=4 mode
+    (CLAUDE.md round-3 thread; cf. Norouzi et al. multi-index hashing
+    with query expansion).
+
+    Each hash emits, per 32-bit band, its band value plus all 32 1-bit
+    flips (66 keys/row).  Two hashes at distance d split their
+    differing bits between the two bands; by pigeonhole some band
+    carries <= floor(d/2) of them, so for d <= 5 some band differs in
+    <= 2 bits — and 1-bit flips FROM BOTH SIDES meet in the middle:
+    diff 0 collides on the originals, diff 1 on one side's flip, diff 2
+    on the two complementary flips.  Recall is therefore exact for
+    max_dist <= 5 (the 4x16 scheme is exact only to 3, ~90% at 4); the
+    pairing stage's XOR+popcount verify discards the extra candidates
+    flips invent.  Cost: 66 keys/row vs 4 — opt-in where the missed
+    ~10% at d=4 matters more than the 16x band-stream volume."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ph = np.unique(t[phash_col].to_numpy(zero_copy_only=False))
+        u = ph.astype(np.int64).view(np.uint64)
+        flips = (np.uint64(1) << np.arange(32, dtype=np.uint64))
+        keys_l, ph_l = [], []
+        for b in range(2):
+            val = ((u >> np.uint64(32 * b))
+                   & np.uint64(0xFFFFFFFF))                  # (n,)
+            cand = np.concatenate(
+                [val[:, None], val[:, None] ^ flips[None, :]],
+                axis=1)                                      # (n, 33)
+            off = np.uint64((b + 1) << 32)  # band tag above the 32 bits
+            keys_l.append((cand + off).astype(np.int64).ravel())
+            ph_l.append(np.repeat(ph, 33))
+        return _pack_sliced(np.concatenate(keys_l),
+                            np.concatenate(ph_l), num_parts)
+
+    # smaller batches: the 66x key expansion makes per-batch scratch
+    # ~1 KB/row — keep batch x concurrency well inside worker heaps
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=16384)
+
+
 def _band_stream(ds, phash_col: str, num_parts: int, hot_ref=None):
     """Sliced band-row payloads over DISTINCT per-block hash values —
     pairing runs in hash space (ids resolved only for matched pairs).
@@ -285,22 +352,7 @@ def _band_stream(ds, phash_col: str, num_parts: int, hot_ref=None):
         if hot_ref is not None:
             m = np.isin(keys, ray.get(hot_ref))
             keys, out_ph = keys[m], out_ph[m]
-        if not len(keys):
-            return pa.table({"slice": pa.array([], type=pa.int32()),
-                             "payload": pa.array([],
-                                                 type=pa.large_binary())})
-        sl = (splitmix64(keys.view(np.uint64))
-              % np.uint64(num_parts)).astype(np.int32)
-        order = np.argsort(sl, kind="stable")
-        sl, keys, out_ph = sl[order], keys[order], out_ph[order]
-        bounds = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1], True])
-        slices, payloads = [], []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            slices.append(int(sl[s]))
-            payloads.append(pickle.dumps((keys[s:e], out_ph[s:e])))
-        return pa.table({"slice": pa.array(slices, type=pa.int32()),
-                         "payload": pa.array(payloads,
-                                             type=pa.large_binary())})
+        return _pack_sliced(keys, out_ph, num_parts)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -409,7 +461,8 @@ def hamming_neardup_pairs(ds, *, max_dist: int = 4,
                           num_parts: int | None = None,
                           sat_min: int = 100_000, sat_frac: float = 0.02,
                           force_path: str | None = None,
-                          materialize_input: bool = False) -> pd.DataFrame:
+                          materialize_input: bool = False,
+                          scheme: str = "4x16") -> pd.DataFrame:
     """Banded-LSH candidates + exact Hamming verification, distributed.
 
     Returns a DataFrame (id_a, id_b, dist), id_a < id_b, 1 <= dist <=
@@ -419,6 +472,12 @@ def hamming_neardup_pairs(ds, *, max_dist: int = 4,
     at n >> 2^16 per band — ship the whole deduped band stream; the
     filter would keep ~everything anyway).  Both paths end in the same
     hash-partitioned groupby pairing; results are path-independent.
+
+    ``scheme='2x32f1'`` switches to the exact-recall banding
+    (:func:`_band_stream_flip`): recall is EXACT for max_dist <= 5
+    instead of exact-to-3/~90%-at-4, at 66 keys/row instead of 4 — no
+    census (32-bit bands make collisions rare, and every candidate is
+    popcount-verified anyway).
 
     ``ds`` is consumed up to three times (census, band stream, id
     resolution).  For a cheap pruned parquet read that is the right
@@ -430,6 +489,14 @@ def hamming_neardup_pairs(ds, *, max_dist: int = 4,
         num_parts = default_num_parts()
     if materialize_input:
         ds = ds.materialize()
+    if scheme == "2x32f1":
+        if max_dist > 5:
+            raise ValueError("2x32f1 guarantees recall only to dist 5")
+        band_ds = _band_stream_flip(ds, phash_col, num_parts)
+        ph_pairs = _pair_parts(band_ds, max_dist, bucket_cap, num_parts)
+        return _resolve_ids(ds, phash_col, id_col, ph_pairs)
+    if scheme != "4x16":
+        raise ValueError(f"unknown banding scheme {scheme!r}")
     census = _dense_band_census(ds, phash_col)
     hot = np.nonzero(census >= 2)[0].astype(np.int64)
     if hot.size == 0:

@@ -182,3 +182,53 @@ def test_duplicate_phash_groups_hot_hash_capped_sample():
     assert out.num_rows == 1
     r = out.to_pylist()[0]
     assert r["phash"] == 7 and r["n"] == 500 and len(r["ids"]) == 64
+
+
+def test_flip_scheme_exact_at_d4_where_4x16_misses():
+    """Adversarial d=4 pairs with one differing bit in EACH 16-bit band
+    are invisible to the 4x16 banding; scheme='2x32f1' must find every
+    brute-force pair at max_dist<=4 (it is exact through 5)."""
+    import itertools
+
+    from autoprepad_ray.functions.imagecodec import hamming64
+    from autoprepad_ray.validators.near_dup import hamming_neardup_pairs
+
+    rng = np.random.default_rng(23)
+    base = rng.integers(-2**62, 2**62, size=60, dtype=np.int64)
+    hashes = list(base)
+    ids = [f"r{i:03d}" for i in range(len(base))]
+    # planted pairs: flip one bit in each of the four 16-bit bands
+    for k in range(8):
+        h = int(base[k])
+        flipped = h ^ (1 << (3 + 16 * 0)) ^ (1 << (5 + 16 * 1)) \
+                    ^ (1 << (9 + 16 * 2)) ^ (1 << (12 + 16 * 3))
+        hashes.append(np.int64(np.uint64(flipped & 0xFFFFFFFFFFFFFFFF)))
+        ids.append(f"p{k:03d}")
+    tbl = pa.table({"image_id": pa.array(ids),
+                    "phash": pa.array(hashes, type=pa.int64())})
+    ds = rd.from_arrow(tbl).repartition(3)
+
+    arr = np.array(hashes, dtype=np.int64)
+
+    def brute(max_dist):
+        out = set()
+        for i, j in itertools.combinations(range(len(arr)), 2):
+            d = int(hamming64(arr[i], np.int64(arr[j]))[0])
+            if 1 <= d <= max_dist:
+                a, b = sorted((ids[i], ids[j]))
+                out.add((a, b))
+        return out
+
+    for md in (4, 5):
+        got = hamming_neardup_pairs(
+            ds, max_dist=md, scheme="2x32f1", num_parts=8)
+        got_pairs = {(a, b) for a, b in zip(got["id_a"], got["id_b"])}
+        assert got_pairs == brute(md), md
+
+    # the default banding genuinely misses the planted spread-bit pairs
+    legacy = hamming_neardup_pairs(ds, max_dist=4, num_parts=8)
+    legacy_pairs = {(a, b) for a, b in
+                    zip(legacy["id_a"], legacy["id_b"])}
+    planted = {tuple(sorted((f"r{k:03d}", f"p{k:03d}"))) for k in range(8)}
+    assert not (legacy_pairs & planted)
+    assert planted <= brute(4)
