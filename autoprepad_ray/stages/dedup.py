@@ -54,7 +54,11 @@ def _band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
 
 
 class MinHasher:
-    """Actor-pool callable: seeds generated once per actor."""
+    """Stateless-task callable: the seed matrix is a few KB built once
+    on the driver and cloudpickled with the task closure — an actor
+    pool here would pay multi-second spinup per execution for state
+    that costs microseconds to build (the repo's actor-pool lesson:
+    pools only for genuinely heavy per-actor state like codecs)."""
 
     def __init__(self, text_col: str, id_col: str, *, num_perm: int = 128,
                  bands: int = 32, n_words: int = 3, seed: int = 7):
@@ -178,15 +182,39 @@ def _candidate_pairs_distributed(keyed, bucket_cap: int) -> pd.DataFrame:
     return out.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
 
 
+@ray.remote
+def _verify_part_task(pairs: list, score, score_name: str,
+                      *payload_lists) -> pd.DataFrame:
+    """Score one verify part's pairs from its slice-addressed payload
+    cells (each a pickled (ids, blobs) pack)."""
+    import pickle
+
+    local: dict = {}
+    for lst in payload_lists:
+        for cell in lst:
+            ids_l, blobs_l = pickle.loads(cell)
+            for i, b in zip(ids_l, blobs_l):
+                if i not in local:
+                    local[i] = pickle.loads(b)
+    rows = [(a, b, score(local[a], local[b]))
+            for a, b in pairs if a in local and b in local]
+    return pd.DataFrame({
+        "id_a": pd.Series([r[0] for r in rows], dtype=object),
+        "id_b": pd.Series([r[1] for r in rows], dtype=object),
+        score_name: pd.Series([r[2] for r in rows], dtype=np.float64)})
+
+
 def verify_pairs_routed(ds, id_col: str, cand: pd.DataFrame,
                         extract, score, score_name: str) -> pd.DataFrame:
     """Distributed pair verification as a broadcast-routed candidate
     join: the tiny pair list is broadcast as an id->verify-part routing
     map; the data stream computes each candidate row's payload and
-    ships it only to the part(s) whose pairs need it; per-part
-    map_groups applies ``score(pa, pb)`` to its pairs locally.  Driver
-    memory stays O(pairs) — candidate payloads (texts, vectors) never
-    collect on the driver.
+    packs it per destination part; the packed stream scatters
+    slice-addressed (``stages.transport`` — each payload byte moves
+    once) to one flat task per part, which applies ``score(pa, pb)`` to
+    its pairs locally.  Driver memory stays O(pairs) — candidate
+    payloads (texts, vectors) never collect on the driver — and a
+    keyspace of dozens of parts never pays a sort-groupby exchange.
 
     ``extract(sub_batch)`` receives a batch already FILTERED to
     candidate rows (vectorized hash64 mask against the sorted candidate
@@ -196,6 +224,7 @@ def verify_pairs_routed(ds, id_col: str, cand: pd.DataFrame,
     import pickle
 
     from ..sketches import np_object
+    from .transport import scatter_slices
 
     num_parts = max(4, min(64, len(cand) // 32 + 1))
     pair_arr = list(zip(cand["id_a"], cand["id_b"]))
@@ -210,13 +239,13 @@ def verify_pairs_routed(ds, id_col: str, cand: pd.DataFrame,
     # int64-typed and object-typed inputs, so the batch side must go
     # through np_object too (see test_verify_prefilter_hash_agreement)
     cand_hashes = np.sort(hash64(np.array(list(doc_parts), dtype=object)))
-    route_ref = ray.put((pairs_by_part, doc_parts, cand_hashes))
+    route_ref = ray.put((doc_parts, cand_hashes))
 
     def ship(batch: pa.Table) -> pa.Table:
-        _, routes, ch = ray.get(route_ref)
+        routes, ch = ray.get(route_ref)
         ids_all = np_object(batch[id_col])
         mask = np.isin(hash64(ids_all), ch)
-        parts_out, ids_out, payloads = [], [], []
+        per_part: dict[int, tuple[list, list]] = {}
         if mask.any():
             objs = extract(batch.filter(pa.array(mask)))
             for i, obj in zip(ids_all[mask], objs):
@@ -225,32 +254,23 @@ def verify_pairs_routed(ds, id_col: str, cand: pd.DataFrame,
                     continue
                 blob = pickle.dumps(obj)
                 for p in ps:
-                    parts_out.append(p)
-                    ids_out.append(i)
-                    payloads.append(blob)
+                    ids_l, blobs_l = per_part.setdefault(p, ([], []))
+                    ids_l.append(i)
+                    blobs_l.append(blob)
+        slices = sorted(per_part)
         return pa.table({
-            "part": pa.array(parts_out, type=pa.int32()),
-            "doc_id": pa.array(ids_out, type=batch[id_col].type),
-            "payload": pa.array(payloads, type=pa.large_binary())})
+            "slice": pa.array(slices, type=pa.int32()),
+            "payload": pa.array([pickle.dumps(per_part[s])
+                                 for s in slices],
+                                type=pa.large_binary())})
 
-    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
-        pairs, _, _ = ray.get(route_ref)
-        local = {i: pickle.loads(p)
-                 for i, p in zip(g["doc_id"], g["payload"])}
-        part = int(g["part"].iloc[0])
-        rows = [(a, b, score(local[a], local[b]))
-                for a, b in pairs.get(part, [])
-                if a in local and b in local]
-        return pd.DataFrame({
-            "id_a": pd.Series([r[0] for r in rows], dtype=object),
-            "id_b": pd.Series([r[1] for r in rows], dtype=object),
-            score_name: pd.Series([r[2] for r in rows],
-                                  dtype=np.float64)})
-
-    out = ds.map_batches(ship, batch_format="pyarrow",
-                         zero_copy_batch=True) \
-        .groupby("part").map_groups(verify_part, batch_format="pandas") \
-        .to_pandas()
+    packed = ds.map_batches(ship, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    per_slice = scatter_slices(packed, num_parts)
+    futs = [_verify_part_task.remote(pairs_by_part.get(s, []), score,
+                                     score_name, *per_slice[s])
+            for s in range(num_parts)]
+    out = pd.concat(ray.get(futs), ignore_index=True)
     if not len(out):
         return pd.DataFrame({"id_a": [], "id_b": [], score_name: []})
     return out
@@ -277,20 +297,18 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, *,
     """Near-duplicate pairs with verified word-shingle Jaccard >= threshold.
 
     Returns a pandas DataFrame (id_a, id_b, jaccard).  Every heavy step
-    is distributed: signature + band keys in an actor pool, candidate
-    buckets census-pruned then paired inside a groupby(slice) exchange,
-    exact-Jaccard verification as a broadcast-routed candidate join —
-    the driver only ever holds the candidate/verified PAIR lists.
+    is distributed: signature + band keys in stateless vectorized
+    tasks, candidate buckets census-pruned then paired by slice-
+    addressed flat tasks, exact-Jaccard verification as a broadcast-
+    routed candidate join — the driver only ever holds the
+    candidate/verified PAIR lists.
     """
-    if concurrency is None:
-        from ..context import default_pool_size
-        concurrency = default_pool_size()
+    del concurrency  # kept for call-site compatibility (was actor pool)
+    hasher = MinHasher(text_col=text_col, id_col=id_col,
+                       num_perm=num_perm, bands=bands, n_words=n_words)
     band_rows = ds.map_batches(
-        MinHasher, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency, batch_size=batch_size,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col,
-                               "num_perm": num_perm, "bands": bands,
-                               "n_words": n_words})
+        hasher.__call__, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size)
 
     # candidate generation uses the census-prune plan from
     # validators.near_dup: tree-count bucket sizes, broadcast the
