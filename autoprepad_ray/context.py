@@ -27,3 +27,33 @@ def quiet_data_context() -> None:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+
+def prime_fsspec_http_stub() -> None:
+    """Make concurrent Dataset reads from driver threads safe.
+
+    Ray's ``_is_http_filesystem`` (ray/data/datasource/path_util.py:153)
+    lazily imports ``fsspec.implementations.http`` on EVERY read and
+    catches only ModuleNotFoundError.  In this no-network environment
+    aiohttp is absent, so that import fails every time — and two driver
+    threads racing the failing import can observe a half-initialized
+    module, turning the caught ModuleNotFoundError into an uncaught
+    ``ImportError: cannot import name 'HTTPFileSystem'``.  Registering a
+    minimal stub once makes the import deterministic; the stub class is
+    only ever an ``isinstance`` target, which correctly answers False
+    (no HTTP filesystem can exist without aiohttp).
+    """
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return
+    except Exception:
+        pass
+    import sys
+    import types
+
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # isinstance target only; never instantiated
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod

@@ -502,6 +502,46 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
             f"no parquet files found under {images_dir!r} — "
             "schema assert would silently pass on nothing")
     schema_errors = assert_schema_files(_schema_paths)
+
+    # ---- PASS 3 launches FIRST (payload read, actor pool) ----
+    # decode verification depends on nothing the metadata passes
+    # compute, so its ~N-times-longer execution runs CONCURRENTLY with
+    # passes 1/2 and the Hamming pairing: the metadata work hides under
+    # the decode wall instead of serializing in front of it (~4-5 s of
+    # the 28 s pipeline at bench scale).  Ray's scheduler interleaves
+    # the executions; the decode pool is sized below the cluster so the
+    # metadata tasks keep making progress.
+    import concurrent.futures as _cf
+
+    decode_pool = None
+    decode_future = None
+    decode_walls: dict = {}
+    if decode:
+        from ..context import prime_fsspec_http_stub
+        from ..stages.decode import decode_verify
+
+        # the decode thread and the main thread both open Datasets:
+        # settle Ray's racy lazy fsspec-http import first
+        prime_fsspec_http_stub()
+
+        def _run_decode():
+            t0 = _time.perf_counter()
+            payload_ds = rd.read_parquet(
+                images_dir, columns=["image_id", "bytes", "w", "h",
+                                     "fmt", "phash", "partition_id"])
+            dv = decode_verify(payload_ds,
+                               concurrency=decode_concurrency)
+            df = dv.map_batches(
+                lambda t: t.filter(pc.equal(t["decode_ok"], 0))
+                .select(["image_id", "partition_id", "fmt",
+                         "decode_reason"]),
+                batch_format="pyarrow").to_pandas()
+            decode_walls["wall"] = round(_time.perf_counter() - t0, 3)
+            return df
+
+        decode_pool = _cf.ThreadPoolExecutor(1)
+        decode_future = decode_pool.submit(_run_decode)
+
     meta = rd.read_parquet(images_dir, columns=META_COLS)
 
     # ---- PASS 1 ----
@@ -515,8 +555,6 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
     # for a keyspace of a few dozen groups.
     # large pass-1 batches: censuses dedupe within a batch, so fewer,
     # bigger partials mean less census volume through the reduce
-    import concurrent.futures as _cf
-
     p1 = meta.map_batches(_make_p1_partial(list(ref_partitions)),
                           batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=100_000)
@@ -777,23 +815,19 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
     timings["hamming_pairs"] = round(_time.perf_counter() - _t0, 3)
     _t0 = _time.perf_counter()
 
-    # ---- PASS 3: decode (payload read, actor pool) ----
+    # ---- PASS 3 join (launched before pass 1; see top) ----
     decode_df = None
     decode_fail: set = set()
     if decode:
-        from ..stages.decode import decode_verify
-        payload_ds = rd.read_parquet(
-            images_dir, columns=["image_id", "bytes", "w", "h", "fmt",
-                                 "phash", "partition_id"])
-        dv = decode_verify(payload_ds, concurrency=decode_concurrency)
-        decode_df = dv.map_batches(
-            lambda t: t.filter(pc.equal(t["decode_ok"], 0))
-            .select(["image_id", "partition_id", "fmt", "decode_reason"]),
-            batch_format="pyarrow").to_pandas()
+        decode_df = decode_future.result()
+        decode_pool.shutdown()
         if len(decode_df):
             decode_fail = set(decode_df["partition_id"].astype(int))
 
-    timings["pass3_decode"] = round(_time.perf_counter() - _t0, 3)
+    # decode's own wall (it ran overlapped with the metadata passes);
+    # the residual wait after Hamming is what decode added to total
+    timings["pass3_decode"] = decode_walls.get("wall", 0.0)
+    timings["decode_join_wait"] = round(_time.perf_counter() - _t0, 3)
 
     # ---- verdict composition (OR-merge) ----
     vr = []
