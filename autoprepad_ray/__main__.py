@@ -57,6 +57,8 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--table", required=True)
     pr.add_argument("--columns", default=None)
     pr.add_argument("--out", default=None)
+    pr.add_argument("--html", default=None,
+                    help="also write a self-contained HTML report")
 
     e = sub.add_parser("experiment",
                        help="inject-evaluate harness on F-MIXED")
@@ -96,6 +98,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.out:
             with open(args.out, "w") as f:
                 f.write(js)
+        if args.html:
+            from .report import profile_to_html
+            with open(args.html, "w") as f:
+                f.write(profile_to_html(prof))
         summary = {c: {"n": s.count, "nulls": s.null_count,
                        "distinct": round(s.distinct())}
                    for c, s in prof.columns.items()}

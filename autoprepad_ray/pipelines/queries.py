@@ -1387,3 +1387,46 @@ def bfill_events_by_user(sf_dir: str):
                              "value_bfill": v.bfill()})
 
     return ds.groupby("user_id").map_groups(fill, batch_format="pandas")
+
+
+@query("iterative_impute_lineitem")
+def iterative_impute_lineitem(sf_dir: str):
+    """F4 IterativeImputer slot (reference configuration.py:218,244
+    wires sklearn's IterativeImputer over the numeric block; sklearn
+    fits round-robin per-column regressors and transform replays the
+    fitted sequence): l_quantity is deterministically masked on ~9% of
+    rows ((l_orderkey*10 + l_linenumber) % 11 == 0), the MICE-style
+    ridge imputer sample-fits over the correlated numeric block, and
+    the replay streams over the table.  Returns the imputed values for
+    exactly the masked rows.  Rows-only (iterative regression is not
+    SQL-expressible); pytest pins the stage against mean-fill and
+    layout invariance (tests/test_imputer.py)."""
+    from ..stages.imputer import fit_iterative_imputer, iterative_impute
+
+    num_cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    ds = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_linenumber"] + num_cols)
+
+    def mask(t: pa.Table) -> pa.Table:
+        rank = (t["l_orderkey"].to_numpy(zero_copy_only=False) * 10
+                + t["l_linenumber"].to_numpy(zero_copy_only=False)
+                .astype(np.int64))
+        q = t["l_quantity"].cast(pa.float64()).to_numpy(
+            zero_copy_only=False).copy()
+        q[rank % 11 == 0] = np.nan
+        t = t.set_column(t.column_names.index("l_quantity"),
+                         "l_quantity", pa.array(q))
+        return t.append_column("rank", pa.array(rank))
+
+    # consumed twice (fit sample + replay) — materialize the masked view
+    masked = ds.map_batches(mask, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    state = fit_iterative_imputer(masked, num_cols, sample_rows=100_000)
+    out = iterative_impute(masked, state)
+    return out.map_batches(
+        lambda t: pa.table({
+            "rank": t["rank"],
+            "l_quantity_imputed": pa.array(np.round(
+                t["l_quantity"].to_numpy(zero_copy_only=False), 6))})
+        .filter(pc.equal(t["l_quantity_was_missing"], 1)),
+        batch_format="pyarrow")

@@ -212,3 +212,27 @@ def test_validate_images_accepts_single_file(fimg):
     rep = validate_images(one, decode=False, neardup=False)
     assert rep.schema_errors == []
     assert int(rep.verdicts["n_rows"].sum()) == 250
+
+
+def test_html_reports(fimg, tmp_path):
+    """S4/S5 viz surface: self-contained HTML from the profile and the
+    validation report (reference renders via sklearn HTML repr,
+    control.py:234-256, and ydata-profiling, configuration.py:559-566)."""
+    from autoprepad_ray.pipelines.image_validation import validate_images
+    from autoprepad_ray.report import profile_to_html, validation_to_html
+
+    d, _ = fimg
+    rep = validate_images(f"{d}/images", f"{d}/captions.parquet",
+                          decode=False, neardup=False)
+    html = validation_to_html(rep)
+    for frag in ("<!doctype html", "Per-partition verdicts",
+                 "Cross-partition checks", "Stage timings",
+                 "Column profile", "caption_len"):
+        assert frag in html
+    # fail rows are highlighted
+    assert 'class="fail"' in html and 'class="ok"' in html
+    p = profile_to_html(rep.profile)
+    assert "<table>" in p and "caption_len" in p
+    out = tmp_path / "report.html"
+    out.write_text(html)
+    assert out.stat().st_size > 2000
