@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "ordinal_encode_priority",
     "pca_scores_events",
     "bfill_events_by_user",
+    "iterative_impute_lineitem",
 ]
 
 IMG_PARTITIONS = 32
