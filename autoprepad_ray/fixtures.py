@@ -351,3 +351,103 @@ def generate_fmixed(n: int = 1000, seed: int = 42) -> tuple[pa.Table, dict]:
         "y_true": pa.array(cols[7], type=pa.int64()),
     })
     return table, expected
+
+
+# ---------------------------------------------------------------------------
+# F-MEDIA: audio + video tables for the multimodal media stages
+# (beyond-reference surface; see functions/mediacodec.py docstring).
+# Same purity rule as F-IMG: every payload is a function of (seed, id).
+
+
+@dataclass
+class FmediaExpectations:
+    bad_audio_ids: list = field(default_factory=list)      # truncated/garbage
+    stub_audio_ids: list = field(default_factory=list)     # real-world fmt -> stub
+    truncated_video_ids: list = field(default_factory=list)
+    neardup_video_pairs: list = field(default_factory=list)  # (a, b) sorted
+
+
+def generate_fmedia(out_dir: str, *, audio_rows: int = 64,
+                    video_rows: int = 24, seed: int = 42,
+                    inject: bool = True) -> FmediaExpectations:
+    """Write ``audio.parquet`` (audio_id, fmt, bytes) and
+    ``videos.parquet`` (video_id, fmt, bytes).  Injections: one
+    truncated audio, one garbage-magic audio, one real-world-format
+    audio (exercises the codec stub), one truncated video, and two
+    planted near-dup video pairs (shared ``content_key`` -> identical
+    frames -> sampled-frame phashes collide)."""
+    from .functions import mediacodec as mc
+
+    os.makedirs(out_dir, exist_ok=True)
+    exp = FmediaExpectations()
+
+    a_ids, a_fmts, a_bytes = [], [], []
+    for i in range(audio_rows):
+        aid = f"aud-{i:06d}"
+        rng = np.random.default_rng(int(hash64([aid], seed=seed)[0]) ^ 1)
+        ns = int(rng.integers(4000, 24000))
+        ch = 2 if i % 5 == 0 else 1
+        payload = mc.encode_wavr(
+            mc.synth_audio(aid, ns, 16_000, seed=seed, channels=ch), 16_000)
+        fmt = "wavr"
+        if inject and i == 3:
+            payload = payload[:len(payload) // 2]          # truncated body
+            exp.bad_audio_ids.append(aid)
+        elif inject and i == 7:
+            payload = b"JUNK" + payload[4:]                # garbage magic
+            exp.bad_audio_ids.append(aid)
+        elif inject and i == 11:
+            fmt = "mp3"                                    # stub path
+            exp.stub_audio_ids.append(aid)
+        a_ids.append(aid)
+        a_fmts.append(fmt)
+        a_bytes.append(payload)
+    pq.write_table(pa.table({
+        "audio_id": pa.array(a_ids, type=pa.string()),
+        "fmt": pa.array(a_fmts, type=pa.string()),
+        "bytes": pa.array(a_bytes, type=pa.binary()),
+    }), os.path.join(out_dir, "audio.parquet"))
+
+    v_ids, v_fmts, v_bytes = [], [], []
+    for i in range(video_rows):
+        vid = f"vid-{i:06d}"
+        content_key = vid
+        if inject and i in (5, 13):     # near-dup partner of i-1
+            content_key = f"vid-{i - 1:06d}"
+            exp.neardup_video_pairs.append((f"vid-{i - 1:06d}", vid))
+        frames = mc.synth_video(content_key, w=32, h=32, n_frames=8,
+                                seed=seed)
+        payload = mc.encode_vraw(frames, fps=8.0)
+        if inject and i == 9:
+            payload = payload[:mc.VRAW_HEADER + 32 * 32 * 3 * 3]  # 3 of 8 frames
+            exp.truncated_video_ids.append(vid)
+        v_ids.append(vid)
+        v_fmts.append("vraw")
+        v_bytes.append(payload)
+    pq.write_table(pa.table({
+        "video_id": pa.array(v_ids, type=pa.string()),
+        "fmt": pa.array(v_fmts, type=pa.string()),
+        "bytes": pa.array(v_bytes, type=pa.binary()),
+    }), os.path.join(out_dir, "videos.parquet"))
+    return exp
+
+
+FMEDIA_CACHE_VERSION = 1
+
+
+def ensure_fmedia(base: str = "/tmp/autoprepad_fmedia", *,
+                  audio_rows: int = 64, video_rows: int = 24,
+                  seed: int = 42, inject: bool = True
+                  ) -> tuple[str, FmediaExpectations | None]:
+    """Generate-once cache: returns (dir, expectations-or-None-if-cached)."""
+    d = os.path.join(base, f"fmedia_v{FMEDIA_CACHE_VERSION}_a{audio_rows}"
+                           f"_v{video_rows}_s{seed}"
+                           f"_{'inj' if inject else 'clean'}")
+    done = os.path.join(d, "_DONE")
+    if os.path.exists(done):
+        return d, None
+    exp = generate_fmedia(d, audio_rows=audio_rows, video_rows=video_rows,
+                          seed=seed, inject=inject)
+    with open(done, "w") as f:
+        f.write("ok")
+    return d, exp

@@ -1430,3 +1430,48 @@ def iterative_impute_lineitem(sf_dir: str):
                 t["l_quantity"].to_numpy(zero_copy_only=False), 6))})
         .filter(pc.equal(t["l_quantity_was_missing"], 1)),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# batch 8: multimodal media (audio/video) — beyond-reference surface
+# (reference is tabular-only; see functions/mediacodec.py docstring)
+
+
+def _fmedia_for_sf(sf_dir: str) -> str:
+    from ..fixtures import ensure_fmedia
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.01
+    d, _ = ensure_fmedia(audio_rows=max(24, int(2400 * sf)),
+                         video_rows=max(16, int(1600 * sf)),
+                         seed=42, inject=True)
+    return d
+
+
+@query("audio_features_clips")
+def audio_features_clips(sf_dir: str):
+    """Actor-pool audio decode + per-clip features (duration/RMS/peak/
+    ZCR/spectral centroid) on the deterministic F-MEDIA table scaled
+    with sf, including the injected truncated/garbage/stub-format rows.
+    Rows-only (FFT feature extraction is not SQL-expressible); pytest
+    pins every feature against direct numpy and every injection flag
+    (tests/test_media.py)."""
+    from ..stages.media import audio_features
+
+    d = _fmedia_for_sf(sf_dir)
+    return audio_features(rd.read_parquet(f"{d}/audio.parquet"))
+
+
+@query("video_frame_neardup_pairs")
+def video_frame_neardup_pairs(sf_dir: str):
+    """Video near-dup pairs: offset-computed frame sampling (only
+    sampled frames are ever decoded) -> phash -> exact-collision groupby
+    + banded-Hamming pairing -> per-video-pair frame vote.  Rows-only;
+    pytest pins the planted pairs and rejects false ones
+    (tests/test_media.py)."""
+    from ..stages.media import video_frame_neardup
+
+    d = _fmedia_for_sf(sf_dir)
+    return video_frame_neardup(rd.read_parquet(f"{d}/videos.parquet"),
+                               every_k=4, max_dist=4)

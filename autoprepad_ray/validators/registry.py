@@ -59,6 +59,7 @@ def run(name: str, ds, **kwargs):
 
 
 def _install_builtins() -> None:
+    from ..stages import media
     from ..stages.dedup import exact_dedup, minhash_lsh_pairs, \
         simhash_neardup_pairs
     from . import drift, referential, uniqueness
@@ -89,6 +90,12 @@ def _install_builtins() -> None:
          "SimHash near-duplicate pairs via banded Hamming"),
         ("exact_dedup", exact_dedup,
          "keep-first exact dedup on key columns"),
+        ("audio_features", media.audio_features,
+         "actor-pool audio decode + feature extraction (wavr)"),
+        ("video_metadata", media.video_metadata,
+         "header-only video metadata + truncation check"),
+        ("video_frame_neardup", media.video_frame_neardup,
+         "video near-dup pairs via sampled-frame phash matching"),
     ]:
         _REGISTRY[spec_name] = ValidatorSpec(spec_name, fn, desc)
 

@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "pca_scores_events",
     "bfill_events_by_user",
     "iterative_impute_lineitem",
+    "audio_features_clips",
+    "video_frame_neardup_pairs",
 ]
 
 IMG_PARTITIONS = 32
