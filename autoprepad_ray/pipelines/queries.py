@@ -1475,3 +1475,139 @@ def video_frame_neardup_pairs(sf_dir: str):
     d = _fmedia_for_sf(sf_dir)
     return video_frame_neardup(rd.read_parquet(f"{d}/videos.parquet"),
                                every_k=4, max_dist=4)
+
+
+# ---------------------------------------------------------------------------
+# batch 9: as-of join + windowed aggregates (custom operators the Dataset
+# API lacks; SURVEY §2.4/§2.6 extensions, exact SQL parity)
+
+
+@query("asof_join_events_orders", sql="""
+SELECT event_id, asof_orderkey, asof_totalprice
+FROM (
+  SELECT e.event_id,
+         o.o_orderkey   AS asof_orderkey,
+         o.o_totalprice AS asof_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC,
+                                     o.o_orderkey DESC) AS rn
+  FROM events e
+  JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+WHERE rn = 1""")
+def asof_join_events_orders(sf_dir: str):
+    """As-of join: each event picks the customer's latest order at or
+    before the event timestamp (date ties broken by max orderkey).
+    One hash-bucket co-partition shuffle + a per-bucket composite-rank
+    searchsorted merge (stages/join.asof_join) — timestamps compare as
+    int64, picked columns are raw values, so parity with the SQL
+    window-rank oracle is exact.  Inner semantics: events from users
+    with no prior order drop on both sides."""
+    from ..stages.join import asof_join
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    od = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                               "o_totalprice"])
+    od = od.map_batches(
+        lambda t: t.rename_columns(
+            [{"o_custkey": "user_id"}.get(c, c) for c in t.column_names]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = asof_join(ev, od, on="user_id", left_ts="ts",
+                    right_ts="o_orderdate",
+                    left_cols=["event_id"],
+                    right_cols=["o_orderkey", "o_totalprice"],
+                    tie_col="o_orderkey")
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "event_id": df["event_id"],
+            "asof_orderkey": df["o_orderkey"].astype("int64"),
+            "asof_totalprice": df["o_totalprice"]}),
+        batch_format="pandas")
+
+
+@query("rolling_window_events", sql="""
+SELECT event_id,
+       MIN(value) OVER w3 AS value_min3,
+       MAX(value) OVER w3 AS value_max3,
+       value - LAG(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS value_delta
+FROM events
+WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""")
+def rolling_window_events(sf_dir: str):
+    """Per-key ordered windowed aggregate (the streaming-window slot
+    from SURVEY §2.9 made batch-exact): 3-row rolling min/max plus the
+    lag-1 delta per user_id ordered by (ts, event_id), via the same
+    hash-partitioned groupby shape as ffill (order is deterministic
+    under any block layout).  min/max/lag are comparison/single-op
+    kernels — no accumulation — so float parity with the SQL window
+    oracle is exact with no rounding."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        r = g["value"].rolling(3, min_periods=1)
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "value_min3": r.min(),
+            "value_max3": r.max(),
+            "value_delta": g["value"].diff()})
+
+    return ds.groupby("user_id").map_groups(win, batch_format="pandas")
+
+
+@query("sessionize_events", sql="""
+SELECT event_id,
+       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_id
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   <= INTERVAL 1 HOUR
+              THEN 0 ELSE 1 END AS new_sess
+  FROM events)""")
+def sessionize_events(sf_dir: str):
+    """Gap-based sessionization (the classic streaming session window,
+    SURVEY §2.9, made batch-exact): events within 1 h of the previous
+    event of the same user share a session; session_id is the running
+    count of gap-breaks per user ordered by (ts, event_id).  Integer
+    comparisons + int cumsum — exact SQL parity."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    gap = np.timedelta64(1, "h")
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        prev = g["ts"].shift()
+        new = ((g["ts"] - prev) > gap) | prev.isna()
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "session_id": new.astype("int64").cumsum()})
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+
+
+@query("top_events_per_user", sql="""
+SELECT event_id, user_id, value
+FROM (
+  SELECT event_id, user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events)
+WHERE rn <= 3""")
+def top_events_per_user(sf_dir: str):
+    """Top-k per group (worst-first listing per key — O1's sort/top-k
+    generalized to grouped data): the 3 highest-value events per user,
+    ties broken by event_id.  Per-key map_groups head — row selection
+    only, exact parity.  At scale a pre-filter partial (per-block top-k
+    per key inside map_batches) would bound group sizes; group = user
+    here, already bounded."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"],
+                          ascending=[False, True]).head(3)
+        return g[["event_id", "user_id", "value"]]
+
+    return ds.groupby("user_id").map_groups(topk, batch_format="pandas")

@@ -45,6 +45,10 @@ BENCH_QUERIES = [
     "iterative_impute_lineitem",
     "audio_features_clips",
     "video_frame_neardup_pairs",
+    "asof_join_events_orders",
+    "rolling_window_events",
+    "sessionize_events",
+    "top_events_per_user",
 ]
 
 IMG_PARTITIONS = 32
@@ -94,6 +98,9 @@ def run_bench() -> dict:
     # across the two scaling runs via the /tmp cache)
     img_dir, _ = ensure_fimg(partitions=IMG_PARTITIONS, rows=IMG_ROWS,
                              inject=False, use_ray=True)
+    # media fixture likewise generated outside timing (/tmp cache)
+    from autoprepad_ray.pipelines.queries import _fmedia_for_sf
+    _fmedia_for_sf(sf_dir)
 
     # Warm-up: (a) spawn + import-warm the Ray worker pool — parquet
     # count() is metadata-only and spawns nothing, so without a real
