@@ -35,6 +35,9 @@ def read_table(path: str, columns: list[str] | None = None, **kwargs):
     if stripped.endswith(".csv"):
         ds = rd.read_csv(path, **kwargs)
         return ds.select_columns(columns) if columns else ds
+    if stripped.endswith((".json", ".jsonl")):
+        ds = rd.read_json(path, **kwargs)
+        return ds.select_columns(columns) if columns else ds
     return rd.read_parquet(path, columns=columns, **kwargs)
 
 

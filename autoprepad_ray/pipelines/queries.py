@@ -1611,3 +1611,37 @@ def top_events_per_user(sf_dir: str):
         return g[["event_id", "user_id", "value"]]
 
     return ds.groupby("user_id").map_groups(topk, batch_format="pandas")
+
+
+@query("json_roundtrip_nation", sql="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation""")
+def json_roundtrip_nation(sf_dir: str):
+    """JSONL source (§2.1 widening beside CSV: the reference ingests
+    whatever pandas reads, main.py:16): the nation table is exported to
+    JSON-lines once per sf (cached under /tmp) and read back through
+    io.read_table's JSON path; values must match the parquet-backed
+    oracle exactly."""
+    import os
+
+    from .. import io as aio
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    cache_dir = "/tmp/autoprepad_json"
+    os.makedirs(cache_dir, exist_ok=True)
+    path = f"{cache_dir}/nation_{tag}.jsonl"
+    if not os.path.exists(path):
+        import pyarrow.parquet as pq
+        df = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name",
+                                    "n_regionkey"]).to_pandas()
+        tmp = path + ".tmp"
+        df.to_json(tmp, orient="records", lines=True)
+        os.replace(tmp, path)
+    ds = aio.read_table(path, columns=["n_nationkey", "n_name",
+                                       "n_regionkey"])
+    return ds.map_batches(
+        lambda t: pa.table({
+            "n_nationkey": t["n_nationkey"].cast(pa.int64()),
+            "n_name": t["n_name"],
+            "n_regionkey": t["n_regionkey"].cast(pa.int64())}),
+        batch_format="pyarrow")
