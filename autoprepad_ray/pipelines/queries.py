@@ -1460,7 +1460,14 @@ def audio_features_clips(sf_dir: str):
     from ..stages.media import audio_features
 
     d = _fmedia_for_sf(sf_dir)
-    return audio_features(rd.read_parquet(f"{d}/audio.parquet"))
+    # pool sized to the fixture (hundreds of clips): a full
+    # default-size pool pays ~2 s spinup for sub-second work; at real
+    # scale callers size concurrency to the cluster instead.  The
+    # default_pool_size cap keeps the pool under small test sessions'
+    # CPU count (>= session CPUs deadlocks the streaming executor)
+    from ..context import default_pool_size
+    return audio_features(rd.read_parquet(f"{d}/audio.parquet"),
+                          concurrency=min(4, default_pool_size()))
 
 
 @query("video_frame_neardup_pairs")
