@@ -1652,3 +1652,22 @@ def json_roundtrip_nation(sf_dir: str):
             "n_name": t["n_name"],
             "n_regionkey": t["n_regionkey"].cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+@query("heavy_hitters_quantity", sql="""
+SELECT l_quantity, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem
+GROUP BY l_quantity
+HAVING COUNT(*) > 0.02 * (SELECT COUNT(*) FROM lineitem)""")
+def heavy_hitters_quantity(sf_dir: str):
+    """Heavy hitters (>2% of rows) on l_quantity via the mergeable
+    Misra-Gries sketch + exact candidate verification
+    (validators/heavy.py): the sketch pass never holds more than
+    ``capacity`` counters per task yet the candidate set provably
+    contains every true heavy hitter, and the verify pass makes the
+    output exact — hence SQL-checkable despite the approximate
+    sketch."""
+    from ..validators.heavy import heavy_hitters
+
+    ds = _t(sf_dir, "lineitem", ["l_quantity"])
+    return heavy_hitters(ds, "l_quantity", frac=0.02)

@@ -62,7 +62,7 @@ def _install_builtins() -> None:
     from ..stages import media
     from ..stages.dedup import exact_dedup, minhash_lsh_pairs, \
         simhash_neardup_pairs
-    from . import drift, referential, uniqueness
+    from . import drift, heavy, referential, uniqueness
     from .near_dup import duplicate_phash_groups, hamming_neardup_pairs
 
     for spec_name, fn, desc in [
@@ -96,6 +96,8 @@ def _install_builtins() -> None:
          "header-only video metadata + truncation check"),
         ("video_frame_neardup", media.video_frame_neardup,
          "video near-dup pairs via sampled-frame phash matching"),
+        ("heavy_hitters", heavy.heavy_hitters,
+         "exact frequent-item listing via Misra-Gries sketch + verify"),
     ]:
         _REGISTRY[spec_name] = ValidatorSpec(spec_name, fn, desc)
 

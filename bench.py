@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "rolling_window_events",
     "sessionize_events",
     "top_events_per_user",
+    "json_roundtrip_nation",
+    "heavy_hitters_quantity",
 ]
 
 IMG_PARTITIONS = 32
