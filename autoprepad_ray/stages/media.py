@@ -261,9 +261,12 @@ def video_frame_neardup(ds, *, every_k: int = 4, max_dist: int = 4,
     - EXACT: frames whose phash is identical across distinct videos.
       ``hamming_neardup_pairs`` deliberately reports one representative
       per distinct hash (dist >= 1 only), so exact collisions need their
-      own path: ``groupby(phash).map_groups`` emitting video pairs per
-      colliding hash (the standard hash-partitioned exact-dedup shape —
-      scales; ``group_cap`` bounds a degenerate all-same-hash corpus).
+      own path: the census-pruned ``duplicate_phash_groups`` (packed
+      np.unique partials + tree merge + broadcast dup-hash filter — a
+      sort-groupby on the near-unique phash column is the repo's
+      documented enemy), then video pairs per colliding hash on the
+      driver (dup buckets only; ``group_cap`` bounds a degenerate
+      all-same-hash corpus via the bucket id sample).
     - NEAR (1 <= dist <= max_dist): the existing banded-Hamming pairing
       over frame ids, mapped back to video ids on the driver (the pair
       list is already a driver-resident result).
@@ -274,21 +277,27 @@ def video_frame_neardup(ds, *, every_k: int = 4, max_dist: int = 4,
     consumed by both components -> materialized once (repo lesson)."""
     import pandas as pd
 
-    from ..validators.near_dup import hamming_neardup_pairs
+    from ..validators.near_dup import (duplicate_phash_groups,
+                                       hamming_neardup_pairs)
 
     frames = sample_frames(ds, every_k=every_k).materialize()
 
-    def exact_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        vids = np.unique(g["video_id"].to_numpy())[:group_cap]
-        if len(vids) < 2:
-            return pd.DataFrame({"video_a": pd.Series([], dtype=object),
-                                 "video_b": pd.Series([], dtype=object)})
-        ia, ib = np.triu_indices(len(vids), k=1)
-        return pd.DataFrame({"video_a": vids[ia], "video_b": vids[ib]})
-
-    exact = (frames.select_columns(["phash", "video_id"])
-             .groupby("phash").map_groups(exact_pairs, batch_format="pandas")
-             .to_pandas())
+    buckets = duplicate_phash_groups(
+        frames.select_columns(["phash", "video_id"]),
+        phash_col="phash", id_col="video_id",
+        sample_cap=group_cap).to_pandas()
+    ex_a, ex_b = [], []
+    for ids in buckets["ids"]:
+        vids = np.unique(np.asarray(ids, dtype=object))[:group_cap]
+        if len(vids) >= 2:
+            ia, ib = np.triu_indices(len(vids), k=1)
+            ex_a.append(vids[ia])
+            ex_b.append(vids[ib])
+    exact = pd.DataFrame({
+        "video_a": np.concatenate(ex_a) if ex_a
+        else pd.Series([], dtype=object),
+        "video_b": np.concatenate(ex_b) if ex_b
+        else pd.Series([], dtype=object)})
 
     near = hamming_neardup_pairs(frames, max_dist=max_dist)
     if len(near):
