@@ -63,7 +63,12 @@ def heavy_hitters(ds, col: str, *, frac: float = 0.01,
                   capacity: int | None = None) -> pa.Table:
     """Exact counts of every ``col`` value occurring in > ``frac`` of
     rows, via the two-pass sketch-then-verify above.  Returns a
-    pa.Table (col, cnt) sorted by (cnt desc, col)."""
+    pa.Table (col, cnt) sorted by (cnt desc, col).
+
+    ``ds`` is consumed twice (sketch pass, exact pass) — the right
+    trade for a pruned single-column parquet read; materialize a
+    computed chain before calling (same convention as
+    ``near_dup.hamming_neardup_pairs``)."""
     import ray
 
     if capacity is None:

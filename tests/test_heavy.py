@@ -71,3 +71,39 @@ def test_heavy_hitters_empty_and_uniform(ray_session):
     assert len(out) == 0
     empty = rd.from_arrow(pa.table({"k": pa.array([], type=pa.int64())}))
     assert len(heavy_hitters(empty, "k", frac=0.1).to_pandas()) == 0
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.lists(st.integers(0, 40), min_size=0, max_size=200),
+                min_size=1, max_size=12),
+       st.integers(2, 25),
+       st.integers(2, 5))
+def test_mg_property_bound_any_tree(blocks, k, fanout):
+    """For ANY block layout, capacity, and merge fan-out: est <= true <=
+    est + n/(k+1), and every key above the bound is present."""
+    parts = []
+    for b in blocks:
+        if not b:
+            continue
+        uk, c = np.unique(np.asarray(b, dtype=np.int64),
+                          return_counts=True)
+        parts.append(mg_compress(uk, c.astype(np.int64), k))
+    if not parts:
+        return
+    while len(parts) > 1:
+        parts = [mg_merge(parts[i:i + fanout], k)
+                 for i in range(0, len(parts), fanout)]
+    keys, est = parts[0]
+    est_map = dict(zip(keys.tolist(), est.tolist()))
+    allv = np.concatenate([np.asarray(b) for b in blocks if b])
+    n = len(allv)
+    bound = n / (k + 1)
+    true = pd.Series(allv).value_counts()
+    for v, t in true.items():
+        e = est_map.get(v, 0)
+        assert e <= t <= e + bound
+        if t > bound:
+            assert v in est_map
