@@ -726,6 +726,41 @@ def ann_topk_embeddings(sf_dir: str):
                                             batch_format="pandas"))
 
 
+@query("ngram_jaccard_docs", sql="""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - 7)) AS i
+  FROM documents
+  WHERE length(text) >= 8
+),
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS g FROM pos
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+co AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT co.id_a, co.id_b,
+       CAST(co.c AS DOUBLE) / (sa.n + sb.n - co.c) AS jaccard
+FROM co JOIN sz sa ON sa.doc_id = co.id_a
+        JOIN sz sb ON sb.doc_id = co.id_b
+WHERE CAST(co.c AS DOUBLE) / (sa.n + sb.n - co.c) >= 0.8
+""")
+def ngram_jaccard_docs(sf_dir: str):
+    """EXACT char-8-gram Jaccard similarity join over documents
+    (threshold 0.8): PPJoin prefix+positional filtering, bitmap-popcount
+    verify (``stages.textjoin``).  Value-exact vs the brute-force SQL:
+    jaccard = common/(|a|+|b|-common) is one int64->double division on
+    both sides (see float-parity header), and gram identity is exact
+    byte packing, no hashing."""
+    from ..stages.textjoin import ngram_jaccard_pairs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, "text", "doc_id", n=8, threshold=0.8)
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (not SQL-expressible: LSH, heuristics, image pipeline)
 

@@ -62,6 +62,7 @@ def _install_builtins() -> None:
     from ..stages import media
     from ..stages.dedup import exact_dedup, minhash_lsh_pairs, \
         simhash_neardup_pairs
+    from ..stages.textjoin import ngram_jaccard_pairs
     from . import drift, heavy, referential, uniqueness
     from .near_dup import duplicate_phash_groups, hamming_neardup_pairs
 
@@ -88,6 +89,8 @@ def _install_builtins() -> None:
          "MinHash+LSH near-duplicate pairs with exact-Jaccard verify"),
         ("simhash_neardup_pairs", simhash_neardup_pairs,
          "SimHash near-duplicate pairs via banded Hamming"),
+        ("ngram_jaccard_pairs", ngram_jaccard_pairs,
+         "EXACT char-n-gram Jaccard similarity join (PPJoin filters)"),
         ("exact_dedup", exact_dedup,
          "keep-first exact dedup on key columns"),
         ("audio_features", media.audio_features,

@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "psi_events_value",
     "date_encode_events",
     "minhash_neardup_docs",
+    "ngram_jaccard_docs",
     "ann_topk_embeddings",
     "ks_events_value",
     "ffill_events_by_user",
