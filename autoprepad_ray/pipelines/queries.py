@@ -1567,6 +1567,50 @@ def asof_join_events_orders(sf_dir: str):
         batch_format="pandas")
 
 
+@query("range_join_purchase_window", sql="""
+SELECT l.event_id, l.event_type, r.event_id AS window_id
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.event_type = 'purchase'
+ AND l.ts >= r.ts
+ AND l.ts < r.ts + INTERVAL 1 HOUR""")
+def range_join_purchase_window(sf_dir: str):
+    """Interval (range) join: every event that falls inside the 1-hour
+    window opened by any same-user purchase event — one output row per
+    (event, window) pair.  Time-tiled co-partition
+    (``stages/join.range_join`` with ``tile_width`` = window width):
+    each window replicates to the <= 2 tiles it covers, the shuffle
+    keys on (user, tile), and the per-bucket merge is a composite-rank
+    searchsorted expansion — candidate scans stay bounded by per-tile
+    window counts at any history length.  All comparisons are raw
+    int64 microseconds and output columns are carried values, so
+    parity with the SQL non-equi-join oracle is exact."""
+    from ..stages.join import range_join
+
+    hour_us = 3_600_000_000
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def mk_windows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        end = pc.add(t["ts"], pa.scalar(hour_us, pa.duration("us")))
+        return pa.table({"user_id": t["user_id"],
+                         "window_id": t["event_id"],
+                         "w_start": t["ts"], "w_end": end})
+
+    win = ev.map_batches(mk_windows, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    out = range_join(ev, win, on="user_id", left_ts="ts",
+                     right_start="w_start", right_end="w_end",
+                     left_cols=["event_id", "event_type"],
+                     right_cols=["window_id"], tile_width=hour_us)
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "event_type": df["event_type"],
+            "window_id": df["window_id"].astype("int64")}),
+        batch_format="pandas")
+
+
 @query("rolling_window_events", sql="""
 SELECT event_id,
        MIN(value) OVER w3 AS value_min3,

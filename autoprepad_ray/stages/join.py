@@ -18,7 +18,15 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..sketches import hash64
+from ..sketches import hash64, splitmix64
+
+
+def _ts_i64(a: np.ndarray) -> np.ndarray:
+    """Raw int64 view of a timestamp/int column (us for datetime64) —
+    all window comparisons run in exact integer space, never floats."""
+    if np.issubdtype(a.dtype, np.datetime64):
+        return a.astype("datetime64[us]").view(np.int64)
+    return a.astype(np.int64)
 
 
 def native_join(left, right, on: str | tuple[str, ...], *,
@@ -142,15 +150,10 @@ def asof_join(left, right, *, on: str, left_ts: str, right_ts: str,
             return pd.DataFrame()
         rsort = [on, right_ts] + ([tie_col] if tie_col else [])
         rg = rg.sort_values(rsort, kind="mergesort").reset_index(drop=True)
-        def ts_i64(a: np.ndarray) -> np.ndarray:
-            if np.issubdtype(a.dtype, np.datetime64):
-                return a.astype("datetime64[us]").view(np.int64)
-            return a.astype(np.int64)
-
         rk = rg[on].to_numpy()
-        rt = ts_i64(rg[right_ts].to_numpy())
+        rt = _ts_i64(rg[right_ts].to_numpy())
         lk = lg[on].to_numpy()
-        lt = ts_i64(lg[left_ts].to_numpy())
+        lt = _ts_i64(lg[left_ts].to_numpy())
         # Fully vectorized lexicographic search: dense-rank keys and
         # timestamps into one int64 composite (key_code << 32 | ts_rank;
         # equal timestamps share a rank, so side='right' - 1 lands on
@@ -171,6 +174,149 @@ def asof_join(left, right, *, on: str, left_ts: str, right_ts: str,
             return pd.DataFrame()
         res = lg.loc[ok].reset_index(drop=True)
         picked = rg.iloc[pos[ok]].reset_index(drop=True)
+        for c in out_right:
+            name = c + (suffix if c in res.columns else "")
+            res[name] = picked[c].to_numpy()
+        return res
+
+    return tagged.groupby("__bucket").map_groups(merge_bucket,
+                                                 batch_format="pandas")
+
+
+def range_join(left, right, *, on: str, left_ts: str, right_start: str,
+               right_end: str, left_cols: list[str],
+               right_cols: list[str], num_buckets: int = 32,
+               tile_width: int | None = None, suffix: str = "_r"):
+    """Distributed interval (range) join: every (left, right) pair with
+    equal ``on`` key and ``right_start <= left_ts < right_end``.  Inner
+    semantics, one output row per matching pair; all comparisons in raw
+    int64 (us for timestamps) so results match a SQL non-equi-join
+    oracle exactly.
+
+    Two co-partition modes, same per-bucket vectorized merge:
+
+    - ``tile_width=None``: one shuffle keyed on ``hash(on) % B`` (the
+      :func:`bucketed_join` shape).  Candidates for a left row are ALL
+      same-key intervals with ``start <= ts`` — fine when keys don't
+      accumulate long histories.
+    - ``tile_width=W`` (int, in the ts column's int64 unit): intervals
+      replicate once per W-wide time tile they cover (vectorized
+      ``np.repeat`` — typically 2 rows for window-style intervals with
+      width <= W) and left rows land in tile ``ts // W``; the shuffle
+      keys on ``hash(on, tile) % B``.  Each true pair matches in
+      exactly one tile (the left row's), so no dedup pass is needed,
+      candidate scans are bounded by per-tile interval counts rather
+      than a key's full history, and a hot key's timeline spreads
+      across the cluster — the 100-TB shape.  Pick W ~ the typical
+      interval width.
+
+    The per-bucket merge is the as-of composite-rank searchsorted with
+    a counted expansion instead of a single pick: dense (key[, tile])
+    pair codes (exact equality — the bucket hash never decides a
+    match), one ``searchsorted`` pair per bucket for the
+    ``start <= ts`` upper bounds, ``np.repeat`` expansion of the
+    candidate ranges, and an ``end > ts`` filter.  No per-row Python.
+    Composite is ``code << 32 | ts_rank`` — a bucket must stay < 2^32
+    rows; raise ``num_buckets`` long before that.
+
+    Output pair volume is intrinsic to the join predicate (a key+tile
+    with many overlapping intervals genuinely matches many pairs);
+    the expansion is O(candidates), not O(bucket^2).
+    """
+    lsch, rsch = left.schema(), right.schema()
+    lcols = sorted(set(left_cols + [on, left_ts]))
+    rcols = sorted(set(right_cols + [on, right_start, right_end]))
+    types = {n: t for n, t in list(zip(lsch.names, lsch.types))
+             + list(zip(rsch.names, rsch.types))}
+    all_cols = sorted(set(lcols) | set(rcols))
+    tiled = tile_width is not None
+    W = np.int64(tile_width if tiled else 1)
+
+    def tag(side: int, own: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            tile = None
+            if side == 1 and tiled:
+                # replicate each interval once per covered tile
+                s = _ts_i64(t[right_start].to_numpy(zero_copy_only=False))
+                e = _ts_i64(t[right_end].to_numpy(zero_copy_only=False))
+                t0, t1 = s // W, (e - 1) // W     # end exclusive
+                reps = np.where(e > s, t1 - t0 + 1, 0).astype(np.int64)
+                idx = np.repeat(np.arange(n, dtype=np.int64), reps)
+                tot = int(reps.sum())
+                offs = (np.arange(tot, dtype=np.int64)
+                        - np.repeat(np.cumsum(reps) - reps, reps))
+                tile = t0[idx] + offs
+                t = t.take(idx)
+                n = tot
+            cols = {}
+            for c in all_cols:
+                cols[c] = (t[c] if c in own
+                           else pa.nulls(n, type=types[c]))
+            kh = hash64(t[on].to_numpy(zero_copy_only=False))
+            if tiled:
+                if side == 0:
+                    tile = _ts_i64(t[left_ts].to_numpy(
+                        zero_copy_only=False)) // W
+                kh = splitmix64(kh + splitmix64(tile.view(np.uint64)))
+                cols["__tile"] = pa.array(tile.astype(np.int64))
+            bucket = (kh % np.uint64(num_buckets)).astype(np.int32)
+            cols["__bucket"] = pa.array(bucket)
+            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+            return pa.table(cols)
+        return fn
+
+    tagged = (left.map_batches(tag(0, lcols), batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .union(right.map_batches(tag(1, rcols),
+                                       batch_format="pyarrow",
+                                       zero_copy_batch=True)))
+    out_right = [c for c in right_cols if c != on]
+    extra = ["__tile"] if tiled else []
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g.loc[g["__side"] == 0, lcols + extra].reset_index(drop=True)
+        rg = g.loc[g["__side"] == 1, rcols + extra].reset_index(drop=True)
+        if not len(lg) or not len(rg):
+            return pd.DataFrame()
+        rk, lk = rg[on].to_numpy(), lg[on].to_numpy()
+        uk = np.unique(np.concatenate([rk, lk]))
+        rkc = np.searchsorted(uk, rk).astype(np.int64)
+        lkc = np.searchsorted(uk, lk).astype(np.int64)
+        if tiled:
+            # exact dense (key, tile) pair codes across both sides
+            pair = np.stack([np.concatenate([rkc, lkc]),
+                             np.concatenate([rg["__tile"].to_numpy(),
+                                             lg["__tile"].to_numpy()])],
+                            axis=1)
+            _, codes = np.unique(pair, axis=0, return_inverse=True)
+            codes = codes.reshape(-1)     # numpy >= 2.1 shape change
+            rkc, lkc = (codes[:len(rk)].astype(np.int64),
+                        codes[len(rk):].astype(np.int64))
+        rt = _ts_i64(rg[right_start].to_numpy())
+        re_ = _ts_i64(rg[right_end].to_numpy())
+        lt = _ts_i64(lg[left_ts].to_numpy())
+        order = np.lexsort((rt, rkc))
+        rkc_s, rt_s, re_s = rkc[order], rt[order], re_[order]
+        allt = np.sort(np.concatenate([rt_s, lt]))
+        rtr = np.searchsorted(allt, rt_s, side="left").astype(np.int64)
+        ltr = np.searchsorted(allt, lt, side="left").astype(np.int64)
+        lo = np.searchsorted(rkc_s, lkc, side="left")
+        hi = np.searchsorted((rkc_s << 32) | rtr, (lkc << 32) | ltr,
+                             side="right")
+        counts = hi - lo
+        tot = int(counts.sum())
+        if tot == 0:
+            return pd.DataFrame()
+        row_of = np.repeat(np.arange(len(lg), dtype=np.int64), counts)
+        cand = lo[row_of] + (np.arange(tot, dtype=np.int64)
+                             - np.repeat(np.cumsum(counts) - counts,
+                                         counts))
+        keep = re_s[cand] > lt[row_of]
+        if not keep.any():
+            return pd.DataFrame()
+        res = lg.loc[row_of[keep], left_cols].reset_index(drop=True)
+        picked = rg.iloc[order[cand[keep]]].reset_index(drop=True)
         for c in out_right:
             name = c + (suffix if c in res.columns else "")
             res[name] = picked[c].to_numpy()

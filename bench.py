@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "audio_features_clips",
     "video_frame_neardup_pairs",
     "asof_join_events_orders",
+    "range_join_purchase_window",
     "rolling_window_events",
     "sessionize_events",
     "top_events_per_user",
