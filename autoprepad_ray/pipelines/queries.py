@@ -761,6 +761,47 @@ def ngram_jaccard_docs(sf_dir: str):
     return ngram_jaccard_pairs(ds, "text", "doc_id", n=8, threshold=0.8)
 
 
+@query("cc_orders_sharing_part", sql="""
+WITH RECURSIVE q AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_quantity = 1),
+e AS (SELECT a.o AS src, b.o AS dst FROM q a JOIN q b ON a.p = b.p),
+reach(node, lbl) AS (
+  SELECT o, o FROM (SELECT DISTINCT o FROM q)
+  UNION
+  SELECT e.dst, r.lbl FROM reach AS r JOIN e ON r.node = e.src)
+SELECT node AS order_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node""")
+def cc_orders_sharing_part(sf_dir: str):
+    """Connected components over a real transitive-match graph: orders
+    linked (transitively) by sharing any quantity-1 part, each labeled
+    with its component's minimum orderkey.  The Ray side never builds
+    the per-part cliques the SQL oracle joins out — each filtered
+    lineitem row IS a bipartite edge (order <-> part+2^40), and
+    ``stages.graph.connected_components`` reduces blocks to star
+    forests and tree-merges them, so no shuffle touches row-shaped
+    data.  Part nodes sort above every orderkey, so the component
+    minimum is always an order; dropping ``node >= 2^40`` leaves the
+    exact (order, min-order-in-component) labeling the recursive CTE
+    computes.  Pure int64 identity — exact parity."""
+    from ..stages.graph import connected_components
+
+    part_off = np.int64(1) << np.int64(40)
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_quantity"], 1.0))
+        return pa.table({
+            "src": t["l_orderkey"],
+            "dst": pc.add(t["l_partkey"], pa.scalar(part_off, pa.int64()))})
+
+    cc = connected_components(
+        li.map_batches(mk_edges, batch_format="pyarrow",
+                       zero_copy_batch=True), "src", "dst")
+    cc = cc.filter(pc.less(cc["node"], pa.scalar(part_off, pa.int64())))
+    return pd.DataFrame({"order_id": cc["node"].to_numpy(),
+                         "cluster_id": cc["cluster"].to_numpy()})
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (not SQL-expressible: LSH, heuristics, image pipeline)
 
@@ -776,6 +817,31 @@ def minhash_neardup_docs(sf_dir: str):
     out = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5)
     out["jaccard"] = np.round(out["jaccard"].astype(float), 6)
     return out
+
+
+@query("minhash_dedup_clusters")
+def minhash_dedup_clusters(sf_dir: str):
+    """The full dedup, pairs -> clusters -> canonical flags: MinHash+LSH
+    verified pairs feed ``stages.graph.connected_components`` (star
+    forest of the match graph), and ``attach_clusters`` broadcasts the
+    tiny (node, cluster) map over the corpus — every document labeled
+    with its transitive cluster (singletons label themselves) and the
+    minimum-id member flagged canonical; ``is_canonical`` rows are what
+    a training-data dedup keeps.  Rows-only: LSH recall is pinned by
+    the brute-force pytest oracle; clustering by a union-find oracle in
+    test_graph."""
+    from ..stages.dedup import minhash_lsh_pairs
+    from ..stages.graph import attach_clusters, connected_components
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5)
+    cc = connected_components(
+        (pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()), "src", "dst")
+    out = attach_clusters(_t(sf_dir, "documents", ["doc_id"]),
+                          "doc_id", cc)
+    return out.map_batches(
+        lambda df: df.sort_values("doc_id").reset_index(drop=True),
+        batch_format="pandas")
 
 
 @query("simhash_neardup_docs")
@@ -1609,6 +1675,174 @@ def range_join_purchase_window(sf_dir: str):
             "event_type": df["event_type"],
             "window_id": df["window_id"].astype("int64")}),
         batch_format="pandas")
+
+
+@query("pack_documents_bins", sql="""
+WITH RECURSIVE s AS (
+  SELECT source, doc_id, n_chars,
+         SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS cum,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents),
+cnt AS (SELECT source, COUNT(*) AS n FROM s GROUP BY source),
+b(source, bin, start_rn, end_rn, base) AS (
+  SELECT source, CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT) FROM cnt
+  UNION ALL
+  SELECT b.source, b.bin + 1, b.end_rn + 1,
+         COALESCE((SELECT MAX(rn) FROM s
+                   WHERE s.source = b.source AND s.rn > b.end_rn
+                     AND s.cum - b.base <= 4096), b.end_rn + 1),
+         (SELECT cum FROM s WHERE s.source = b.source AND s.rn =
+            COALESCE((SELECT MAX(rn) FROM s
+                      WHERE s.source = b.source AND s.rn > b.end_rn
+                        AND s.cum - b.base <= 4096), b.end_rn + 1))
+  FROM b JOIN cnt ON cnt.source = b.source
+  WHERE b.end_rn < cnt.n)
+SELECT s.doc_id, s.source, b.bin
+FROM s JOIN b ON b.source = s.source
+             AND s.rn BETWEEN b.start_rn AND b.end_rn""")
+def pack_documents_bins(sf_dir: str):
+    """Context-window packing: greedy 4096-char bins per source shard
+    in doc_id order (``stages.pack``) — the corpus-layout step between
+    dedup and an LLM training run.  The Ray side packs every shard in
+    parallel with an O(bins) searchsorted loop; the oracle replays the
+    identical greedy recurrence as a recursive CTE.  Pure integer
+    arithmetic — exact parity."""
+    from ..stages.pack import pack_documents
+
+    docs = _t(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    out = pack_documents(docs, group_col="source", order_col="doc_id",
+                         size_col="n_chars", capacity=4096)
+    return out.map_batches(
+        lambda df: df[["doc_id", "source", "bin"]],
+        batch_format="pandas")
+
+
+@query("deterministic_split_events", sql="""
+SELECT event_id,
+       CASE WHEN b < 800 THEN 'train'
+            WHEN b < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT event_id,
+             ((event_id % 1000003) * 2654435761) % 1000 AS b
+      FROM events)""")
+def deterministic_split_events(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test assignment
+    (``functions.sampling.assign_splits``): pure int64 arithmetic on
+    the row id — stateless, partition-independent, identical on every
+    rerun/retry/cluster size, which is what makes sampling resumable
+    at 100 TB.  The fold-then-multiply rule stays inside BIGINT, so
+    the oracle reproduces it exactly in SQL."""
+    from ..functions.sampling import assign_splits
+
+    ev = _t(sf_dir, "events", ["event_id"])
+    out = assign_splits(ev, "event_id",
+                        splits={"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.map_batches(
+        lambda df: pd.DataFrame({"event_id": df["event_id"],
+                                 "split": df["split"]}),
+        batch_format="pandas")
+
+
+@query("tumbling_window_counts", sql="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(value) AS value_min, MAX(value) AS value_max
+FROM events GROUP BY 1, 2""")
+def tumbling_window_counts(sf_dir: str):
+    """Tumbling (fixed, non-overlapping) 1-hour windowed aggregate per
+    event_type: count + min/max.  The streaming-window shape done the
+    partial-combiner way — each block reduces to at most one row per
+    (window, type) via a pyarrow ``group_by`` (windows are an int64
+    floor-division of the raw us timestamps, exact), a 32-way Arrow
+    tree-merge level re-reduces, and the driver folds dozens-to-
+    thousands of verdict-sized rows (the ``partition_verdicts`` flat
+    pattern — a Ray sort-groupby would pay a full exchange for a
+    keyspace of ~hours x types).  min/max are selection-only, so float
+    parity is free; no rounding rules needed."""
+    hour_us = np.int64(3_600_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        w = (ts // hour_us) * hour_us
+        g = pa.table({"window_start": pa.array(w),
+                      "event_type": t["event_type"],
+                      "value": t["value"]}) \
+            .group_by(["window_start", "event_type"]).aggregate(
+                [("value", "count"), ("value", "min"), ("value", "max")])
+        return pa.table({"window_start": g["window_start"],
+                         "event_type": g["event_type"],
+                         "n": pc.cast(g["value_count"], pa.int64()),
+                         "value_min": g["value_min"],
+                         "value_max": g["value_max"]})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["window_start", "event_type"]).aggregate(
+            [("n", "sum"), ("value_min", "min"), ("value_max", "max")])
+        return pa.table({"window_start": g["window_start"],
+                         "event_type": g["event_type"],
+                         "n": g["n_sum"], "value_min": g["value_min_min"],
+                         "value_max": g["value_max_max"]})
+
+    rows = (_t(sf_dir, "events", ["ts", "event_type", "value"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(merge, batch_size=32, batch_format="pyarrow")
+            ).take_all()
+    df = (pd.DataFrame(rows)
+          .groupby(["window_start", "event_type"], as_index=False)
+          .agg(n=("n", "sum"), value_min=("value_min", "min"),
+               value_max=("value_max", "max")))
+    df["window_start"] = pd.to_datetime(df["window_start"], unit="us") \
+        .astype("datetime64[us]")      # match the source's us resolution
+    return df.sort_values(["window_start", "event_type"]) \
+        .reset_index(drop=True)
+
+
+@query("group_quantiles_events", sql="""
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY event_type""")
+def group_quantiles_events(sf_dir: str):
+    """Exact per-group quantiles (median + p95 of value per event_type):
+    per-block partials reduce to one (group, value, cnt) row per
+    distinct value — bounded by the data's decimal grain, not row count
+    — a 32-way Arrow tree-merge level re-sums, and the driver folds the
+    counts into per-group :class:`ValueCounts` (its linear-interpolation
+    quantile == DuckDB ``quantile_cont``, the profile query's proven
+    parity path).  r6 rounding on both sides per the float header."""
+    from ..sketches import ValueCounts
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"event_type": t["event_type"],
+                      "value": t["value"],
+                      "cnt": pa.array(np.ones(t.num_rows, np.int64))}) \
+            .group_by(["event_type", "value"]).aggregate([("cnt", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "value": g["value"], "cnt": g["cnt_sum"]})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "value"]).aggregate([("cnt", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "value": g["value"], "cnt": g["cnt_sum"]})
+
+    rows = (_t(sf_dir, "events", ["event_type", "value"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(merge, batch_size=32, batch_format="pyarrow")
+            ).take_all()
+    df = (pd.DataFrame(rows)
+          .groupby(["event_type", "value"], as_index=False)["cnt"].sum())
+    out = []
+    for et, grp in df.groupby("event_type"):
+        vc = ValueCounts.from_items(grp["value"].to_numpy(),
+                                    grp["cnt"].to_numpy())
+        out.append({"event_type": et,
+                    "p50": round(vc.quantile(0.5), 6),
+                    "p95": round(vc.quantile(0.95), 6)})
+    return pd.DataFrame(out)
 
 
 @query("rolling_window_events", sql="""

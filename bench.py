@@ -53,6 +53,12 @@ BENCH_QUERIES = [
     "top_events_per_user",
     "json_roundtrip_nation",
     "heavy_hitters_quantity",
+    "cc_orders_sharing_part",
+    "minhash_dedup_clusters",
+    "tumbling_window_counts",
+    "group_quantiles_events",
+    "deterministic_split_events",
+    "pack_documents_bins",
 ]
 
 IMG_PARTITIONS = 32

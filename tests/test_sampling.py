@@ -1,0 +1,58 @@
+"""Deterministic split / sampling (functions/sampling.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from autoprepad_ray.functions.sampling import (assign_splits,
+                                               sample_fraction, split_code)
+
+
+def test_split_code_deterministic_and_overflow_safe():
+    ids = np.array([0, 1, 10**18, -(10**18), 999983], dtype=np.int64)
+    a = split_code(ids)
+    b = split_code(ids.copy())
+    assert np.array_equal(a, b)
+    assert ((a >= 0) & (a < 1000)).all()
+    assert not np.array_equal(split_code(ids, salt=1), a)
+
+
+def test_split_fractions_roughly_uniform():
+    ids = np.arange(100_000, dtype=np.int64)
+    code = split_code(ids)
+    frac = (code < 800).mean()
+    assert abs(frac - 0.8) < 0.02
+
+
+def test_assign_splits_partition_independent(ray_session):
+    ids = np.arange(5000, dtype=np.int64)
+    t = pa.table({"id": ids})
+    one = assign_splits(rd.from_arrow(t), "id",
+                        splits={"train": 0.8, "val": 0.1, "test": 0.1}) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    many = assign_splits(rd.from_arrow(t).repartition(32), "id",
+                         splits={"train": 0.8, "val": 0.1, "test": 0.1}) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    assert one.equals(many)
+    assert set(one["split"]) == {"train", "val", "test"}
+
+
+def test_assign_splits_rejects_bad_fractions(ray_session):
+    with pytest.raises(ValueError):
+        assign_splits(rd.range(10), "id", splits={"a": 0.5, "b": 0.1})
+
+
+def test_sample_fraction_is_prefix_of_split(ray_session):
+    """sample_fraction(f) keeps exactly the rows whose code < f*buckets
+    — the same prefix rule assign_splits uses, so a 10% sample is a
+    subset of a 20% sample (nested samples, no reshuffling)."""
+    ids = np.arange(20_000, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"id": ids}))
+    s10 = set(sample_fraction(ds, "id", 0.10).to_pandas()["id"])
+    s20 = set(sample_fraction(ds, "id", 0.20).to_pandas()["id"])
+    assert s10 <= s20
+    assert abs(len(s20) / 20_000 - 0.20) < 0.02
+    expected = set(ids[split_code(ids) < 200].tolist())
+    assert s20 == expected
