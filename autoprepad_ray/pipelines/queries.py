@@ -1984,3 +1984,229 @@ def heavy_hitters_quantity(sf_dir: str):
 
     ds = _t(sf_dir, "lineitem", ["l_quantity"])
     return heavy_hitters(ds, "l_quantity", frac=0.02)
+
+
+@query("vocab_top_terms_docs", sql="""
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+WHERE term <> ''
+GROUP BY term
+ORDER BY n DESC, term
+LIMIT 20""")
+def vocab_top_terms_docs(sf_dir: str):
+    """Corpus vocabulary top-k (term frequency): the word-count side of
+    text analysis (§2.8/LLM-pipeline) done the partial-combiner way —
+    each block tokenizes (single-space split, both engines identical)
+    and reduces to one (term, n) row per distinct term via pyarrow
+    ``group_by``, a 32-way tree level re-reduces, the driver folds a
+    vocabulary-sized table.  The exchange is bounded by |vocabulary|
+    per block, never by token count; ties at the top-k boundary break
+    on the term string so the cut is deterministic on both engines."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        g = pa.table({"term": toks}).group_by("term").aggregate(
+            [("term", "count")])
+        return pa.table({"term": g["term"],
+                         "n": pc.cast(g["term_count"], pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("term").aggregate([("n", "sum")])
+        return pa.table({"term": g["term"], "n": g["n_sum"]})
+
+    rows = (_t(sf_dir, "documents", ["text"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(merge, batch_size=32, batch_format="pyarrow")
+            ).take_all()
+    df = (pd.DataFrame(rows).groupby("term", as_index=False)
+          .agg(n=("n", "sum")))
+    df = df.sort_values(["n", "term"], ascending=[False, True]).head(20)
+    return df.reset_index(drop=True)
+
+
+@query("percent_rank_events", sql="""
+SELECT event_id, PERCENT_RANK() OVER (ORDER BY value) AS pr
+FROM events WHERE value IS NOT NULL""")
+def percent_rank_events(sf_dir: str):
+    """Global percent-rank (CDF) transform of a column — the rank
+    normalization step of feature pipelines, and the global-window
+    cousin of the per-key window queries.  Pass 1 reduces each block
+    to its distinct (value, count) rows (partials bounded by the value
+    grain, the group_quantiles pattern) and tree-merges; the driver
+    builds the sorted cumulative count-less table and broadcasts it
+    once (``ray.put``).  Pass 2 attaches pr = count_less/(n-1) with
+    one ``searchsorted`` per batch.  count_less and n are exact int64
+    on both engines and a single IEEE division is deterministic, so
+    the doubles match DuckDB's PERCENT_RANK bit-for-bit (standard tie
+    semantics: all peers take the first peer's rank)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        vals, cnts = np.unique(v, return_counts=True)
+        return pa.table({"value": vals, "n": cnts.astype(np.int64)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("value").aggregate([("n", "sum")])
+        return pa.table({"value": g["value"], "n": g["n_sum"]})
+
+    rows = (_t(sf_dir, "events", ["value"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(merge, batch_size=32, batch_format="pyarrow")
+            ).take_all()
+    vc = (pd.DataFrame(rows).groupby("value", as_index=False)
+          .agg(n=("n", "sum")).sort_values("value"))
+    vals = vc["value"].to_numpy()
+    cnts = vc["n"].to_numpy(dtype=np.int64)
+    less = np.concatenate([[np.int64(0)], np.cumsum(cnts)[:-1]])
+    n_total = int(cnts.sum())
+    state = ray.put((vals, less, n_total))
+
+    def attach(t: pa.Table) -> pa.Table:
+        sv, sless, n = ray.get(state)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        keep = ~np.isnan(v)
+        v = v[keep]
+        idx = np.searchsorted(sv, v, side="left")
+        pr = sless[idx] / np.float64(n - 1) if n > 1 \
+            else np.zeros(len(v))
+        return pa.table({
+            "event_id": pa.array(t["event_id"].to_numpy(
+                zero_copy_only=False)[keep]),
+            "pr": pa.array(pr)})
+
+    return (_t(sf_dir, "events", ["event_id", "value"])
+            .map_batches(attach, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query("pivot_event_type_counts", sql="""
+SELECT user_id, """ + ", ".join(
+    f"CAST(COUNT(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+    for t in _EVENT_TYPES) + """
+FROM events GROUP BY user_id""")
+def pivot_event_type_counts(sf_dir: str):
+    """Pivot (long -> wide counts): per-user event-type count matrix,
+    the feature-table shape a training pipeline feeds downstream.
+    Each block pre-aggregates to at most one wide row per distinct
+    user (pyarrow ``group_by`` over boolean-mask count columns), then
+    ONE Ray sort-groupby sums the already-collapsed partials — the
+    shuffle moves O(distinct users x blocks) wide rows, never raw
+    events, which is the right bound when users number in the
+    millions and the driver fold would not fit.  The type domain is
+    this table's five event types (a discovery pass over a dynamic
+    domain would reuse the distinct-census)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"]}
+        for ty in _EVENT_TYPES:
+            cols[f"n_{ty}"] = pc.cast(
+                pc.equal(t["event_type"], ty), pa.int64())
+        g = (pa.table(cols).group_by("user_id")
+             .aggregate([(f"n_{ty}", "sum") for ty in _EVENT_TYPES]))
+        out = {"user_id": g["user_id"]}
+        for ty in _EVENT_TYPES:       # group_by appends keys LAST —
+            out[f"n_{ty}"] = g[f"n_{ty}_sum"]   # address by name
+        return pa.table(out)
+
+    return (_t(sf_dir, "events", ["user_id", "event_type"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("user_id")
+            .aggregate(*[Sum(f"n_{ty}", alias_name=f"n_{ty}")
+                         for ty in _EVENT_TYPES]))
+
+
+@query("semi_join_urgent_customers", sql="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')""")
+def semi_join_urgent_customers(sf_dir: str):
+    """Semi-join (EXISTS filter): customers holding at least one
+    urgent order.  The orders side never joins — it reduces to its
+    distinct matching custkeys (per-block np.unique partials,
+    tree-merged) which broadcast once; the customer table filters
+    with a vectorized isin.  No shuffle of either table; the
+    broadcast is bounded by distinct matching keys with an explicit
+    bail-out to the bucketed shuffle join past 5M keys
+    (stages/join.semi_join)."""
+    from ..stages.join import semi_join
+
+    urgent = (_t(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+              .map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+                   .select(["o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True))
+    cust = _t(sf_dir, "customer",
+              ["c_custkey", "c_name", "c_mktsegment"])
+    return semi_join(cust, urgent, "c_custkey", right_on="o_custkey")
+
+
+@query("rollup_pricing_levels", sql="""
+SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+            ELSE l_returnflag END AS l_returnflag,
+       CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+            ELSE l_linestatus END AS l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")
+def rollup_pricing_levels(sf_dir: str):
+    """Multi-level (ROLLUP) aggregate from ONE pass: (flag, status),
+    (flag, ALL) and (ALL, ALL) levels all fold from the same
+    finest-level partials — the data is read and reduced once, and
+    the coarser levels are a driver fold over the handful of finest
+    groups (the grouping-sets trick every warehouse engine plays,
+    here as partial-combiner reuse).  Raw double sums fold unrounded
+    and round r2 once at emission: the 2-dec inputs make each level's
+    true sum an exact decimal, so both engines' last-ulp noise snaps
+    to the same cell (file-header parity rules)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "count"), ("l_quantity", "sum"),
+             ("l_extendedprice", "sum")])
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "n": pc.cast(g["l_quantity_count"], pa.int64()),
+            "sq": g["l_quantity_sum"], "sp": g["l_extendedprice_sum"]})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("n", "sum"), ("sq", "sum"), ("sp", "sum")])
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "n": g["n_sum"], "sq": g["sq_sum"], "sp": g["sp_sum"]})
+
+    rows = (_t(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(merge, batch_size=32, batch_format="pyarrow")
+            ).take_all()
+    fine = (pd.DataFrame(rows)
+            .groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(n=("n", "sum"), sq=("sq", "sum"), sp=("sp", "sum")))
+    mid = fine.groupby("l_returnflag", as_index=False).agg(
+        n=("n", "sum"), sq=("sq", "sum"), sp=("sp", "sum"))
+    mid["l_linestatus"] = "ALL"
+    top = pd.DataFrame({"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+                        "n": [fine["n"].sum()], "sq": [fine["sq"].sum()],
+                        "sp": [fine["sp"].sum()]})
+    out = pd.concat([fine, mid, top], ignore_index=True)
+    out["sum_qty"] = out.pop("sq").round(2)
+    out["sum_price"] = out.pop("sp").round(2)
+    return out[["l_returnflag", "l_linestatus", "n",
+                "sum_qty", "sum_price"]]

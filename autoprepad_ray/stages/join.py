@@ -37,6 +37,63 @@ def native_join(left, right, on: str | tuple[str, ...], *,
                      num_partitions=num_partitions, on=on_t, **kwargs)
 
 
+def semi_join(left, right, on: str, *, right_on: str | None = None,
+              anti: bool = False, max_broadcast_keys: int = 5_000_000):
+    """Semi-join (``EXISTS`` filter) / anti-join: keep the left rows
+    whose key appears (does not appear, ``anti=True``) in ``right``.
+
+    The right side reduces to its DISTINCT key set first — per-block
+    ``np.unique`` partials tree-merged 32-way (the near_dup census
+    pattern; a sort-groupby would shuffle every right row to dedup
+    keys that per-block partials already collapse).  The deduped key
+    array broadcasts once (``ray.put``) and the left side filters with
+    a vectorized ``np.isin`` — no shuffle of either table.
+
+    Scale bound: the broadcast is O(distinct matching keys), NOT
+    O(right rows).  Past ``max_broadcast_keys`` this raises — at that
+    size use ``bucketed_join`` with the right side pre-deduped (same
+    one-shuffle cost as an inner join) instead of silently shipping a
+    multi-GB set to every task.
+
+    Reference has only index-aligned label joins
+    (/root/reference/pipelines/experiment/experiment.py:125); this is
+    the relational EXISTS re-expressed for a cluster."""
+    import ray
+
+    rkey = right_on or on
+
+    def part(t: pa.Table) -> pa.Table:
+        return pa.table({"k": np.unique(t[rkey].to_numpy(
+            zero_copy_only=False))})
+
+    def merge(t: pa.Table) -> pa.Table:
+        return pa.table({"k": np.unique(t["k"].to_numpy(
+            zero_copy_only=False))})
+
+    parts = (right.map_batches(part, batch_format="pyarrow",
+                               zero_copy_batch=True)
+             .map_batches(merge, batch_size=32, batch_format="pyarrow")
+             .take_all())      # row dicts: one scalar key per row
+    keys = np.unique(np.array([r["k"] for r in parts])) \
+        if parts else np.array([])
+    if len(keys) > max_broadcast_keys:
+        raise ValueError(
+            f"semi_join: {len(keys)} distinct right keys exceeds the "
+            f"broadcast bound {max_broadcast_keys}; pre-dedup the right "
+            "side and use bucketed_join")
+    keys_ref = ray.put(keys)
+
+    def filt(t: pa.Table) -> pa.Table:
+        k = ray.get(keys_ref)
+        m = np.isin(t[on].to_numpy(zero_copy_only=False), k)
+        if anti:
+            m = ~m
+        return t.filter(pa.array(m))
+
+    return left.map_batches(filt, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def bucketed_join(left, right, on: str, *, num_buckets: int = 32,
                   left_cols: list[str] | None = None,
                   right_cols: list[str] | None = None):

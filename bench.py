@@ -59,6 +59,11 @@ BENCH_QUERIES = [
     "group_quantiles_events",
     "deterministic_split_events",
     "pack_documents_bins",
+    "vocab_top_terms_docs",
+    "percent_rank_events",
+    "pivot_event_type_counts",
+    "semi_join_urgent_customers",
+    "rollup_pricing_levels",
 ]
 
 IMG_PARTITIONS = 32
