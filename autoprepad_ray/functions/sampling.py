@@ -20,6 +20,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..sketches import np_object
+
 SPLIT_PRIME = 1_000_003          # folds ids into < 2^20 before multiply
 SPLIT_MULT = 2_654_435_761       # Knuth multiplicative constant (2^32/phi)
 
@@ -58,6 +60,35 @@ def assign_splits(ds, id_col: str, *, splits: dict[str, float],
         return t.append_column(out_col, pa.array(names[idx]))
 
     return ds.map_batches(label, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def stratified_sample(ds, id_col: str, group_col: str,
+                      rates: dict, *, default_rate: float = 1.0,
+                      salt: int = 0, buckets: int = 1000):
+    """Per-class deterministic downsampling — the class-rebalancing
+    move of a training-data pipeline (keep every rare `purchase`,
+     5% of `view`), with the same resumability guarantees as
+    ``sample_fraction``: the keep/drop decision is pure int64
+    arithmetic on (id, group), identical on every retry, partition
+    and cluster size.  ``rates`` maps group value -> keep fraction;
+    unlisted groups use ``default_rate``.  Pure map_batches — no
+    shuffle, no RNG state."""
+    keys = np.array(list(rates.keys()), dtype=object)
+    cuts = np.array([round(v * buckets) for v in rates.values()],
+                    dtype=np.int64)
+    default_cut = np.int64(round(default_rate * buckets))
+
+    def keep(t: pa.Table) -> pa.Table:
+        code = split_code(t[id_col].to_numpy(zero_copy_only=False),
+                          buckets=buckets, salt=salt)
+        g = np_object(t[group_col].to_numpy(zero_copy_only=False))
+        cut = np.full(len(g), default_cut)
+        for k, c in zip(keys, cuts):
+            cut[g == k] = c
+        return t.filter(pa.array(code < cut))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
                           zero_copy_batch=True)
 
 

@@ -2210,3 +2210,150 @@ def rollup_pricing_levels(sf_dir: str):
     out["sum_price"] = out.pop("sp").round(2)
     return out[["l_returnflag", "l_linestatus", "n",
                 "sum_qty", "sum_price"]]
+
+
+@query("stratified_sample_events", sql="""
+SELECT event_id, event_type
+FROM events
+WHERE ((event_id % 1000003) * 2654435761) % 1000 <
+      CASE event_type WHEN 'view' THEN 50 WHEN 'click' THEN 50
+           ELSE 1000 END""")
+def stratified_sample_events(sf_dir: str):
+    """Stratified (per-class) deterministic sampling — keep 5% of the
+    dominant view/click traffic and every rare event, the
+    class-rebalancing step of a training-data pipeline.  Same int64
+    hash rule as deterministic_split (no RNG state: retries, partial
+    re-runs and any cluster size agree on the kept set), applied with
+    a per-group cut (functions/sampling.stratified_sample).  Pure
+    map_batches, no shuffle; the rule stays inside BIGINT so the SQL
+    oracle replays it bit-for-bit."""
+    from ..functions.sampling import stratified_sample
+
+    ev = _t(sf_dir, "events", ["event_id", "event_type"])
+    return stratified_sample(ev, "event_id", "event_type",
+                             rates={"view": 0.05, "click": 0.05})
+
+
+@query("hopping_window_counts", sql="""
+WITH h AS (SELECT (epoch_us(ts) // 3600000000) AS hb, event_type
+           FROM events),
+     w AS (SELECT hb AS wb, event_type FROM h
+           UNION ALL SELECT hb - 1, event_type FROM h)
+SELECT make_timestamp(wb * 3600000000) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM w GROUP BY 1, 2""")
+def hopping_window_counts(sf_dir: str):
+    """Hopping (sliding, overlapping) windowed aggregate: 2-hour
+    windows every 1 hour, counts per event_type — completing the
+    window family beside tumbling/session/rolling.  Each event
+    replicates to its size/hop = 2 windows INSIDE the partial (the
+    fan-out never leaves the block), then the tumbling machinery
+    applies unchanged: pyarrow group_by partials, 32-way tree level,
+    driver fold over ~hours x types rows.  Windows are int64 floor
+    division of raw us timestamps — exact on both engines."""
+    hour_us = np.int64(3_600_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        h = ts // hour_us
+        w = np.concatenate([h, h - 1]) * hour_us
+        ty = pa.concat_arrays([t["event_type"].combine_chunks()] * 2)
+        g = pa.table({"window_start": pa.array(w), "event_type": ty}) \
+            .group_by(["window_start", "event_type"]).aggregate(
+                [("event_type", "count")])
+        return pa.table({"window_start": g["window_start"],
+                         "event_type": g["event_type"],
+                         "n": pc.cast(g["event_type_count"], pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["window_start", "event_type"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"window_start": g["window_start"],
+                         "event_type": g["event_type"], "n": g["n_sum"]})
+
+    rows = (_t(sf_dir, "events", ["ts", "event_type"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(merge, batch_size=32, batch_format="pyarrow")
+            ).take_all()
+    df = (pd.DataFrame(rows)
+          .groupby(["window_start", "event_type"], as_index=False)
+          .agg(n=("n", "sum")))
+    df["window_start"] = pd.to_datetime(df["window_start"], unit="us") \
+        .astype("datetime64[us]")
+    return df.sort_values(["window_start", "event_type"]) \
+        .reset_index(drop=True)
+
+
+@query("top_term_per_doc", sql="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok WHERE term <> '' GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tok WHERE term <> '' GROUP BY 1),
+r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                 ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rn
+      FROM tf JOIN df USING (term))
+SELECT doc_id, term, tf, df FROM r WHERE rn = 1""")
+def top_term_per_doc(sf_dir: str):
+    """TF-IDF representative term per document, float-free: the most
+    characteristic term is the argmax of (tf desc, df asc, term asc)
+    — the same ordering tf x log(N/df) induces at equal tf, with the
+    log never materialized, so parity is pure ints and strings.
+    Pass 1 builds the document-frequency census: per-block distinct
+    (doc, term) pairs (docs never span blocks) reduce to (term, df)
+    partials, tree-merged; the vocabulary-sized census broadcasts
+    once.  Pass 2 computes per-doc term counts inside each block
+    (pyarrow group_by), attaches df by searchsorted against the
+    broadcast census, and selects each doc's first row under the
+    ordering — no shuffle at any point."""
+
+    def _tok(t: pa.Table):
+        lc = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(lc)
+        par = pc.list_parent_indices(lc)
+        d = t["doc_id"].take(par)
+        keep = pc.not_equal(flat, "")
+        return pa.table({"d": d.combine_chunks() if hasattr(d, "chunks")
+                         else d, "term": flat}).filter(keep)
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        distinct = _tok(t).group_by(["term", "d"]).aggregate([])
+        g = distinct.group_by("term").aggregate([("d", "count")])
+        return pa.table({"term": g["term"],
+                         "df": pc.cast(g["d_count"], pa.int64())})
+
+    def df_merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("term").aggregate([("df", "sum")])
+        return pa.table({"term": g["term"], "df": g["df_sum"]})
+
+    rows = (_t(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(df_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(df_merge, batch_size=32, batch_format="pyarrow")
+            ).take_all()
+    census = (pd.DataFrame(rows).groupby("term", as_index=False)
+              .agg(df=("df", "sum")).sort_values("term"))
+    state = ray.put((census["term"].to_numpy(),
+                     census["df"].to_numpy(dtype=np.int64)))
+
+    def pick(t: pa.Table) -> pd.DataFrame:
+        terms_sorted, dfs = ray.get(state)
+        g = _tok(t).group_by(["d", "term"]).aggregate([("term", "count")])
+        tf = pd.DataFrame({"doc_id": g["d"].to_numpy(),
+                           "term": g["term"].to_numpy(
+                               zero_copy_only=False),
+                           "tf": g["term_count"].to_numpy()
+                           .astype(np.int64)})
+        tf["df"] = dfs[np.searchsorted(terms_sorted, tf["term"])]
+        tf = tf.sort_values(["doc_id", "tf", "df", "term"],
+                            ascending=[True, False, True, True])
+        return tf.drop_duplicates("doc_id", keep="first") \
+            .reset_index(drop=True)
+
+    return (_t(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(pick, batch_format="pyarrow",
+                         zero_copy_batch=True))

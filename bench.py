@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "pivot_event_type_counts",
     "semi_join_urgent_customers",
     "rollup_pricing_levels",
+    "stratified_sample_events",
+    "hopping_window_counts",
+    "top_term_per_doc",
 ]
 
 IMG_PARTITIONS = 32

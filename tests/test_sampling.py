@@ -56,3 +56,25 @@ def test_sample_fraction_is_prefix_of_split(ray_session):
     assert abs(len(s20) / 20_000 - 0.20) < 0.02
     expected = set(ids[split_code(ids) < 200].tolist())
     assert s20 == expected
+
+
+def test_stratified_sample_per_group_rates(ray_session):
+    """Each group is sampled at ITS rate with the same prefix rule —
+    rare groups survive in full, common ones thin out, and the kept
+    set is exactly reproducible from the hash rule."""
+    from autoprepad_ray.functions.sampling import stratified_sample
+
+    n = 30_000
+    ids = np.arange(n, dtype=np.int64)
+    grp = np.where(ids % 100 < 90, "common", "rare")
+    ds = rd.from_arrow(pa.table({"id": ids, "g": grp})).repartition(8)
+    out = stratified_sample(ds, "id", "g", rates={"common": 0.10}) \
+        .to_pandas()
+    got = set(out["id"])
+    cut = np.where(grp == "common", 100, 1000)
+    expected = set(ids[split_code(ids) < cut].tolist())
+    assert got == expected
+    rare_ids = set(ids[grp == "rare"].tolist())
+    assert rare_ids <= got            # default_rate=1.0 keeps all rare
+    common_kept = len(got - rare_ids) / (0.9 * n)
+    assert abs(common_kept - 0.10) < 0.02
