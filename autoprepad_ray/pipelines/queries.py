@@ -377,19 +377,18 @@ def top_customers(sf_dir: str):
            .groupby("o_custkey")
            .aggregate(Sum("s_price", alias_name="s_price"),
                       Sum("n_orders", alias_name="n_orders")))
-    top = agg.sort(["s_price", "o_custkey"], descending=[True, False]).limit(10)
+    # map-side per-block cut + tiny driver fold (stages/topk) — no
+    # range-partitioned sort of the aggregated stream
+    from ..stages.topk import top_k
+    top = top_k(agg, ["s_price", "o_custkey"],
+                descending=[True, False], k=10)
 
-    def attach(t: pa.Table) -> pa.Table:
-        names = ray.get(name_ref)
-        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "o_custkey": t["o_custkey"],
-            "c_name": pa.array([names[k] for k in keys.tolist()]),
-            "total_price": pa.array(np.round(
-                t["s_price"].to_numpy(zero_copy_only=False), 2)),
-            "n_orders": t["n_orders"].cast(pa.int64())})
-
-    return top.map_batches(attach, batch_format="pyarrow")
+    names = ray.get(name_ref)
+    return pd.DataFrame({
+        "o_custkey": top["o_custkey"].astype(np.int64),
+        "c_name": [names[k] for k in top["o_custkey"]],
+        "total_price": top["s_price"].round(2),
+        "n_orders": top["n_orders"].astype(np.int64)})
 
 
 # ---------------------------------------------------------------------------
@@ -1233,8 +1232,14 @@ ORDER BY tukey_total + mad_total DESC, mad_total DESC, tukey_total DESC,
 LIMIT 20""")
 def top_anomalies_events(sf_dir: str):
     """Worst-first presentation sort (runs.py:429-435: descending by
-    AnomalyScore with MAD_Total/Tukey_Total tiebreaks) + top-k — a
-    range-partitioned Ray sort consumed by limit()."""
+    AnomalyScore with MAD_Total/Tukey_Total tiebreaks) + top-k —
+    map-side per-block cut + one blocks-x-k driver fold
+    (stages/topk.top_k) instead of a range-partitioned full sort: at
+    100 TB a global sort exchanges every row to keep 20.  The
+    event_id final tiebreak makes the cut deterministic on any block
+    layout."""
+    from ..stages.topk import top_k
+
     checked = _events_checked(sf_dir)
 
     def prep(t: pa.Table) -> pa.Table:
@@ -1247,14 +1252,11 @@ def top_anomalies_events(sf_dir: str):
             "score_raw": pc.add(tuk, mad),
             "mad_total": mad, "tukey_total": tuk})
 
-    top = (checked.map_batches(prep, batch_format="pyarrow")
-           .sort(["score_raw", "mad_total", "tukey_total", "value",
-                  "event_id"],
-                 descending=[True, True, True, True, False])
-           .limit(20))
-    return top.map_batches(
-        lambda t: t.select(["event_id", "value", "score_raw"]),
-        batch_format="pyarrow")
+    top = top_k(checked.map_batches(prep, batch_format="pyarrow"),
+                ["score_raw", "mad_total", "tukey_total", "value",
+                 "event_id"],
+                descending=[True, True, True, True, False], k=20)
+    return top[["event_id", "value", "score_raw"]]
 
 
 @query("join_order_revenue_by_status", sql="""
@@ -2112,8 +2114,8 @@ def pivot_event_type_counts(sf_dir: str):
         g = (pa.table(cols).group_by("user_id")
              .aggregate([(f"n_{ty}", "sum") for ty in _EVENT_TYPES]))
         out = {"user_id": g["user_id"]}
-        for ty in _EVENT_TYPES:       # group_by appends keys LAST —
-            out[f"n_{ty}"] = g[f"n_{ty}_sum"]   # address by name
+        for ty in _EVENT_TYPES:       # address by name, not position
+            out[f"n_{ty}"] = g[f"n_{ty}_sum"]
         return pa.table(out)
 
     return (_t(sf_dir, "events", ["user_id", "event_type"])
