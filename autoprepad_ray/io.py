@@ -38,6 +38,10 @@ def read_table(path: str, columns: list[str] | None = None, **kwargs):
     if stripped.endswith((".json", ".jsonl")):
         ds = rd.read_json(path, **kwargs)
         return ds.select_columns(columns) if columns else ds
+    if stripped.endswith(".txt"):
+        # line-per-row corpus shards (the rawest LLM-corpus input);
+        # one column named "text"
+        return rd.read_text(path, **kwargs)
     return rd.read_parquet(path, columns=columns, **kwargs)
 
 

@@ -33,6 +33,7 @@ import ray
 import ray.data as rd
 
 from ..functions import strings as sfn
+from ..sketches import np_object
 from ..functions.dates import date_encode
 from ..profile import profile_dataset
 from ..validators import drift, referential, row_checks as rc, uniqueness
@@ -2359,3 +2360,103 @@ def top_term_per_doc(sf_dir: str):
     return (_t(sf_dir, "documents", ["doc_id", "text"])
             .map_batches(pick, batch_format="pyarrow",
                          zero_copy_batch=True))
+
+@query("group_distinct_users_events", sql="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type""")
+def group_distinct_users_events(sf_dir: str):
+    """Per-group exact COUNT(DISTINCT) — the cardinality profile a
+    training pipeline reads before deciding how to partition (§2.5
+    extension beside the global distinct census).  One pass: each
+    block reduces to its distinct (type, user) composites (type code
+    packed into the high bits of an int64 — the type domain is tiny,
+    user ids fit 48 bits) plus a per-type row bincount; partials
+    tree-merge 32-way via np.unique, the driver folds a census
+    bounded by distinct pairs, never rows.  All-integer — exact SQL
+    parity with no rounding rules."""
+    import pickle
+
+    types = np.array(_EVENT_TYPES)          # sorted domain
+
+    def partial(t: pa.Table) -> pa.Table:
+        ty = np_object(t["event_type"].to_numpy(zero_copy_only=False))
+        codes = np.searchsorted(types, ty).astype(np.int64)
+        users = t["user_id"].to_numpy(zero_copy_only=False)
+        comp = np.unique((codes << 48) | users.astype(np.int64))
+        cnts = np.bincount(codes, minlength=len(types)).astype(np.int64)
+        return pa.table({"payload": pa.array(
+            [pickle.dumps((comp, cnts))], type=pa.large_binary())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        parts = [pickle.loads(p) for p in t["payload"].to_pylist()]
+        comp = np.unique(np.concatenate([p[0] for p in parts]))
+        cnts = np.sum([p[1] for p in parts], axis=0)
+        return pa.table({"payload": pa.array(
+            [pickle.dumps((comp, cnts))], type=pa.large_binary())})
+
+    rows = (_t(sf_dir, "events", ["event_type", "user_id"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(merge, batch_size=32, batch_format="pyarrow")
+            ).take_all()
+    parts = [pickle.loads(r["payload"]) for r in rows]
+    comp = np.unique(np.concatenate([p[0] for p in parts]))
+    cnts = np.sum([p[1] for p in parts], axis=0)
+    n_users = np.bincount((comp >> 48).astype(np.int64),
+                          minlength=len(types))
+    return pa.table({"event_type": pa.array(list(types)),
+                     "n_users": _i64(n_users), "n_events": _i64(cnts)})
+
+
+@query("running_total_docs", sql="""
+SELECT doc_id, source,
+       CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id)
+            AS BIGINT) AS chars_cum,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+            AS BIGINT) AS rn
+FROM documents""")
+def running_total_docs(sf_dir: str):
+    """Per-key running (prefix) aggregate — the cursor a corpus-layout
+    step keeps while streaming a shard (how many chars/docs have gone
+    into the current output file).  Reuses ffill's hash-partitioned
+    groupby(key).map_groups shape; int64 cumsum means exact SQL
+    window parity with no float rules."""
+    ds = _t(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        return pd.DataFrame({
+            "doc_id": g["doc_id"],
+            "source": g["source"],
+            "chars_cum": g["n_chars"].cumsum().astype(np.int64),
+            "rn": np.arange(1, len(g) + 1, dtype=np.int64)})
+
+    return ds.groupby("source").map_groups(run, batch_format="pandas")
+
+
+@query("text_roundtrip_nation", sql="""
+SELECT n_name AS text FROM nation""")
+def text_roundtrip_nation(sf_dir: str):
+    """Line-per-row text source (§2.1 widening: the rawest LLM-corpus
+    input shape — one document per line in a .txt shard) read through
+    io.read_table's read_text path; values must match the
+    parquet-backed oracle exactly."""
+    import os
+
+    from .. import io as aio
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    cache_dir = "/tmp/autoprepad_text"
+    os.makedirs(cache_dir, exist_ok=True)
+    path = f"{cache_dir}/nation_{tag}.txt"
+    if not os.path.exists(path):
+        import pyarrow.parquet as pq
+        names = pq.read_table(f"{sf_dir}/nation.parquet",
+                              columns=["n_name"])["n_name"].to_pylist()
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(names) + "\n")
+        os.replace(tmp, path)
+    return aio.read_table(path)

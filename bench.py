@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "stratified_sample_events",
     "hopping_window_counts",
     "top_term_per_doc",
+    "group_distinct_users_events",
+    "running_total_docs",
 ]
 
 IMG_PARTITIONS = 32
