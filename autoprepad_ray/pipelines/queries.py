@@ -1881,9 +1881,10 @@ def rolling_window_events(sf_dir: str):
 
 @query("sessionize_events", sql="""
 SELECT event_id,
-       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND CURRENT ROW) AS session_id
+       CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)
+            AS BIGINT) AS session_id
 FROM (
   SELECT event_id, user_id, ts,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
@@ -2460,3 +2461,186 @@ def text_roundtrip_nation(sf_dir: str):
             f.write("\n".join(names) + "\n")
         os.replace(tmp, path)
     return aio.read_table(path)
+
+
+@query("decontaminate_docs", sql="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g
+          FROM toks, UNNEST(generate_series(1, len(w)-7)) AS t(i)),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN g IN (SELECT g FROM ev) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(MAX(CASE WHEN g IN (SELECT g FROM ev) THEN 1 ELSE 0 END)
+            AS BIGINT) AS contaminated
+FROM grams GROUP BY doc_id""")
+def decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination — the test-set-leakage gate every LLM
+    training pipeline runs before a corpus ships: flag documents whose
+    word-8-grams overlap a small eval set (here the deterministic
+    doc_id % 97 == 0 slice standing in for a benchmark suite).  The
+    eval grams broadcast ONCE as a sorted uint64 hash array
+    (stages/text.eval_gram_set); the corpus scan is a pure
+    map_batches with searchsorted membership — zero shuffle, which is
+    the only acceptable shape when the corpus is 100 TB and the eval
+    side is MBs."""
+    from ..stages.text import decontaminate, eval_gram_set
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    def eval_slice(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 97 == 0))
+
+    eval_ds = docs.map_batches(eval_slice, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    ref = eval_gram_set(eval_ds, n=8)
+    return decontaminate(docs, ref, n=8)
+
+
+@query("word_repetition_docs", sql="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+       CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_ratio
+FROM toks""")
+def word_repetition_docs(sf_dir: str):
+    """Gopher-style repetition quality filter signal: duplicate-word
+    fraction per document (the high-dup tail is boilerplate/spam in a
+    web corpus).  Exact string-level distinct via two in-block Arrow
+    group_bys (stages/text.word_repetition) — a pure map stage, no
+    exchange; dup_ratio is one IEEE division of exact ints so SQL
+    parity needs no rounding rule."""
+    from ..stages.text import word_repetition
+
+    return word_repetition(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+
+@query("user_event_sequences", sql="""
+SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY user_id""")
+def user_event_sequences(sf_dir: str):
+    """Ordered per-key sequence assembly — the step that turns an event
+    log into training examples (conversation threads, session action
+    strings).  Reuses the hash-partitioned groupby(key).map_groups
+    shape of ffill: each user's rows co-locate once, sort locally by
+    (ts, event_id), and concatenate — string output, so SQL parity is
+    byte-exact with no float rules."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def seq(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "seq": [",".join(g["event_type"])],
+            "n": np.array([len(g)], dtype=np.int64)})
+
+    return ds.groupby("user_id").map_groups(seq, batch_format="pandas")
+
+
+@query("cube_pricing_levels", sql="""
+SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+            ELSE l_returnflag END AS l_returnflag,
+       CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+            ELSE l_linestatus END AS l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""")
+def cube_pricing_levels(sf_dir: str):
+    """Full CUBE grouping sets from the SAME single finest-level pass
+    as rollup_pricing_levels — the fourth margin (ALL, status) is one
+    more driver fold over the handful of finest groups, proving the
+    partial-combiner machinery generalizes to any grouping-set
+    lattice without re-reading the data.  Float rule as in rollup:
+    raw sums fold unrounded, round r2 once at emission."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "count"), ("l_quantity", "sum"),
+             ("l_extendedprice", "sum")])
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "n": pc.cast(g["l_quantity_count"], pa.int64()),
+            "sq": g["l_quantity_sum"], "sp": g["l_extendedprice_sum"]})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("n", "sum"), ("sq", "sum"), ("sp", "sum")])
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "n": g["n_sum"], "sq": g["sq_sum"], "sp": g["sp_sum"]})
+
+    rows = (_t(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(merge, batch_size=32, batch_format="pyarrow")
+            ).take_all()
+    fine = (pd.DataFrame(rows)
+            .groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(n=("n", "sum"), sq=("sq", "sum"), sp=("sp", "sum")))
+    by_flag = fine.groupby("l_returnflag", as_index=False).agg(
+        n=("n", "sum"), sq=("sq", "sum"), sp=("sp", "sum"))
+    by_flag["l_linestatus"] = "ALL"
+    by_status = fine.groupby("l_linestatus", as_index=False).agg(
+        n=("n", "sum"), sq=("sq", "sum"), sp=("sp", "sum"))
+    by_status["l_returnflag"] = "ALL"
+    top = pd.DataFrame({"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+                        "n": [fine["n"].sum()], "sq": [fine["sq"].sum()],
+                        "sp": [fine["sp"].sum()]})
+    out = pd.concat([fine, by_flag, by_status, top], ignore_index=True)
+    out["sum_qty"] = out.pop("sq").round(2)
+    out["sum_price"] = out.pop("sp").round(2)
+    return out[["l_returnflag", "l_linestatus", "n",
+                "sum_qty", "sum_price"]]
+
+
+@query("ntile_events_value", sql="""
+SELECT event_id,
+       CAST(NTILE(8) OVER (ORDER BY value, event_id) AS BIGINT) AS bucket
+FROM events WHERE value IS NOT NULL""")
+def ntile_events_value(sf_dir: str):
+    """NTILE(8) equal-frequency bucketing over a global order — the
+    sharding step that balances a training corpus into k equal output
+    shards by a sort key.  A total order is inherently ONE
+    range-partition sort; everything after is metadata: per-block row
+    counts fold on the driver (O(blocks) ints) and bucket assignment
+    is an embarrassingly parallel integer formula per block
+    (stages/rank.ntile).  Unique (value, event_id) composite makes
+    the order — and therefore the buckets — deterministic on any
+    block layout; all outputs are ints, so no float rules."""
+    from ..stages.rank import ntile
+
+    ds = _t(sf_dir, "events", ["event_id", "value"]).map_batches(
+        lambda t: t.drop_null(), batch_format="pyarrow",
+        zero_copy_batch=True)
+    return ntile(ds, ["value", "event_id"], 8,
+                 keep_cols=["event_id"], out_col="bucket")
+
+
+@query("left_join_customer_orders", sql="""
+SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey""")
+def left_join_customer_orders(sf_dir: str):
+    """Left-outer large-large join: every customer row survives,
+    null-extended when no order matches — the enrichment join shape
+    where dropping unmatched rows would silently shrink the corpus.
+    Same ONE-shuffle bucketed co-partition as the inner join
+    (stages/join.bucketed_join how='left'); outer semantics cost
+    nothing extra because key-hash co-partitioning is complete (a
+    left row's matches can only live in its own bucket).  Values are
+    copied, never computed, so parity is exact; unmatched int/float
+    columns surface as nulls on both engines."""
+    from ..stages.join import bucketed_join
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = (_t(sf_dir, "orders",
+                 ["o_custkey", "o_orderkey", "o_totalprice"])
+              .map_batches(lambda t: t.rename_columns(
+                  ["c_custkey", "o_orderkey", "o_totalprice"]),
+                  batch_format="pyarrow"))
+    return bucketed_join(cust, orders, "c_custkey", how="left")

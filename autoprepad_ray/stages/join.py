@@ -96,13 +96,25 @@ def semi_join(left, right, on: str, *, right_on: str | None = None,
 
 def bucketed_join(left, right, on: str, *, num_buckets: int = 32,
                   left_cols: list[str] | None = None,
-                  right_cols: list[str] | None = None):
-    """Explicit hash-bucketed inner join: ONE shuffle keyed on
-    ``hash(on) % num_buckets``; each bucket merges its two sides with a
-    pandas hash join.  Key-hash bucketing spreads any single hot key's
-    *partner* rows with it, so skew shows up as a large bucket —
-    mitigate by raising ``num_buckets`` (the per-bucket merge is
-    O(bucket) with a hash table, not quadratic)."""
+                  right_cols: list[str] | None = None,
+                  how: str = "inner"):
+    """Explicit hash-bucketed join (``how`` = 'inner' | 'left'): ONE
+    shuffle keyed on ``hash(on) % num_buckets``; each bucket merges its
+    two sides with a pandas hash join.  Key-hash bucketing spreads any
+    single hot key's *partner* rows with it, so skew shows up as a
+    large bucket — mitigate by raising ``num_buckets`` (the per-bucket
+    merge is O(bucket) with a hash table, not quadratic).
+
+    Left-outer semantics work per-bucket with no extra pass because
+    the key-hash co-partition is complete: a left row's matches can
+    ONLY live in its own bucket, so "no match in my bucket" is "no
+    match anywhere" and the null-extended row emits locally.
+
+    Output blocks are ARROW tables rebuilt on the SOURCE column types:
+    the tagged union's typed-null padding demotes ints to float64
+    inside the pandas bucket frames, and a left join adds real
+    unmatched-row nulls — rebuilding per source type returns int64
+    (nullable) columns deterministically on every bucket layout."""
 
     # a tagged union needs ONE schema: each side carries typed null
     # columns for the other side's fields (non-key column names must be
@@ -136,15 +148,21 @@ def bucketed_join(left, right, on: str, *, num_buckets: int = 32,
                                        batch_format="pyarrow",
                                        zero_copy_batch=True)))
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    out_cols = lcols + [c for c in rcols if c != on]
+    _empty = pa.table({c: pa.array([], type=types[c]) for c in out_cols})
+
+    def merge_bucket(g: pd.DataFrame) -> pa.Table:
         # drop exactly the other side's typed-null padding columns by
         # NAME — inferring by all-nullness would also drop a genuinely
         # all-null real column within the bucket
         lg = g.loc[g["__side"] == 0, lcols]
         rg = g.loc[g["__side"] == 1, rcols]
-        if not len(lg) or not len(rg):
-            return pd.DataFrame()
-        return lg.merge(rg, on=on, how="inner")
+        if not len(lg) or (how == "inner" and not len(rg)):
+            return _empty
+        res = lg.merge(rg, on=on, how=how)
+        return pa.table({c: pa.array(res[c], type=types[c],
+                                     from_pandas=True)
+                         for c in out_cols})
 
     return tagged.groupby("__bucket").map_groups(merge_bucket,
                                                  batch_format="pandas")
@@ -199,12 +217,30 @@ def asof_join(left, right, *, on: str, left_ts: str, right_ts: str,
                                        zero_copy_batch=True)))
     out_right = [c for c in rcols if c not in (on, right_ts)] \
         + [right_ts]
+    # Output schema pinned from the SOURCE arrow types: the tagged
+    # union's typed-null padding demotes the other side's int columns
+    # to float64 inside each pandas bucket frame (NaN rows), so the
+    # merge emits ARROW tables rebuilt per source type — int columns
+    # come back int64, deterministically on every bucket/layout (a
+    # dtype-exact oracle gate sees int64, not a bucket-dependent mix).
+    out_types: dict[str, tuple[str, pa.DataType]] = {
+        c: (c, types[c]) for c in lcols}
+    for c in out_right:
+        out_types[c + (suffix if c in lcols else "")] = (c, types[c])
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def _emit(res: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            name: pa.array(res[name], type=t, from_pandas=True)
+            for name, (_, t) in out_types.items()})
+
+    _empty = pa.table({name: pa.array([], type=t)
+                       for name, (_, t) in out_types.items()})
+
+    def merge_bucket(g: pd.DataFrame) -> pa.Table:
         lg = g.loc[g["__side"] == 0, lcols].reset_index(drop=True)
         rg = g.loc[g["__side"] == 1, rcols]
         if not len(lg) or not len(rg):
-            return pd.DataFrame()
+            return _empty
         rsort = [on, right_ts] + ([tie_col] if tie_col else [])
         rg = rg.sort_values(rsort, kind="mergesort").reset_index(drop=True)
         rk = rg[on].to_numpy()
@@ -228,13 +264,13 @@ def asof_join(left, right, *, on: str, left_ts: str, right_ts: str,
                               side="right") - 1
         ok = (pos >= 0) & (rkc[np.maximum(pos, 0)] == lkc)
         if not ok.any():
-            return pd.DataFrame()
+            return _empty
         res = lg.loc[ok].reset_index(drop=True)
         picked = rg.iloc[pos[ok]].reset_index(drop=True)
         for c in out_right:
             name = c + (suffix if c in res.columns else "")
             res[name] = picked[c].to_numpy()
-        return res
+        return _emit(res)
 
     return tagged.groupby("__bucket").map_groups(merge_bucket,
                                                  batch_format="pandas")

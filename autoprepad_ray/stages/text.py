@@ -1,6 +1,7 @@
 """Text-analysis stages: language-ID heuristic, quality scoring, token
-counting, fingerprinting — thin ``map_batches`` wrappers over
-``functions.strings`` kernels (quality/tokens/fingerprints are exercised
+counting, fingerprinting, benchmark decontamination and repetition
+quality — thin ``map_batches`` wrappers over vectorized kernels
+(quality/tokens/fingerprints/decontamination/repetition are exercised
 by the SQL-checked queries; langid is heuristic, rows-only checked).
 """
 
@@ -8,6 +9,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 STOPWORDS = {
     "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "for"},
@@ -56,3 +59,158 @@ def lang_id(ds, text_col: str = "text", *, min_score: float = 0.05,
         return _langid_frame(df, text_col, min_score)
 
     return ds.map_batches(fn, batch_format="pandas", batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (word-n-gram overlap vs a small eval set)
+
+_GRAM_MULT = np.uint64(0x9E3779B97F4A7C15)   # golden-ratio odd multiplier
+
+
+def _flat_words(texts: pa.ChunkedArray | pa.Array):
+    """Tokenize a string column on single spaces entirely in Arrow C:
+    returns (flat word object-array, per-doc word counts).  No per-row
+    Python — ``split_pattern`` produces one ListArray whose flattened
+    values and offsets drive everything downstream."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    la = pc.split_pattern(texts, pattern=" ")
+    words = la.values.to_numpy(zero_copy_only=False)       # object array
+    counts = np.diff(la.offsets.to_numpy(zero_copy_only=False)).astype(
+        np.int64)
+    return words, counts
+
+
+def _gram_hashes(words: np.ndarray, counts: np.ndarray, n: int):
+    """64-bit hashes of all word n-grams, doc boundaries respected.
+
+    Word hash = ``pd.util.hash_array`` over the OBJECT array (one C
+    call; the repo's hash-dtype lesson — both the eval pass and the
+    scan pass come through this one function, so the two sides always
+    agree).  Gram hash = positional polynomial over the n word hashes
+    with uint64 wraparound — vectorized as n shifted adds, no per-gram
+    loop.  Returns (doc_index_per_gram, gram_hashes, grams_per_doc).
+    """
+    h = pd.util.hash_array(words) if len(words) else np.empty(
+        0, dtype=np.uint64)
+    g_per_doc = np.maximum(counts - (n - 1), 0)
+    total = int(g_per_doc.sum())
+    if total == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64),
+                g_per_doc)
+    off = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), g_per_doc)
+    base = np.repeat(off, g_per_doc)
+    intra = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(g_per_doc)])[:-1], g_per_doc)
+    starts = base + intra
+    grams = np.zeros(total, dtype=np.uint64)
+    with np.errstate(over="ignore"):               # uint64 wrap is the point
+        mult = np.uint64(1)
+        for j in range(n):
+            grams = grams * _GRAM_MULT + h[starts + j] * mult
+            mult = mult * np.uint64(0x100000001B3)  # FNV odd prime
+    return doc_idx, grams, g_per_doc
+
+
+def eval_gram_set(eval_ds, *, text_col: str = "text", n: int = 8) -> object:
+    """Collect the DISTINCT word-n-gram hashes of a (small) benchmark /
+    eval dataset and broadcast them once via ``ray.put``.
+
+    The eval side of decontamination is always the small side (eval
+    suites are MBs against a 100-TB corpus), so the scale shape is a
+    broadcast set, never a join: each block reduces to its unique gram
+    hashes (bytes payload, one row per block), the driver folds the
+    few per-block arrays with ``np.unique`` and ships ONE sorted
+    uint64 array to the object store."""
+    import ray
+
+    def uniq(t: pa.Table) -> pa.Table:
+        words, counts = _flat_words(t[text_col])
+        _, grams, _ = _gram_hashes(words, counts, n)
+        payload = np.unique(grams).tobytes()
+        return pa.table({"payload": pa.array([payload], pa.binary())})
+
+    rows = eval_ds.map_batches(uniq, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+    parts = [np.frombuffer(r["payload"], dtype=np.uint64) for r in rows]
+    merged = np.unique(np.concatenate(parts)) if parts else np.empty(
+        0, dtype=np.uint64)
+    return ray.put(merged)
+
+
+def decontaminate(ds, eval_ref, *, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 8):
+    """Benchmark decontamination: per-document count of word-n-grams
+    that collide with the broadcast eval-set grams (the standard
+    13-gram-overlap test-set-leakage check of LLM training pipelines,
+    n here sized to the fixture's short documents).
+
+    Embarrassingly parallel — no shuffle at any scale: the eval gram
+    set rides the object store once (``eval_gram_set``), every block
+    resolves membership with one ``searchsorted`` against the sorted
+    array, and per-doc hit counts fold with ``bincount``.  Documents
+    shorter than n words produce no grams and are dropped (matching
+    the SQL oracle's empty-generate_series semantics).  Hashed-gram
+    membership vs the oracle's string compare differs only on 64-bit
+    collisions (~1e-12 at bench scale; documented, not observed)."""
+
+    def scan(t: pa.Table) -> pa.Table:
+        import ray
+        evalg = ray.get(eval_ref) if hasattr(eval_ref, "hex") else eval_ref
+        words, counts = _flat_words(t[text_col])
+        doc_idx, grams, g_per_doc = _gram_hashes(words, counts, n)
+        keep = g_per_doc > 0
+        if len(grams):
+            pos = np.searchsorted(evalg, grams)
+            pos[pos == len(evalg)] = 0
+            hit = (evalg[pos] == grams) if len(evalg) else np.zeros(
+                len(grams), dtype=bool)
+            hits_per_doc = np.bincount(
+                doc_idx, weights=hit.astype(np.float64),
+                minlength=len(counts)).astype(np.int64)
+        else:
+            hits_per_doc = np.zeros(len(counts), dtype=np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(ids[keep]),
+            "n_grams": pa.array(g_per_doc[keep]),
+            "n_hits": pa.array(hits_per_doc[keep]),
+            "contaminated": pa.array(
+                (hits_per_doc[keep] > 0).astype(np.int64))})
+
+    return ds.map_batches(scan, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def word_repetition(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition quality signal: per-document word count,
+    distinct-word count and duplicate-word fraction.
+
+    Distinct counting is EXACT on the strings (no hash shortcut): one
+    Arrow ``group_by`` over (doc, word) collapses repeats, a second
+    counts survivors per doc — both C kernels, both inside the block,
+    so the stage is a pure map with no exchange.  dup_ratio is a
+    single IEEE division of two exact ints (file-header float-parity
+    rule: one op after exact integers is bit-stable)."""
+
+    def rep(t: pa.Table) -> pa.Table:
+        words, counts = _flat_words(t[text_col])
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        pairs = pa.table({"d": pa.array(doc_idx),
+                          "w": pa.array(words, pa.string())})
+        dist = (pairs.group_by(["d", "w"]).aggregate([([], "count_all")])
+                .group_by("d").aggregate([([], "count_all")]))
+        n_dist = np.zeros(len(counts), dtype=np.int64)
+        n_dist[dist["d"].to_numpy()] = \
+            dist["count_all"].to_numpy().astype(np.int64)
+        nw = counts.astype(np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            "n_words": pa.array(nw),
+            "n_distinct": pa.array(n_dist),
+            "dup_ratio": pa.array((nw - n_dist).astype(np.float64)
+                                  / np.maximum(nw, 1))})
+
+    return ds.map_batches(rep, batch_format="pyarrow", zero_copy_batch=True)

@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "tumbling_window_counts",
     "group_quantiles_events",
     "deterministic_split_events",
+    "ntile_events_value",
+    "decontaminate_docs",
     "pack_documents_bins",
     "vocab_top_terms_docs",
     "percent_rank_events",

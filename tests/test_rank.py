@@ -1,0 +1,56 @@
+"""NTILE bucketing vs the DuckDB window oracle on multi-block layouts."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from autoprepad_ray.stages.rank import ntile
+
+
+def _oracle(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("t", df)
+    return con.execute(
+        f"SELECT id, CAST(NTILE({k}) OVER (ORDER BY v, id) AS BIGINT)"
+        f" AS bucket FROM t ORDER BY id").df()
+
+
+@pytest.mark.parametrize("n,k,blocks", [
+    (100, 8, 5),     # k does not divide n (100 = 8*12 + 4)
+    (96, 8, 3),      # exact division
+    (5, 8, 2),       # n < k: buckets 1..n, one row each
+    (1, 4, 1),
+    (50, 7, 9),
+])
+def test_ntile_matches_duckdb(n, k, blocks):
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "v": rng.integers(0, max(n // 3, 2), n)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(blocks)
+    got = (ntile(ds, ["v", "id"], k, keep_cols=["id"]).to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    exp = _oracle(df, k)
+    pd.testing.assert_frame_equal(
+        got.rename(columns={"id": "id"}), exp, check_dtype=False)
+
+
+def test_ntile_empty():
+    ds = rd.from_arrow(pa.table({"id": pa.array([], pa.int64()),
+                                 "v": pa.array([], pa.int64())}))
+    out = ntile(ds, ["v", "id"], 4, keep_cols=["id"])
+    assert out.count() == 0
+    assert out.schema().names == ["id", "bucket"]
+
+
+def test_ntile_bucket_sizes_balanced():
+    n, k = 103, 10                      # 3 buckets of 11, 7 of 10
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "v": np.zeros(n, dtype=np.int64)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+    got = ntile(ds, ["v", "id"], k, keep_cols=["id"]).to_pandas()
+    sizes = got["bucket"].value_counts().sort_index()
+    assert list(sizes) == [11, 11, 11] + [10] * 7

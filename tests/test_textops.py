@@ -1,0 +1,96 @@
+"""Decontamination / repetition-quality stage tests: brute-force string
+oracles (no hashes) over synthetic docs, plus ragged edge cases."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from autoprepad_ray.stages.text import (decontaminate, eval_gram_set,
+                                        word_repetition)
+
+
+def _grams(text: str, n: int):
+    w = text.split(" ")
+    return [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+
+
+def _mkdocs(texts):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)})).repartition(3)
+
+
+TEXTS = [
+    "a b c d e f g h i j",          # 10 words
+    "x y z a b c d",                # 7 words -> 4 grams at n=4
+    "a b c",                        # shorter than n -> dropped
+    "a b c d a b c d a b c d",      # internal repeats
+    "q r s t u v w",                # disjoint
+    "e f g h i j k l",              # shares a 4-gram tail with doc 0
+]
+
+
+@pytest.mark.parametrize("n", [2, 4])
+def test_decontaminate_matches_string_bruteforce(n):
+    eval_ids = {0, 5}
+    docs = _mkdocs(TEXTS)
+    eval_ds = docs.map_batches(
+        lambda t: t.filter(pa.array(np.isin(
+            t["doc_id"].to_numpy(zero_copy_only=False), list(eval_ids)))),
+        batch_format="pyarrow")
+    ref = eval_gram_set(eval_ds, n=n)
+    got = (decontaminate(docs, ref, n=n).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    ev = set()
+    for i in eval_ids:
+        ev.update(_grams(TEXTS[i], n))
+    exp_rows = []
+    for i, text in enumerate(TEXTS):
+        gs = _grams(text, n)
+        if not gs:
+            continue
+        hits = sum(g in ev for g in gs)
+        exp_rows.append((i, len(gs), hits, int(hits > 0)))
+    exp = pd.DataFrame(exp_rows, columns=["doc_id", "n_grams", "n_hits",
+                                          "contaminated"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_decontaminate_empty_eval_set():
+    docs = _mkdocs(TEXTS[:2])
+    empty = docs.map_batches(lambda t: t.slice(0, 0),
+                             batch_format="pyarrow")
+    ref = eval_gram_set(empty, n=3)
+    got = decontaminate(docs, ref, n=3).to_pandas()
+    assert (got["n_hits"] == 0).all() and (got["contaminated"] == 0).all()
+
+
+def test_word_repetition_matches_pandas():
+    docs = _mkdocs(TEXTS)
+    got = (word_repetition(docs).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    for _, row in got.iterrows():
+        w = TEXTS[int(row["doc_id"])].split(" ")
+        assert row["n_words"] == len(w)
+        assert row["n_distinct"] == len(set(w))
+        assert row["dup_ratio"] == (len(w) - len(set(w))) / len(w)
+    assert len(got) == len(TEXTS)
+
+
+def test_kernels_survive_chunked_columns():
+    """zero-copy batches can arrive as multi-chunk columns (the repo's
+    sliced-array lesson) — both kernels must see identical results."""
+    t1 = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                   "text": pa.array(TEXTS[:2])})
+    t2 = pa.table({"doc_id": pa.array([2, 3], pa.int64()),
+                   "text": pa.array(TEXTS[2:4])})
+    chunked = pa.concat_tables([t1, t2])     # 2-chunk columns
+    assert chunked["text"].num_chunks == 2
+    from autoprepad_ray.stages.text import _flat_words
+    w, c = _flat_words(chunked["text"])
+    assert list(c) == [len(s.split(" ")) for s in TEXTS[:4]]
+    assert list(w) == " ".join(TEXTS[:4]).split(" ")
