@@ -105,3 +105,34 @@ def sample_fraction(ds, id_col: str, fraction: float, *,
 
     return ds.map_batches(keep, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def quota_sample(ds, id_col: str, group_col: str, k: int, *,
+                 salt: int = 0, buckets: int = 1_048_576):
+    """Exactly min(k, |group|) rows per key, chosen by the deterministic
+    hash order (``split_code`` over 2^20 buckets, ties by id) — the
+    per-domain quota cap of a web-corpus layout step ("at most k docs
+    per source"), resumable for the same reasons as every sampler here:
+    the winning set is a pure function of (id, salt), identical on any
+    retry, partition layout or cluster size.
+
+    Scale shape: each block PRE-CUTS to its own per-key k inside
+    ``map_batches`` (a block can never contribute more than k winners
+    for a key — the same dominance argument as stages/topk), so the
+    exchange moves <= blocks x keys x k rows, never the raw table; the
+    final per-key head-k folds the survivors in ``map_groups``."""
+    import pandas as pd
+
+    def precut(df: pd.DataFrame) -> pd.DataFrame:
+        code = split_code(df[id_col].to_numpy(), buckets=buckets,
+                          salt=salt)
+        df = df.assign(__h=code)
+        return (df.sort_values(["__h", id_col], kind="mergesort")
+                .groupby(group_col, sort=False).head(k))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__h", id_col], kind="mergesort").head(k)
+        return g.drop(columns="__h")
+
+    return (ds.map_batches(precut, batch_format="pandas")
+            .groupby(group_col).map_groups(final, batch_format="pandas"))

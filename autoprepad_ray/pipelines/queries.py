@@ -2644,3 +2644,37 @@ def left_join_customer_orders(sf_dir: str):
                   ["c_custkey", "o_orderkey", "o_totalprice"]),
                   batch_format="pyarrow"))
     return bucketed_join(cust, orders, "c_custkey", how="left")
+
+
+@query("quota_sample_docs", sql="""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+             PARTITION BY source
+             ORDER BY ((doc_id % 1000003) * 2654435761) % 1048576,
+                      doc_id) AS rn
+  FROM documents) WHERE rn <= 5""")
+def quota_sample_docs(sf_dir: str):
+    """Per-domain quota cap (at most 5 docs per source, hash-ordered)
+    — the anti-domination step of a web-corpus layout.  Deterministic
+    winners via the shared int64 hash rule; every block pre-cuts to
+    its own per-key 5 before the shuffle (functions/sampling.
+    quota_sample), so the exchange is bounded by blocks x keys x k
+    rows.  Pure row selection — exact SQL parity with no float
+    rules."""
+    from ..functions.sampling import quota_sample
+
+    docs = _t(sf_dir, "documents", ["doc_id", "source"])
+    return quota_sample(docs, "doc_id", "source", 5)
+
+
+@query("label_centroids_embeddings")
+def label_centroids_embeddings(sf_dir: str):
+    """Per-class mean embedding (prototype vectors for
+    nearest-centroid labeling / corpus diagnostics).  Rows-only: float
+    vector means are order-sensitive, so the oracle is a pytest
+    numpy-mean parity check (test_dedup_embed), not SQL."""
+    from ..stages.embed import label_centroids
+
+    return label_centroids(_t(sf_dir, "embeddings",
+                              ["embedding", "label"]))

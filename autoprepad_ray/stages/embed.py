@@ -215,3 +215,47 @@ def ivf_topk(ds, vec_col: str, id_col: str, query: np.ndarray,
     return (ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True)
             .groupby("query_id").map_groups(final, batch_format="pandas"))
+
+
+def label_centroids(ds, vec_col: str = "embedding",
+                    label_col: str = "label") -> pa.Table:
+    """Per-class mean embedding (class centroids / prototype vectors —
+    the fit step of nearest-centroid labeling and a standard corpus
+    diagnostic).  Per-block partials: sort the block's rows by label
+    code and ``np.add.reduceat`` the matrix into one (label, count,
+    sum-vector) row per label per block — the exchange carries
+    labels x blocks tiny payload rows, never vectors per row; the
+    driver folds the handful of partials and divides once.  Rows-only
+    checked (float sums are order-sensitive; pytest pins against a
+    single-process numpy mean at 1e-12)."""
+    import pickle
+
+    def partial(t: pa.Table) -> pa.Table:
+        M = _matrix(t[vec_col])
+        labels = t[label_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(labels, kind="stable")
+        ls, Ms = labels[order], M[order]
+        uniq, starts = np.unique(ls, return_index=True)
+        sums = np.add.reduceat(Ms, starts, axis=0)
+        cnts = np.diff(np.concatenate([starts, [len(ls)]]))
+        payload = pickle.dumps((uniq, cnts.astype(np.int64), sums))
+        return pa.table({"payload": pa.array([payload], pa.binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    acc: dict = {}
+    for r in rows:
+        uniq, cnts, sums = pickle.loads(r["payload"])
+        for lab, c, s in zip(uniq, cnts, sums):
+            if lab in acc:
+                acc[lab][0] += c
+                acc[lab][1] += s
+            else:
+                acc[lab] = [int(c), s.copy()]
+    labs = sorted(acc)
+    return pa.table({
+        label_col: pa.array(labs, pa.int64()),
+        "n": pa.array([acc[l][0] for l in labs], pa.int64()),
+        "centroid": pa.array([(acc[l][1] / acc[l][0]).tolist()
+                              for l in labs],
+                             pa.list_(pa.float64()))})

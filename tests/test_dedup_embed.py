@@ -228,3 +228,22 @@ def test_minhash_dup_heavy_clusters():
         (len(got_pairs), len(exact))
     for p, j in got_pairs.items():
         assert np.isclose(j, exact[p])
+
+
+def test_label_centroids_match_numpy():
+    from autoprepad_ray.stages.embed import label_centroids
+
+    rng = np.random.default_rng(3)
+    n, d = 400, 16
+    labels = rng.integers(0, 5, n).astype(np.int32)
+    M = rng.normal(size=(n, d)).astype(np.float32)
+    t = pa.table({"label": pa.array(labels),
+                  "embedding": pa.array([row.tolist() for row in M],
+                                        pa.list_(pa.float32()))})
+    got = label_centroids(rd.from_arrow(t).repartition(6)).to_pandas()
+    assert list(got["label"]) == [0, 1, 2, 3, 4]
+    for _, row in got.iterrows():
+        sel = M[labels == row["label"]].astype(np.float64)
+        assert row["n"] == len(sel)
+        np.testing.assert_allclose(np.array(row["centroid"]),
+                                   sel.mean(axis=0), atol=1e-12)

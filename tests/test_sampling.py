@@ -78,3 +78,30 @@ def test_stratified_sample_per_group_rates(ray_session):
     assert rare_ids <= got            # default_rate=1.0 keeps all rare
     common_kept = len(got - rare_ids) / (0.9 * n)
     assert abs(common_kept - 0.10) < 0.02
+
+
+def test_quota_sample_exact_k_and_layout_independent(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from autoprepad_ray.functions.sampling import quota_sample, split_code
+
+    n = 300
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "grp": np.repeat(list("abc"), n // 3)})
+    df.loc[df["id"] >= 295, "grp"] = "tiny"   # group smaller than k
+
+    exp = df.assign(__h=split_code(df["id"].to_numpy(), buckets=1_048_576))
+    exp = (exp.sort_values(["__h", "id"]).groupby("grp", sort=False)
+           .head(7).drop(columns="__h"))
+
+    for parts in (1, 5):
+        ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(parts)
+        got = (quota_sample(ds, "id", "grp", 7).to_pandas()
+               .sort_values("id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got, exp.sort_values("id").reset_index(drop=True))
+    sizes = got.groupby("grp").size()
+    assert sizes["a"] == sizes["b"] == sizes["c"] == 7
+    assert sizes["tiny"] == 5          # min(k, group size)
