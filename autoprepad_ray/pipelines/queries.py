@@ -2678,3 +2678,61 @@ def label_centroids_embeddings(sf_dir: str):
 
     return label_centroids(_t(sf_dir, "embeddings",
                               ["embedding", "label"]))
+
+
+@query("full_outer_user_day_activity", sql="""
+WITH a AS (SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                  AS day, CAST(COUNT(*) AS BIGINT) AS n_purchase
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+     b AS (SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                  AS day, CAST(COUNT(*) AS BIGINT) AS n_error
+           FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+       COALESCE(a.day, b.day) AS day, n_purchase, n_error
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id AND a.day = b.day""")
+def full_outer_user_day_activity(sf_dir: str):
+    """Full-outer join on a composite key: per-(user, day) purchase
+    activity vs error activity — the churn/cohort comparison where
+    BOTH one-sided cases carry signal (days with purchases but no
+    errors and vice versa must survive null-extended).  The composite
+    key packs into one int64 (user_id << 20 | epoch_day) so the same
+    ONE-shuffle bucketed co-partition applies (stages/join.
+    bucketed_join how='outer'); outer semantics are free per-bucket
+    because key-hash co-partitioning is complete.  Counts are int64;
+    the one-sided nulls surface identically on both engines."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import bucketed_join
+
+    day_us = np.int64(86_400_000_000)
+    shift = np.int64(1 << 20)                  # epoch day < 2^20
+
+    def side(ty: str, out: str):
+        def partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], ty))
+            ts = t["ts"].to_numpy(zero_copy_only=False) \
+                .astype("datetime64[us]").view(np.int64)
+            uid = t["user_id"].to_numpy(zero_copy_only=False)
+            uk = uid * shift + ts // day_us
+            g = (pa.table({"uk": pa.array(uk)}).group_by("uk")
+                 .aggregate([([], "count_all")]))
+            return pa.table({"uk": g["uk"],
+                             out: g["count_all"].cast(pa.int64())})
+
+        return (_t(sf_dir, "events", ["user_id", "ts", "event_type"])
+                .map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby("uk").aggregate(Sum(out, alias_name=out)))
+
+    joined = bucketed_join(side("purchase", "n_purchase"),
+                           side("error", "n_error"), "uk", how="outer")
+
+    def decode(t: pa.Table) -> pa.Table:
+        uk = t["uk"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": pa.array(uk // shift),
+                         "day": pa.array(uk % shift),
+                         "n_purchase": t["n_purchase"],
+                         "n_error": t["n_error"]})
+
+    return joined.map_batches(decode, batch_format="pyarrow",
+                              zero_copy_batch=True)

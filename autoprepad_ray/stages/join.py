@@ -98,15 +98,16 @@ def bucketed_join(left, right, on: str, *, num_buckets: int = 32,
                   left_cols: list[str] | None = None,
                   right_cols: list[str] | None = None,
                   how: str = "inner"):
-    """Explicit hash-bucketed join (``how`` = 'inner' | 'left'): ONE
-    shuffle keyed on ``hash(on) % num_buckets``; each bucket merges its
-    two sides with a pandas hash join.  Key-hash bucketing spreads any
-    single hot key's *partner* rows with it, so skew shows up as a
-    large bucket — mitigate by raising ``num_buckets`` (the per-bucket
-    merge is O(bucket) with a hash table, not quadratic).
+    """Explicit hash-bucketed join (``how`` = 'inner' | 'left' |
+    'outer'): ONE shuffle keyed on ``hash(on) % num_buckets``; each
+    bucket merges its two sides with a pandas hash join.  Key-hash
+    bucketing spreads any single hot key's *partner* rows with it, so
+    skew shows up as a large bucket — mitigate by raising
+    ``num_buckets`` (the per-bucket merge is O(bucket) with a hash
+    table, not quadratic).
 
-    Left-outer semantics work per-bucket with no extra pass because
-    the key-hash co-partition is complete: a left row's matches can
+    Left/full-outer semantics work per-bucket with no extra pass
+    because the key-hash co-partition is complete: a row's matches can
     ONLY live in its own bucket, so "no match in my bucket" is "no
     match anywhere" and the null-extended row emits locally.
 
@@ -157,7 +158,10 @@ def bucketed_join(left, right, on: str, *, num_buckets: int = 32,
         # all-null real column within the bucket
         lg = g.loc[g["__side"] == 0, lcols]
         rg = g.loc[g["__side"] == 1, rcols]
-        if not len(lg) or (how == "inner" and not len(rg)):
+        if how == "outer":
+            if not len(lg) and not len(rg):
+                return _empty
+        elif not len(lg) or (how == "inner" and not len(rg)):
             return _empty
         res = lg.merge(rg, on=on, how=how)
         return pa.table({c: pa.array(res[c], type=types[c],

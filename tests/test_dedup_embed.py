@@ -152,6 +152,27 @@ def test_joins_native_and_bucketed():
         pytest.skip(f"native Dataset.join unavailable/changed: {e!r}")
 
 
+@pytest.mark.parametrize("how", ["left", "outer"])
+def test_bucketed_join_outer_modes(how):
+    from autoprepad_ray.stages.join import bucketed_join
+
+    l = pa.table({"k": pa.array([1, 2, 2, 3, 9], type=pa.int64()),
+                  "a": pa.array([10, 20, 21, 30, 90], type=pa.int64())})
+    r = pa.table({"k": pa.array([2, 3, 4], type=pa.int64()),
+                  "b": pa.array(["x", "y", "z"])})
+    exp = (l.to_pandas().merge(r.to_pandas(), on="k", how=how)
+           .sort_values(["k", "a"]).reset_index(drop=True))
+    got = (bucketed_join(rd.from_arrow(l).repartition(3),
+                         rd.from_arrow(r).repartition(2), "k",
+                         num_buckets=4, how=how).to_pandas()
+           .sort_values(["k", "a"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["k", "a", "b"]],
+                                  exp[["k", "a", "b"]], check_dtype=False)
+    if how == "outer":
+        assert got["a"].isna().sum() == 1      # k=4 right-only row
+    assert got["b"].isna().sum() == 2          # k=1, k=9 left-only rows
+
+
 def test_ivf_topk_recall_vs_bruteforce():
     import pyarrow.parquet as pq
     from autoprepad_ray.stages.embed import cosine_topk, ivf_topk
