@@ -2673,11 +2673,24 @@ def label_centroids_embeddings(sf_dir: str):
     """Per-class mean embedding (prototype vectors for
     nearest-centroid labeling / corpus diagnostics).  Rows-only: float
     vector means are order-sensitive, so the oracle is a pytest
-    numpy-mean parity check (test_dedup_embed), not SQL."""
+    numpy-mean parity check (test_dedup_embed), not SQL.  Emitted in
+    long (label, n, dim, value) form — scalar columns sort/hash
+    cleanly in any comparison harness."""
     from ..stages.embed import label_centroids
 
-    return label_centroids(_t(sf_dir, "embeddings",
+    wide = label_centroids(_t(sf_dir, "embeddings",
                               ["embedding", "label"]))
+    labs = wide["label"].to_numpy()
+    ns = wide["n"].to_numpy()
+    cents = [np.asarray(c, dtype=np.float64)
+             for c in wide["centroid"].to_pylist()]
+    d = len(cents[0]) if cents else 0
+    return pa.table({
+        "label": _i64(np.repeat(labs, d)),
+        "n": _i64(np.repeat(ns, d)),
+        "dim": _i64(np.tile(np.arange(d, dtype=np.int64), len(labs))),
+        "value": pa.array(np.round(np.concatenate(cents), 6)
+                          if cents else np.array([], dtype=np.float64))})
 
 
 @query("full_outer_user_day_activity", sql="""
@@ -2736,3 +2749,75 @@ def full_outer_user_day_activity(sf_dir: str):
 
     return joined.map_batches(decode, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+@query("cross_join_region_nation", sql="""
+SELECT r.r_name, n.n_name, n.n_regionkey = r.r_regionkey AS is_home
+FROM region r CROSS JOIN nation n""")
+def cross_join_region_nation(sf_dir: str):
+    """Cross join (small x streaming): the grid-expansion shape (every
+    region paired with every nation, e.g. building evaluation grids or
+    parameter sweeps).  The small side broadcasts once via ``ray.put``
+    and each batch of the streaming side expands in-block with numpy
+    repeat/tile — a cross join is only ever sane when one side is
+    broadcastable, and then it needs NO shuffle at all.  Pure value
+    copies + one integer equality — exact parity."""
+    regions = _t(sf_dir, "region", ["r_regionkey", "r_name"]).take_all()
+    r_keys = np.array([r["r_regionkey"] for r in regions],
+                      dtype=np.int64)
+    r_names = np.array([r["r_name"] for r in regions], dtype=object)
+    small = ray.put((r_keys, r_names))
+
+    def expand(t: pa.Table) -> pa.Table:
+        rk, rn = ray.get(small)
+        nk = t["n_regionkey"].to_numpy(zero_copy_only=False)
+        nn = np_object(t["n_name"].to_numpy(zero_copy_only=False))
+        m, s = len(nk), len(rk)
+        return pa.table({
+            "r_name": pa.array(np.repeat(rn, m)),
+            "n_name": pa.array(np.tile(nn, s)),
+            "is_home": pa.array(np.repeat(rk, m) == np.tile(nk, s))})
+
+    return (_t(sf_dir, "nation", ["n_regionkey", "n_name"])
+            .map_batches(expand, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
+@query("setops_orderkeys_by_flag", sql="""
+SELECT l_orderkey,
+       CAST(MAX(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+            AS BIGINT) AS in_a,
+       CAST(MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+            AS BIGINT) AS in_r
+FROM lineitem WHERE l_returnflag IN ('A', 'R')
+GROUP BY l_orderkey""")
+def setops_orderkeys_by_flag(sf_dir: str):
+    """Distinct set operations (INTERSECT / EXCEPT in one listing):
+    which order keys appear under returnflag A, under R, or both —
+    in_a AND in_r is the intersection, in_a AND NOT in_r the
+    difference.  Shaped as ONE grouped max over membership flags:
+    per-block pyarrow group_by collapses each block to one row per
+    key before the single Ray groupby folds the partials — the
+    exchange carries distinct (key, 2 bits) rows, never raw
+    lineitems, which beats materializing two DISTINCT sets and
+    joining them (two shuffles) at any scale."""
+    from ray.data.aggregate import Max
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_returnflag"],
+                              value_set=pa.array(["A", "R"])))
+        g = pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "in_a": pc.cast(pc.equal(t["l_returnflag"], "A"), pa.int64()),
+            "in_r": pc.cast(pc.equal(t["l_returnflag"], "R"), pa.int64()),
+        }).group_by("l_orderkey").aggregate([("in_a", "max"),
+                                             ("in_r", "max")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "in_a": g["in_a_max"], "in_r": g["in_r_max"]})
+
+    return (_t(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("l_orderkey")
+            .aggregate(Max("in_a", alias_name="in_a"),
+                       Max("in_r", alias_name="in_r")))
