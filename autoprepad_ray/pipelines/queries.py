@@ -2821,3 +2821,28 @@ def setops_orderkeys_by_flag(sf_dir: str):
             .groupby("l_orderkey")
             .aggregate(Max("in_a", alias_name="in_a"),
                        Max("in_r", alias_name="in_r")))
+
+
+@query("json_extract_events_props", sql="""
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events""")
+def json_extract_events_props(sf_dir: str):
+    """Semi-structured field extraction: pull the integer ``k`` out of
+    the JSON ``props`` column — the schema'd-extraction step every
+    event-log pipeline runs before analytics.  One vectorized
+    ``pc.extract_regex`` kernel per batch (no per-row json.loads;
+    full-fidelity JSON belongs in the source reader), null props and
+    non-matching rows surface as null k on both engines.  Pure map,
+    no shuffle; int64 output, exact parity."""
+
+    def ext(t: pa.Table) -> pa.Table:
+        s = pc.extract_regex(t["props"].combine_chunks()
+                             if isinstance(t["props"], pa.ChunkedArray)
+                             else t["props"],
+                             pattern='"k":\\s*(?P<k>-?\\d+)')
+        return pa.table({"event_id": t["event_id"],
+                         "k": pc.cast(pc.struct_field(s, "k"),
+                                      pa.int64())})
+
+    return _t(sf_dir, "events", ["event_id", "props"]).map_batches(
+        ext, batch_format="pyarrow", zero_copy_batch=True)
