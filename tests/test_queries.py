@@ -65,6 +65,15 @@ def test_query_matches_oracle(name):
     assert list(got.columns) == list(exp.columns), (
         f"{name}: columns {list(got.columns)} != {list(exp.columns)}")
     assert len(got) == len(exp), f"{name}: {len(got)} rows != {len(exp)}"
+    # dtype KINDS must agree (int vs float vs object) — a dtype-exact
+    # driver gate fails on int64-vs-float64 drift even when every value
+    # matches (seen with HUGEINT window sums and typed-null join
+    # padding), so catch it here at sf0.001
+    got_kinds = [d.kind for d in got.dtypes]
+    exp_kinds = [d.kind for d in exp.dtypes]
+    assert got_kinds == exp_kinds, (
+        f"{name}: dtype kinds {got_kinds} != oracle {exp_kinds} "
+        f"({dict(got.dtypes)} vs {dict(exp.dtypes)})")
     pd.testing.assert_frame_equal(got, exp, check_dtype=False,
                                   check_exact=True, obj=name)
 
