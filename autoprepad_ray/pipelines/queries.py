@@ -1277,10 +1277,14 @@ def join_order_revenue_by_status(sf_dir: str):
 
     left = _t(sf_dir, "lineitem",
               ["l_orderkey", "l_extendedprice", "l_discount"])
-    right = _t(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]) \
-        .map_batches(lambda t: t.rename_columns(
-            ["l_orderkey", "o_orderstatus"]), batch_format="pyarrow")
-    joined = bucketed_join(left, right, "l_orderkey", num_buckets=16)
+    right_raw = _t(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    rsch = pa.schema([("l_orderkey", t) if n == "o_orderkey" else (n, t)
+                      for n, t in zip(right_raw.schema().names,
+                                      right_raw.schema().types)])
+    right = right_raw.map_batches(lambda t: t.rename_columns(
+        ["l_orderkey", "o_orderstatus"]), batch_format="pyarrow")
+    joined = bucketed_join(left, right, "l_orderkey", num_buckets=16,
+                           schema_hint=(left.schema(), rsch))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -1617,9 +1621,15 @@ def asof_join_events_orders(sf_dir: str):
     from ..stages.join import asof_join
 
     ev = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
-    od = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
-                               "o_totalprice"])
-    od = od.map_batches(
+    od_raw = _t(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                   "o_orderdate", "o_totalprice"])
+    # schema hint: parquet footers give both sides' types for free;
+    # without it the join would execute the rename chain just to
+    # learn the schema
+    rsch = pa.schema([({"o_custkey": "user_id"}.get(n, n), t)
+                      for n, t in zip(od_raw.schema().names,
+                                      od_raw.schema().types)])
+    od = od_raw.map_batches(
         lambda t: t.rename_columns(
             [{"o_custkey": "user_id"}.get(c, c) for c in t.column_names]),
         batch_format="pyarrow", zero_copy_batch=True)
@@ -1627,7 +1637,8 @@ def asof_join_events_orders(sf_dir: str):
                     right_ts="o_orderdate",
                     left_cols=["event_id"],
                     right_cols=["o_orderkey", "o_totalprice"],
-                    tie_col="o_orderkey")
+                    tie_col="o_orderkey",
+                    schema_hint=(ev.schema(), rsch))
     return out.map_batches(
         lambda df: pd.DataFrame({
             "event_id": df["event_id"],
@@ -2638,12 +2649,16 @@ def left_join_customer_orders(sf_dir: str):
     from ..stages.join import bucketed_join
 
     cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    orders = (_t(sf_dir, "orders",
-                 ["o_custkey", "o_orderkey", "o_totalprice"])
-              .map_batches(lambda t: t.rename_columns(
-                  ["c_custkey", "o_orderkey", "o_totalprice"]),
-                  batch_format="pyarrow"))
-    return bucketed_join(cust, orders, "c_custkey", how="left")
+    orders_raw = _t(sf_dir, "orders",
+                    ["o_custkey", "o_orderkey", "o_totalprice"])
+    rsch = pa.schema([("c_custkey", t) if n == "o_custkey" else (n, t)
+                      for n, t in zip(orders_raw.schema().names,
+                                      orders_raw.schema().types)])
+    orders = orders_raw.map_batches(lambda t: t.rename_columns(
+        ["c_custkey", "o_orderkey", "o_totalprice"]),
+        batch_format="pyarrow")
+    return bucketed_join(cust, orders, "c_custkey", how="left",
+                         schema_hint=(cust.schema(), rsch))
 
 
 @query("quota_sample_docs", sql="""
@@ -2737,8 +2752,15 @@ def full_outer_user_day_activity(sf_dir: str):
                              zero_copy_batch=True)
                 .groupby("uk").aggregate(Sum(out, alias_name=out)))
 
-    joined = bucketed_join(side("purchase", "n_purchase"),
-                           side("error", "n_error"), "uk", how="outer")
+    joined = bucketed_join(
+        side("purchase", "n_purchase"), side("error", "n_error"), "uk",
+        how="outer",
+        # both sides are computed aggregates whose schemas are known
+        # statically — a hint avoids executing them just for .schema()
+        schema_hint=(pa.schema([("uk", pa.int64()),
+                                ("n_purchase", pa.int64())]),
+                     pa.schema([("uk", pa.int64()),
+                                ("n_error", pa.int64())])))
 
     def decode(t: pa.Table) -> pa.Table:
         uk = t["uk"].to_numpy(zero_copy_only=False)

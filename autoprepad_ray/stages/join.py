@@ -97,7 +97,8 @@ def semi_join(left, right, on: str, *, right_on: str | None = None,
 def bucketed_join(left, right, on: str, *, num_buckets: int = 32,
                   left_cols: list[str] | None = None,
                   right_cols: list[str] | None = None,
-                  how: str = "inner"):
+                  how: str = "inner",
+                  schema_hint: tuple | None = None):
     """Explicit hash-bucketed join (``how`` = 'inner' | 'left' |
     'outer'): ONE shuffle keyed on ``hash(on) % num_buckets``; each
     bucket merges its two sides with a pandas hash join.  Key-hash
@@ -119,8 +120,12 @@ def bucketed_join(left, right, on: str, *, num_buckets: int = 32,
 
     # a tagged union needs ONE schema: each side carries typed null
     # columns for the other side's fields (non-key column names must be
-    # disjoint across sides)
-    lsch, rsch = left.schema(), right.schema()
+    # disjoint across sides).  schema_hint=(left_schema, right_schema)
+    # skips the .schema() calls — on a computed chain (e.g. a rename
+    # map over a read) those execute tasks just to learn types the
+    # caller already knows from the parquet footer.
+    lsch, rsch = schema_hint if schema_hint else (left.schema(),
+                                                  right.schema())
     lcols = sorted(set((left_cols or lsch.names) + [on]))
     rcols = sorted(set((right_cols or rsch.names) + [on]))
     types = {n: t for n, t in list(zip(lsch.names, lsch.types))
@@ -175,7 +180,7 @@ def bucketed_join(left, right, on: str, *, num_buckets: int = 32,
 def asof_join(left, right, *, on: str, left_ts: str, right_ts: str,
               left_cols: list[str], right_cols: list[str],
               tie_col: str | None = None, num_buckets: int = 32,
-              suffix: str = "_asof"):
+              suffix: str = "_asof", schema_hint: tuple | None = None):
     """Distributed as-of (nearest-prior) join: for each left row, the
     right row with the same ``on`` key and the LARGEST ``right_ts`` <=
     ``left_ts`` (ties on ``right_ts`` broken by largest ``tie_col``).
@@ -192,7 +197,8 @@ def asof_join(left, right, *, on: str, left_ts: str, right_ts: str,
     Timestamps compare as their raw int64 representation (us) — exact,
     no float math — so results match a SQL window/ASOF oracle exactly.
     """
-    lsch, rsch = left.schema(), right.schema()
+    lsch, rsch = schema_hint if schema_hint else (left.schema(),
+                                                  right.schema())
     lcols = sorted(set(left_cols + [on, left_ts]))
     rcols = sorted(set(right_cols + [on, right_ts]
                        + ([tie_col] if tie_col else [])))
@@ -283,7 +289,8 @@ def asof_join(left, right, *, on: str, left_ts: str, right_ts: str,
 def range_join(left, right, *, on: str, left_ts: str, right_start: str,
                right_end: str, left_cols: list[str],
                right_cols: list[str], num_buckets: int = 32,
-               tile_width: int | None = None, suffix: str = "_r"):
+               tile_width: int | None = None, suffix: str = "_r",
+               schema_hint: tuple | None = None):
     """Distributed interval (range) join: every (left, right) pair with
     equal ``on`` key and ``right_start <= left_ts < right_end``.  Inner
     semantics, one output row per matching pair; all comparisons in raw
@@ -320,7 +327,8 @@ def range_join(left, right, *, on: str, left_ts: str, right_start: str,
     with many overlapping intervals genuinely matches many pairs);
     the expansion is O(candidates), not O(bucket^2).
     """
-    lsch, rsch = left.schema(), right.schema()
+    lsch, rsch = schema_hint if schema_hint else (left.schema(),
+                                                  right.schema())
     lcols = sorted(set(left_cols + [on, left_ts]))
     rcols = sorted(set(right_cols + [on, right_start, right_end]))
     types = {n: t for n, t in list(zip(lsch.names, lsch.types))
