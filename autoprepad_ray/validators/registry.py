@@ -59,12 +59,23 @@ def run(name: str, ds, **kwargs):
 
 
 def _install_builtins() -> None:
-    from ..stages import media
+    from ..functions import sampling
+    from ..stages import graph, media, text
     from ..stages.dedup import exact_dedup, minhash_lsh_pairs, \
         simhash_neardup_pairs
     from ..stages.textjoin import ngram_jaccard_pairs
     from . import drift, heavy, referential, uniqueness
     from .near_dup import duplicate_phash_groups, hamming_neardup_pairs
+
+    def _decontaminate_self_eval(ds, eval_ds=None, *, text_col="text",
+                                 id_col="doc_id", n=8):
+        """Decontaminate ``ds`` against ``eval_ds`` (defaults to ``ds``
+        itself, flagging internal n-gram repeats)."""
+        from ..stages.text import decontaminate, eval_gram_set
+        ref = eval_gram_set(eval_ds if eval_ds is not None else ds,
+                            text_col=text_col, n=n)
+        return decontaminate(ds, ref, text_col=text_col, id_col=id_col,
+                             n=n)
 
     for spec_name, fn, desc in [
         ("duplicate_keys", uniqueness.duplicate_keys,
@@ -101,6 +112,14 @@ def _install_builtins() -> None:
          "video near-dup pairs via sampled-frame phash matching"),
         ("heavy_hitters", heavy.heavy_hitters,
          "exact frequent-item listing via Misra-Gries sketch + verify"),
+        ("decontaminate", _decontaminate_self_eval,
+         "benchmark decontamination vs a broadcast eval n-gram set"),
+        ("word_repetition", text.word_repetition,
+         "Gopher-style duplicate-word fraction per document"),
+        ("quota_sample", sampling.quota_sample,
+         "deterministic at-most-k rows per key (per-domain cap)"),
+        ("connected_components", graph.attach_clusters,
+         "connected-component cluster ids over an edge stream"),
     ]:
         _REGISTRY[spec_name] = ValidatorSpec(spec_name, fn, desc)
 

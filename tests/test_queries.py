@@ -116,11 +116,20 @@ def test_validator_registry(ray_session):
     from autoprepad_ray.validators import registry
 
     assert {"duplicate_keys", "hll_distinct", "orphans",
-            "hamming_neardup_pairs"} <= set(registry.names())
+            "hamming_neardup_pairs", "decontaminate", "word_repetition",
+            "quota_sample", "connected_components"} <= set(registry.names())
 
     ds = rd.from_arrow(pa.table({"k": pa.array([1, 1, 2], pa.int64())}))
     dup = registry.run("duplicate_keys", ds, cols=["k"])
     assert dup.to_pydict() == {"k": [1], "n": [2]}
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a b a b c", "x y z w q"])}))
+    rep = registry.run("word_repetition", docs).to_pandas()
+    assert rep.loc[rep.doc_id == 0, "n_distinct"].iloc[0] == 3
+    dec = registry.run("decontaminate", docs, n=2).to_pandas()
+    assert (dec["contaminated"] == 1).all()   # self-eval: all grams hit
 
     @registry.register("all_rows", "count every row")
     def _all_rows(ds):
