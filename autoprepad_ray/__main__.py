@@ -10,6 +10,7 @@ Examples::
     python -m autoprepad_ray validate-images ... --out /tmp/run1   # resumes
     python -m autoprepad_ray profile --table x.parquet --columns a,b
     python -m autoprepad_ray experiment --rows 2000
+    python -m autoprepad_ray text-audit --docs docs.parquet --out /tmp/audit
 """
 
 from __future__ import annotations
@@ -65,6 +66,20 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--rows", type=int, default=2000)
     e.add_argument("--seed", type=int, default=42)
 
+    ta = sub.add_parser(
+        "text-audit",
+        help="corpus quality audit: decontamination + repetition + "
+             "quality signals over a documents parquet")
+    ta.add_argument("--docs", required=True,
+                    help="parquet with (doc_id, text) columns")
+    ta.add_argument("--eval-docs", default=None,
+                    help="parquet of benchmark docs (n-gram source); "
+                         "default: the doc_id %% 97 == 0 slice of --docs")
+    ta.add_argument("--out", required=True, help="output directory")
+    ta.add_argument("--ngram", type=int, default=8)
+    ta.add_argument("--text-col", default="text")
+    ta.add_argument("--id-col", default="doc_id")
+
     args = p.parse_args(argv)
     _ensure_ray(args.num_cpus)
 
@@ -106,6 +121,39 @@ def main(argv: list[str] | None = None) -> int:
                        "distinct": round(s.distinct())}
                    for c, s in prof.columns.items()}
         print(json.dumps({"n_rows": prof.n_rows, "columns": summary}))
+    elif args.cmd == "text-audit":
+        import os
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from .stages.text import decontaminate, eval_gram_set, \
+            word_repetition
+
+        docs = rd.read_parquet(args.docs,
+                               columns=[args.id_col, args.text_col])
+        if args.eval_docs:
+            ev = rd.read_parquet(args.eval_docs,
+                                 columns=[args.id_col, args.text_col])
+        else:
+            def _slice(t: pa.Table) -> pa.Table:
+                ids = t[args.id_col].to_numpy(zero_copy_only=False)
+                return t.filter(pa.array(ids % 97 == 0))
+            ev = docs.map_batches(_slice, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        ref = eval_gram_set(ev, text_col=args.text_col, n=args.ngram)
+        os.makedirs(args.out, exist_ok=True)
+        dec = decontaminate(docs, ref, text_col=args.text_col,
+                            id_col=args.id_col, n=args.ngram)
+        dec.write_parquet(f"{args.out}/decontamination")
+        rep = word_repetition(docs, text_col=args.text_col,
+                              id_col=args.id_col)
+        rep.write_parquet(f"{args.out}/repetition")
+        n_cont = int(rd.read_parquet(f"{args.out}/decontamination",
+                                     columns=["contaminated"])
+                     .sum("contaminated") or 0)
+        print(json.dumps({"out": args.out, "ngram": args.ngram,
+                          "contaminated_docs": n_cont}))
     elif args.cmd == "experiment":
         import ray.data as rd
 
