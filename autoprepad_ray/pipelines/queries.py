@@ -2868,3 +2868,17 @@ def json_extract_events_props(sf_dir: str):
 
     return _t(sf_dir, "events", ["event_id", "props"]).map_batches(
         ext, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@query("bm25_docs")
+def bm25_docs(sf_dir: str):
+    """BM25 relevance of every document against a fixed query — the
+    retrieval ranker beside the TF-IDF and cosine families.  Corpus
+    stats (N, avgdl, per-term df) fold from per-block int payloads;
+    scoring is a broadcast-state map.  Rows-only: log-idf floats are
+    libm-dependent, so the oracle is a pure-numpy pytest parity check
+    (test_textops), not SQL."""
+    from ..stages.text import bm25_scores
+
+    return bm25_scores(_t(sf_dir, "documents", ["doc_id", "text"]),
+                       ["merge", "join", "sort"])

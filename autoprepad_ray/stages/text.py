@@ -214,3 +214,63 @@ def word_repetition(ds, *, text_col: str = "text", id_col: str = "doc_id"):
                                   / np.maximum(nw, 1))})
 
     return ds.map_batches(rep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring (two-pass: corpus stats -> broadcast -> score)
+
+def bm25_scores(ds, query_terms: list[str], *, text_col: str = "text",
+                id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75):
+    """BM25 score of every document against a fixed query — the
+    retrieval-side ranker of a search/RAG corpus pipeline.
+
+    Two passes, no shuffle: pass 1 reduces each block to (n_docs,
+    total_words, df per query term) — a handful of ints — and the
+    driver folds them into idf/avgdl; pass 2 broadcasts that state
+    and scores each batch vectorized (one explode+isin per query
+    term, the langid shape).  Scores are float (log idf), so this
+    stage is rows-only checked: pytest pins it against a
+    single-process pure-numpy BM25 at 1e-9 (test_textops)."""
+    import ray
+
+    terms = list(query_terms)
+
+    def stats(t: pa.Table) -> pa.Table:
+        words, counts = _flat_words(t[text_col])
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64),
+                            counts)
+        dfs = []
+        for term in terms:
+            hit_docs = np.unique(doc_idx[words == term])
+            dfs.append(len(hit_docs))
+        payload = np.array([len(counts), int(counts.sum())] + dfs,
+                           dtype=np.int64).tobytes()
+        return pa.table({"payload": pa.array([payload], pa.binary())})
+
+    rows = ds.map_batches(stats, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    acc = np.zeros(2 + len(terms), dtype=np.int64)
+    for r in rows:
+        acc += np.frombuffer(r["payload"], dtype=np.int64)
+    n_docs, total_words, dfs = int(acc[0]), int(acc[1]), acc[2:]
+    avgdl = total_words / max(n_docs, 1)
+    idf = np.log(1.0 + (n_docs - dfs + 0.5) / (dfs + 0.5))
+    state = ray.put((np.array(terms, dtype=object), idf, avgdl))
+
+    def score(t: pa.Table) -> pa.Table:
+        terms_b, idf_b, avgdl_b = ray.get(state)
+        words, counts = _flat_words(t[text_col])
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64),
+                            counts)
+        dl = counts.astype(np.float64)
+        s = np.zeros(len(counts), dtype=np.float64)
+        denom_dl = k1 * (1.0 - b + b * dl / avgdl_b)
+        for j, term in enumerate(terms_b):
+            tf = np.bincount(doc_idx[words == term],
+                             minlength=len(counts)).astype(np.float64)
+            s += idf_b[j] * tf * (k1 + 1.0) / (tf + denom_dl)
+        return pa.table({id_col: t[id_col],
+                         "bm25": pa.array(np.round(s, 6))})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)

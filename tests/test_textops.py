@@ -94,3 +94,30 @@ def test_kernels_survive_chunked_columns():
     w, c = _flat_words(chunked["text"])
     assert list(c) == [len(s.split(" ")) for s in TEXTS[:4]]
     assert list(w) == " ".join(TEXTS[:4]).split(" ")
+
+
+def test_bm25_matches_pure_python():
+    import math
+
+    from autoprepad_ray.stages.text import bm25_scores
+
+    docs = _mkdocs(TEXTS)
+    terms = ["a", "b", "q"]
+    got = (bm25_scores(docs, terms).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    toks = [t.split(" ") for t in TEXTS]
+    n = len(toks)
+    avgdl = sum(len(w) for w in toks) / n
+    k1, b = 1.2, 0.75
+    for i, w in enumerate(toks):
+        s = 0.0
+        for term in terms:
+            df = sum(term in ws for ws in toks)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            tf = w.count(term)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(w) / avgdl))
+        assert abs(got.loc[i, "bm25"] - round(s, 6)) < 1e-9, (i, s)
+    # ranking sanity: docs with query terms outrank the one with none
+    assert got.loc[5, "bm25"] == 0.0
+    assert (got.loc[[0, 1, 2, 3, 4], "bm25"] > 0).all()
