@@ -121,3 +121,35 @@ def test_bm25_matches_pure_python():
     # ranking sanity: docs with query terms outrank the one with none
     assert got.loc[5, "bm25"] == 0.0
     assert (got.loc[[0, 1, 2, 3, 4], "bm25"] > 0).all()
+
+
+def test_gram_hashes_respect_doc_boundaries_property():
+    """Property: the batch kernel over many docs equals per-doc calls —
+    no gram ever crosses a document boundary, counts are exact."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from autoprepad_ray.stages.text import _flat_words, _gram_hashes
+
+    word = st.text(alphabet="abcxyz", min_size=1, max_size=3)
+    doc = st.lists(word, min_size=1, max_size=12).map(" ".join)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6), st.integers(2, 4))
+    def inner(texts, n):
+        batch = pa.array(texts)
+        w, c = _flat_words(batch)
+        didx, grams, gpd = _gram_hashes(w, c, n)
+        per_doc = []
+        for t in texts:
+            wi, ci = _flat_words(pa.array([t]))
+            _, gi, _ = _gram_hashes(wi, ci, n)
+            per_doc.append(gi)
+        exp = np.concatenate(per_doc) if per_doc else np.empty(0)
+        assert list(gpd) == [max(len(t.split(" ")) - n + 1, 0)
+                             for t in texts]
+        np.testing.assert_array_equal(grams, exp)
+        np.testing.assert_array_equal(
+            didx, np.repeat(np.arange(len(texts)), gpd))
+
+    inner()
