@@ -79,6 +79,10 @@ def main(argv: list[str] | None = None) -> int:
     ta.add_argument("--ngram", type=int, default=8)
     ta.add_argument("--text-col", default="text")
     ta.add_argument("--id-col", default="doc_id")
+    ta.add_argument("--sharded", action="store_true",
+                    help="checkpoint/resume per parquet shard "
+                         "(--docs may be a dir or glob); re-running "
+                         "skips completed shards")
 
     args = p.parse_args(argv)
     _ensure_ray(args.num_cpus)
@@ -121,6 +125,19 @@ def main(argv: list[str] | None = None) -> int:
                        "distinct": round(s.distinct())}
                    for c, s in prof.columns.items()}
         print(json.dumps({"n_rows": prof.n_rows, "columns": summary}))
+    elif args.cmd == "text-audit" and args.sharded:
+        from .pipelines.corpus import run_text_audit
+        manifest = run_text_audit(args.docs, args.out,
+                                  eval_docs=args.eval_docs,
+                                  ngram=args.ngram,
+                                  text_col=args.text_col,
+                                  id_col=args.id_col)
+        print(json.dumps({
+            "out": args.out, "ngram": args.ngram,
+            "shards": len(manifest["shards"]),
+            "ran": manifest["runs"][-1]["pending"],
+            "contaminated_docs":
+                manifest["runs"][-1]["total_contaminated"]}))
     elif args.cmd == "text-audit":
         import os
 

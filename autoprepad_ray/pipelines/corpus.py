@@ -1,0 +1,167 @@
+"""Resumable text-corpus audit runner — the documents-side sibling of
+``pipelines/runner.run_validation`` (north rule: runs resume from
+per-partition checkpoints carrying lineage + metrics).
+
+A 100-TB corpus arrives as thousands of parquet shards; the audit
+(benchmark decontamination + repetition quality) must survive
+preemption and re-run only what is missing.  Same design rules as the
+image runner (/root/reference has no runner — the reference is a
+single-process pipeline, control.py:139-170; resumability is the
+engine's north-rule addition):
+
+- the checkpoint is the OUTPUT, not the manifest line: a shard is
+  complete iff its ``audit.json`` exists AND was produced under the
+  current eval-set fingerprint — deleting a shard directory re-runs
+  exactly that shard;
+- the eval n-gram set builds once per fingerprint and persists beside
+  the manifest (``evalgrams_<fp>.npy``), so a resume never re-reads
+  the eval source;
+- shard outputs are written atomically (tmp dir + rename), so a kill
+  mid-shard leaves no half-checkpoint.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from .. import __version__
+from .runner import _atomic_write_json, _fingerprint
+
+
+def discover_shards(docs_path: str) -> dict[str, str]:
+    """Map shard name -> parquet file.  ``docs_path`` may be a single
+    parquet file, a directory of them, or a glob."""
+    if os.path.isdir(docs_path):
+        files = sorted(glob.glob(os.path.join(docs_path, "*.parquet")))
+    elif any(ch in docs_path for ch in "*?["):
+        files = sorted(glob.glob(docs_path))
+    else:
+        files = [docs_path]
+    if not files:
+        raise FileNotFoundError(f"no parquet shards under {docs_path!r}")
+    return {os.path.splitext(os.path.basename(f))[0]: f for f in files}
+
+
+def _load_or_build_evalgrams(out_dir: str, eval_files: list[str], *,
+                             text_col: str, id_col: str, n: int,
+                             self_eval: bool) -> tuple[np.ndarray, str]:
+    """Eval gram array keyed by (source files, ngram, rule) — cached on
+    disk so resumes skip the eval pass entirely."""
+    from ..stages.text import _flat_words, _gram_hashes
+
+    fp = _fingerprint(eval_files) + f"-n{n}" + ("-self" if self_eval
+                                                else "")
+    cache = os.path.join(out_dir, f"evalgrams_{fp}.npy")
+    if os.path.exists(cache):
+        return np.load(cache), fp
+
+    ds = rd.read_parquet(eval_files, columns=[id_col, text_col])
+    if self_eval:          # the doc_id % 97 slice stands in for a suite
+        def _slice(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 97 == 0))
+        ds = ds.map_batches(_slice, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def uniq(t: pa.Table) -> pa.Table:
+        words, counts = _flat_words(t[text_col])
+        _, grams, _ = _gram_hashes(words, counts, n)
+        return pa.table({"payload": pa.array([np.unique(grams).tobytes()],
+                                             pa.binary())})
+
+    rows = ds.map_batches(uniq, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    parts = [np.frombuffer(r["payload"], dtype=np.uint64) for r in rows]
+    merged = np.unique(np.concatenate(parts)) if parts \
+        else np.empty(0, dtype=np.uint64)
+    tmp = cache + ".tmp.npy"
+    np.save(tmp, merged)
+    os.replace(tmp, cache)
+    return merged, fp
+
+
+def run_text_audit(docs_path: str, out_dir: str, *,
+                   eval_docs: str | None = None, ngram: int = 8,
+                   text_col: str = "text", id_col: str = "doc_id") -> dict:
+    """Audit every shard, skipping those already checkpointed.
+
+    Returns the manifest dict (also persisted to ``manifest.json``).
+    Per-shard outputs: ``shards/shard=<name>/audit.parquet`` (doc_id,
+    n_grams, n_hits, contaminated, n_words, n_distinct, dup_ratio) and
+    ``audit.json`` (counts + lineage)."""
+    from ..stages.text import decontaminate, word_repetition
+
+    os.makedirs(os.path.join(out_dir, "shards"), exist_ok=True)
+    shards = discover_shards(docs_path)
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    manifest = {"engine_version": __version__, "docs_path": docs_path,
+                "ngram": ngram, "shards": {}, "runs": []}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+
+    eval_files = sorted(discover_shards(eval_docs).values()) \
+        if eval_docs else sorted(shards.values())
+    evalgrams, eval_fp = _load_or_build_evalgrams(
+        out_dir, eval_files, text_col=text_col, id_col=id_col, n=ngram,
+        self_eval=eval_docs is None)
+    eval_ref = ray.put(evalgrams)
+
+    def _complete(name: str) -> bool:
+        entry = manifest["shards"].get(name)
+        if entry is None or entry.get("eval_fp") != eval_fp:
+            return False
+        return os.path.exists(os.path.join(
+            out_dir, "shards", f"shard={name}", "audit.json"))
+
+    pending = [s for s in sorted(shards) if not _complete(s)]
+
+    for name in pending:
+        ds = rd.read_parquet(shards[name], columns=[id_col, text_col])
+        dec = decontaminate(ds, eval_ref, text_col=text_col,
+                            id_col=id_col, n=ngram).to_pandas()
+        rep = word_repetition(ds, text_col=text_col,
+                              id_col=id_col).to_pandas()
+        audit = rep.merge(dec, on=id_col, how="left")
+        for c in ("n_grams", "n_hits", "contaminated"):
+            audit[c] = audit[c].fillna(0).astype(np.int64)
+
+        shard_dir = os.path.join(out_dir, "shards", f"shard={name}")
+        tmp_dir = shard_dir + ".tmp"
+        if os.path.exists(tmp_dir):
+            import shutil
+            shutil.rmtree(tmp_dir)
+        os.makedirs(tmp_dir)
+        pq.write_table(pa.Table.from_pandas(audit, preserve_index=False),
+                       os.path.join(tmp_dir, "audit.parquet"))
+        verdict = {
+            "n_docs": int(len(audit)),
+            "contaminated_docs": int(audit["contaminated"].sum()),
+            "max_dup_ratio": float(audit["dup_ratio"].max())
+            if len(audit) else 0.0,
+            "eval_fp": eval_fp, "ngram": ngram, "source": shards[name],
+        }
+        _atomic_write_json(os.path.join(tmp_dir, "audit.json"), verdict)
+        if os.path.exists(shard_dir):
+            import shutil
+            shutil.rmtree(shard_dir)
+        os.replace(tmp_dir, shard_dir)
+        manifest["shards"][name] = verdict
+        _atomic_write_json(manifest_path, manifest)
+
+    manifest["runs"].append({
+        "pending": pending, "eval_fp": eval_fp,
+        "total_contaminated": int(sum(
+            v["contaminated_docs"] for v in manifest["shards"].values())),
+    })
+    _atomic_write_json(manifest_path, manifest)
+    return manifest
