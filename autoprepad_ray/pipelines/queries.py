@@ -2882,3 +2882,92 @@ def bm25_docs(sf_dir: str):
 
     return bm25_scores(_t(sf_dir, "documents", ["doc_id", "text"]),
                        ["merge", "join", "sort"])
+
+
+@query("session_stats_events", sql="""
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW)
+              AS BIGINT) AS session_id
+  FROM (SELECT event_id, user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         <= INTERVAL 1 HOUR THEN 0 ELSE 1 END AS new_sess
+        FROM events))
+SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+           AS duration_us
+FROM s GROUP BY user_id, session_id""")
+def session_stats_events(sf_dir: str):
+    """Per-session aggregates (event count + duration) on top of the
+    gap-based sessionization — the session-level rollup every
+    engagement/behavior pipeline derives from a raw event log.  One
+    groupby(user).map_groups does sessionize AND aggregate in the same
+    group visit (no second shuffle: session boundaries are a per-user
+    fact).  All int64 (us subtraction) — exact parity."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    gap = np.timedelta64(1, "h")
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        prev = g["ts"].shift()
+        sess = (((g["ts"] - prev) > gap) | prev.isna()) \
+            .astype("int64").cumsum()
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]") \
+            .view(np.int64)
+        agg = pd.DataFrame({"session_id": sess.to_numpy(),
+                            "ts_us": ts_us}) \
+            .groupby("session_id", as_index=False) \
+            .agg(n_events=("ts_us", "size"), lo=("ts_us", "min"),
+                 hi=("ts_us", "max"))
+        return pd.DataFrame({
+            "user_id": np.full(len(agg), g["user_id"].iloc[0],
+                               dtype=np.int64),
+            "session_id": agg["session_id"].astype(np.int64),
+            "n_events": agg["n_events"].astype(np.int64),
+            "duration_us": (agg["hi"] - agg["lo"]).astype(np.int64)})
+
+    return ds.groupby("user_id").map_groups(stats, batch_format="pandas")
+
+
+@query("cohort_retention_events", sql="""
+WITH f AS (SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                  AS day FROM events),
+     c AS (SELECT user_id, MIN(day) AS cohort FROM f GROUP BY user_id)
+SELECT c.cohort, f.day, CAST(COUNT(DISTINCT f.user_id) AS BIGINT)
+           AS n_users
+FROM f JOIN c USING (user_id) GROUP BY 1, 2""")
+def cohort_retention_events(sf_dir: str):
+    """Cohort retention matrix: users grouped by their first-active
+    day, counted on every later active day — the engagement table
+    behind every retention curve.  A user's cohort is a fact INSIDE
+    its own group, so one groupby(user).map_groups emits the distinct
+    (cohort, active_day) rows per user (no join against a cohort
+    table, no broadcast that breaks at 10^9 users) and a tiny second
+    groupby sums distinct-user contributions.  Day arithmetic is
+    int64 floor division — exact."""
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+    day_us = np.int64(86_400_000_000)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        days = np.unique(g["ts"].to_numpy().astype("datetime64[us]")
+                         .view(np.int64) // day_us)
+        return pd.DataFrame({
+            "cohort": np.full(len(days), days.min(), dtype=np.int64),
+            "day": days.astype(np.int64),
+            "one": np.ones(len(days), dtype=np.int64)})
+
+    per = ds.groupby("user_id").map_groups(per_user,
+                                           batch_format="pandas")
+    agg = per.groupby(["cohort", "day"]).aggregate(
+        Sum("one", alias_name="n_users"))
+    return agg.map_batches(
+        lambda t: pa.table({"cohort": t["cohort"],
+                            "day": t["day"],
+                            "n_users": t["n_users"].cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
