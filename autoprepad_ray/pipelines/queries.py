@@ -2971,3 +2971,92 @@ def cohort_retention_events(sf_dir: str):
                             "day": t["day"],
                             "n_users": t["n_users"].cast(pa.int64())}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+@query("funnel_stages_events", sql="""
+WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+     c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+           JOIN v ON v.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.ts > v.t1
+           GROUP BY e.user_id),
+     p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+           JOIN c ON c.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > c.t2
+           GROUP BY e.user_id)
+SELECT u.user_id,
+       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                 WHEN c.user_id IS NOT NULL THEN 2
+                 WHEN v.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v ON v.user_id = u.user_id
+LEFT JOIN c ON c.user_id = u.user_id
+LEFT JOIN p ON p.user_id = u.user_id""")
+def funnel_stages_events(sf_dir: str):
+    """Ordered funnel analysis: the furthest view -> click -> purchase
+    stage each user reaches, each step strictly AFTER the previous
+    one.  The funnel is a per-user sequential fact, so ONE
+    groupby(user).map_groups computes the whole chain with three
+    searchsorted probes over the user's sorted timestamps — where the
+    SQL oracle needs three self-joins, the engine needs zero extra
+    shuffles.  Int output, exact parity."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts",
+                               "event_type"])
+
+    def stage(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        ty = g["event_type"].to_numpy()
+        s = 0
+        cur = -np.int64(2**62)
+        for step, name in enumerate(["view", "click", "purchase"]):
+            cand = ts[(ty == name) & (ts > cur)]
+            if len(cand) == 0:
+                break
+            cur = cand.min()
+            s = step + 1
+        return pd.DataFrame({
+            "user_id": [np.int64(g["user_id"].iloc[0])],
+            "stage": np.array([s], dtype=np.int64)})
+
+    return ds.groupby("user_id").map_groups(stage, batch_format="pandas")
+
+
+@query("event_transition_counts", sql="""
+WITH o AS (SELECT user_id, event_type,
+                  LAG(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events)
+SELECT prev, event_type AS next, CAST(COUNT(*) AS BIGINT) AS n
+FROM o WHERE prev IS NOT NULL GROUP BY prev, next""")
+def event_transition_counts(sf_dir: str):
+    """Markov transition counts over per-user event sequences (the
+    behavior-model / sequence-prior table).  Bigrams are a per-user
+    ordered fact: map_groups emits each user's (prev, next) partial
+    counts, and a tiny final groupby folds users — the exchange
+    carries at most types^2 rows per user, never raw events.  Int
+    counts — exact parity."""
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts",
+                               "event_type"])
+
+    def bigrams(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ty = g["event_type"].to_numpy()
+        if len(ty) < 2:
+            return pd.DataFrame({"prev": [], "next": [], "one": []})
+        return (pd.DataFrame({"prev": ty[:-1], "next": ty[1:],
+                              "one": np.ones(len(ty) - 1,
+                                             dtype=np.int64)})
+                .groupby(["prev", "next"], as_index=False).sum())
+
+    per = ds.groupby("user_id").map_groups(bigrams,
+                                           batch_format="pandas")
+    agg = per.groupby(["prev", "next"]).aggregate(
+        Sum("one", alias_name="n"))
+    return agg.map_batches(
+        lambda t: pa.table({"prev": t["prev"], "next": t["next"],
+                            "n": t["n"].cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
