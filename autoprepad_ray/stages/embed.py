@@ -231,6 +231,8 @@ def label_centroids(ds, vec_col: str = "embedding",
     import pickle
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:     # dynamic block splits can emit empties
+            return pa.table({"payload": pa.array([], pa.binary())})
         M = _matrix(t[vec_col])
         labels = t[label_col].to_numpy(zero_copy_only=False)
         order = np.argsort(labels, kind="stable")

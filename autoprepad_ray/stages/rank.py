@@ -63,7 +63,9 @@ def ntile(ds, keys: list[str], k: int, *, keep_cols: list[str],
     offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
     n = int(offsets[-1])
     if n == 0:
-        empty = pa.table({**{c: pa.array([], pa.int64())
+        sch = s.schema()
+        types = dict(zip(sch.names, sch.types)) if sch is not None else {}
+        empty = pa.table({**{c: pa.array([], types.get(c, pa.int64()))
                              for c in keep_cols},
                           out_col: pa.array([], pa.int64())})
         return rd.from_arrow(empty)
