@@ -91,13 +91,21 @@ def _load_or_build_evalgrams(out_dir: str, eval_files: list[str], *,
 
 def run_text_audit(docs_path: str, out_dir: str, *,
                    eval_docs: str | None = None, ngram: int = 8,
-                   text_col: str = "text", id_col: str = "doc_id") -> dict:
+                   text_col: str = "text", id_col: str = "doc_id",
+                   max_parallel_shards: int = 4) -> dict:
     """Audit every shard, skipping those already checkpointed.
 
     Returns the manifest dict (also persisted to ``manifest.json``).
     Per-shard outputs: ``shards/shard=<name>/audit.parquet`` (doc_id,
     n_grams, n_hits, contaminated, n_words, n_distinct, dup_ratio) and
-    ``audit.json`` (counts + lineage)."""
+    ``audit.json`` (counts + lineage).
+
+    Shards audit ``max_parallel_shards`` at a time through driver
+    threads sharing the one Ray session (the image runner's decode
+    overlap pattern) — per-shard checkpoint granularity without
+    serializing the cluster behind one small shard's pipeline; the
+    manifest write is the only serialized step (lock + atomic
+    replace)."""
     from ..stages.text import decontaminate, word_repetition
 
     os.makedirs(os.path.join(out_dir, "shards"), exist_ok=True)
@@ -125,7 +133,13 @@ def run_text_audit(docs_path: str, out_dir: str, *,
 
     pending = [s for s in sorted(shards) if not _complete(s)]
 
-    for name in pending:
+    import shutil
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    mlock = threading.Lock()
+
+    def _audit_shard(name: str) -> None:
         ds = rd.read_parquet(shards[name], columns=[id_col, text_col])
         dec = decontaminate(ds, eval_ref, text_col=text_col,
                             id_col=id_col, n=ngram).to_pandas()
@@ -138,7 +152,6 @@ def run_text_audit(docs_path: str, out_dir: str, *,
         shard_dir = os.path.join(out_dir, "shards", f"shard={name}")
         tmp_dir = shard_dir + ".tmp"
         if os.path.exists(tmp_dir):
-            import shutil
             shutil.rmtree(tmp_dir)
         os.makedirs(tmp_dir)
         pq.write_table(pa.Table.from_pandas(audit, preserve_index=False),
@@ -152,11 +165,18 @@ def run_text_audit(docs_path: str, out_dir: str, *,
         }
         _atomic_write_json(os.path.join(tmp_dir, "audit.json"), verdict)
         if os.path.exists(shard_dir):
-            import shutil
             shutil.rmtree(shard_dir)
         os.replace(tmp_dir, shard_dir)
-        manifest["shards"][name] = verdict
-        _atomic_write_json(manifest_path, manifest)
+        with mlock:
+            manifest["shards"][name] = verdict
+            _atomic_write_json(manifest_path, manifest)
+
+    if pending:
+        from ..context import prime_fsspec_http_stub
+        prime_fsspec_http_stub()     # threaded reads race the lazy import
+        with ThreadPoolExecutor(max_workers=max(
+                1, min(max_parallel_shards, len(pending)))) as ex:
+            list(ex.map(_audit_shard, pending))
 
     manifest["runs"].append({
         "pending": pending, "eval_fp": eval_fp,
