@@ -3060,3 +3060,28 @@ def event_transition_counts(sf_dir: str):
         lambda t: pa.table({"prev": t["prev"], "next": t["next"],
                             "n": t["n"].cast(pa.int64())}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+@query("hll_distinct_users_per_day")
+def hll_distinct_users_per_day(sf_dir: str):
+    """Approximate distinct users per day (HyperLogLog per group) —
+    the sketch-per-key shape for cardinality dashboards over 10^12
+    rows, where the exact per-group census
+    (group_distinct_users_events) stops fitting.  Sparse (group, idx,
+    rho) triples per block, one groupby fold.  Rows-only: approximate
+    by construction; pytest bounds each day's estimate against the
+    exact count (test_hll_per_group)."""
+    from ..validators.uniqueness import hll_distinct_per_group
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+    day_us = np.int64(86_400_000_000)
+
+    def add_day(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        return pa.table({"day": pa.array(ts // day_us),
+                         "user_id": t["user_id"]})
+
+    days = ds.map_batches(add_day, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return hll_distinct_per_group(days, "day", "user_id")

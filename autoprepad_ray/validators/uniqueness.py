@@ -185,3 +185,60 @@ def hll_distinct(ds, cols: list[str], *, p: int = 14) -> dict[str, float]:
         for c, d in pickle.loads(row["payload"]).items():
             merged[c].merge(HyperLogLog.from_dict(d))
     return {c: h.estimate() for c, h in merged.items()}
+
+
+def hll_distinct_per_group(ds, group_col: str, value_col: str, *,
+                           p: int = 12):
+    """Approximate DISTINCT ``value_col`` per ``group_col`` key —
+    "distinct users per day" at the 10^12-row scale where the exact
+    per-group census (group_distinct pattern) stops fitting.
+
+    Per-block partial: one vectorized pass computes every value's HLL
+    (register index, rho) and a pyarrow group_by collapses the block
+    to sparse (group, idx, max rho) triples — the exchange carries at
+    most min(rows, groups x 2^p) triples per block, never raw values.
+    One Ray groupby(group) then folds each key's triples into dense
+    registers and estimates.  Rows-only checked (approximate by
+    construction); pytest bounds the error against the exact count.
+    """
+    import math
+
+    import pandas as pd
+
+    m = 1 << p
+    from ..sketches import _bit_length64
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.drop_null()
+        if t.num_rows == 0:
+            return pa.table({group_col: t[group_col],
+                             "idx": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        h = hash64(t[value_col].to_numpy(zero_copy_only=False)) \
+            .astype(np.uint64)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = h << np.uint64(p)
+        bl = _bit_length64(rest)
+        rho = np.where(rest == 0, 64 - p + 1, 64 - bl + 1).astype(np.int64)
+        rho = np.minimum(rho, 64 - p + 1)
+        g = pa.table({group_col: t[group_col],
+                      "idx": pa.array(idx), "rho": pa.array(rho)}) \
+            .group_by([group_col, "idx"]).aggregate([("rho", "max")])
+        return pa.table({group_col: g[group_col], "idx": g["idx"],
+                         "rho": g["rho_max"]})
+
+    def fold(gdf: pd.DataFrame) -> pd.DataFrame:
+        reg = np.zeros(m, dtype=np.uint8)
+        np.maximum.at(reg, gdf["idx"].to_numpy(),
+                      gdf["rho"].to_numpy().astype(np.uint8))
+        alpha = 0.7213 / (1 + 1.079 / m)
+        raw = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+        zeros = int(np.count_nonzero(reg == 0))
+        est = m * math.log(m / zeros) if (raw <= 2.5 * m and zeros > 0) \
+            else float(raw)
+        return pd.DataFrame({group_col: [gdf[group_col].iloc[0]],
+                             "distinct_est": [float(round(est, 1))]})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(group_col).map_groups(fold, batch_format="pandas"))

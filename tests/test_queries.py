@@ -142,3 +142,24 @@ def test_validator_registry(ray_session):
         assert False
     except KeyError as e:
         assert "nope" in str(e)
+
+
+def test_hll_per_group_error_bound(ray_session):
+    """Per-group HLL estimates stay within a tight bound of the exact
+    per-day distinct counts (p=12, small-n linear-counting regime)."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    got = (entry.queries()["hll_distinct_users_per_day"](SF)
+           .to_pandas().sort_values("day").reset_index(drop=True))
+    con = _duck()
+    exp = con.execute("""
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               COUNT(DISTINCT user_id) AS n
+        FROM events GROUP BY 1 ORDER BY 1""").df()
+    con.close()
+    assert list(got["day"]) == list(exp["day"])
+    rel = np.abs(got["distinct_est"].to_numpy()
+                 - exp["n"].to_numpy()) / exp["n"].to_numpy()
+    assert rel.max() < 0.05, rel
