@@ -84,6 +84,8 @@ def _install_builtins() -> None:
          "exact distinct counts per column (tree-merged)"),
         ("hll_distinct", uniqueness.hll_distinct,
          "approximate distinct counts (HyperLogLog)"),
+        ("hll_distinct_per_group", uniqueness.hll_distinct_per_group,
+         "approximate distinct values per key (HLL sketch per group)"),
         ("orphans", referential.orphans,
          "referential-integrity anti-join between two key streams"),
         ("psi_numeric", drift.psi_numeric,
