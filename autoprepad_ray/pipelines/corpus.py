@@ -48,7 +48,16 @@ def discover_shards(docs_path: str) -> dict[str, str]:
         files = [docs_path]
     if not files:
         raise FileNotFoundError(f"no parquet shards under {docs_path!r}")
-    return {os.path.splitext(os.path.basename(f))[0]: f for f in files}
+    shards = {os.path.splitext(os.path.basename(f))[0]: f for f in files}
+    if len(shards) != len(files):
+        # dict keying would silently drop one of a/x.parquet, b/x.parquet
+        names = [os.path.splitext(os.path.basename(f))[0] for f in files]
+        dups = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(
+            f"duplicate shard basenames under {docs_path!r}: {dups}; "
+            "shard checkpoints are keyed by basename — rename or glob "
+            "one directory at a time")
+    return shards
 
 
 def _load_or_build_evalgrams(out_dir: str, eval_files: list[str], *,

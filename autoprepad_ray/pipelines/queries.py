@@ -2395,6 +2395,12 @@ def group_distinct_users_events(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         ty = np_object(t["event_type"].to_numpy(zero_copy_only=False))
         codes = np.searchsorted(types, ty).astype(np.int64)
+        # searchsorted maps out-of-domain values to a NEIGHBOR code —
+        # verify membership so unseen types error instead of miscounting
+        if not (types[np.minimum(codes, len(types) - 1)] == ty).all():
+            bad = np.setdiff1d(np.unique(ty.astype(object)), types)
+            raise ValueError(
+                f"event_type values outside the known domain: {bad[:5]}")
         users = t["user_id"].to_numpy(zero_copy_only=False)
         comp = np.unique((codes << 48) | users.astype(np.int64))
         cnts = np.bincount(codes, minlength=len(types)).astype(np.int64)
@@ -2855,13 +2861,21 @@ def json_extract_events_props(sf_dir: str):
     ``pc.extract_regex`` kernel per batch (no per-row json.loads;
     full-fidelity JSON belongs in the source reader), null props and
     non-matching rows surface as null k on both engines.  Pure map,
-    no shuffle; int64 output, exact parity."""
+    no shuffle; int64 output, exact parity.
+
+    Parity constraint vs the SQL oracle's top-level-only
+    ``json_extract('$.k')``: the regex anchors the key to an object
+    boundary (``[{,]``), which matches the fixture's flat
+    integer-valued props schema exactly; a NESTED object containing
+    "k" or a string value embedding the literal ``"k": 1`` would
+    still diverge — regex cannot track JSON depth, so deep extraction
+    belongs in a json.loads reader, not this kernel."""
 
     def ext(t: pa.Table) -> pa.Table:
         s = pc.extract_regex(t["props"].combine_chunks()
                              if isinstance(t["props"], pa.ChunkedArray)
                              else t["props"],
-                             pattern='"k":\\s*(?P<k>-?\\d+)')
+                             pattern='[{,]\\s*"k":\\s*(?P<k>-?\\d+)')
         return pa.table({"event_id": t["event_id"],
                          "k": pc.cast(pc.struct_field(s, "k"),
                                       pa.int64())})

@@ -209,7 +209,9 @@ def hll_distinct_per_group(ds, group_col: str, value_col: str, *,
     from ..sketches import _bit_length64
 
     def partial(t: pa.Table) -> pa.Table:
-        t = t.drop_null()
+        # project FIRST: drop_null on the full block would drop rows null
+        # in unrelated columns, silently undercounting wider tables
+        t = t.select([group_col, value_col]).drop_null()
         if t.num_rows == 0:
             return pa.table({group_col: t[group_col],
                              "idx": pa.array([], pa.int64()),

@@ -5,9 +5,11 @@ int64-vs-float64 drift fails it even when values match).
 
 Usage (own Ray session — never inside pytest):
 
-    python tools/sweep_sf01.py [/root/testdata/sf0.01]
+    python tools/sweep_sf01.py [/root/testdata/sf0.01] [name1,name2,...]
 
-Prints one line per query; exits non-zero on any MISMATCH/ERROR.
+Optional second arg restricts the sweep to a comma-separated subset of
+query names.  Prints one line per query; exits non-zero on any
+MISMATCH/ERROR.
 """
 
 import os
@@ -58,6 +60,13 @@ def main() -> int:
         return res
 
     queries, oracles = em.queries(), em.oracle_sql()
+    if len(sys.argv) > 2:
+        only = set(sys.argv[2].split(","))
+        unknown = only - set(queries)
+        if unknown:
+            print("unknown query names:", sorted(unknown))
+            return 1
+        queries = {n: q for n, q in queries.items() if n in only}
     fails: list[str] = []
     for name in sorted(queries):
         try:
