@@ -829,14 +829,18 @@ def minhash_dedup_clusters(sf_dir: str):
     minimum-id member flagged canonical; ``is_canonical`` rows are what
     a training-data dedup keeps.  Rows-only: LSH recall is pinned by
     the brute-force pytest oracle; clustering by a union-find oracle in
-    test_graph."""
+    test_graph.  Pairs stay a DISTRIBUTED Dataset end-to-end: the LSH
+    verify tasks emit typed Arrow pair blocks that feed
+    ``connected_components``'s Dataset-edge path directly — no pair
+    list ever assembles on the driver (only the tiny star-forest CC
+    result does)."""
     from ..stages.dedup import minhash_lsh_pairs
     from ..stages.graph import attach_clusters, connected_components
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
-    pairs = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5)
-    cc = connected_components(
-        (pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()), "src", "dst")
+    pairs = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5,
+                              output="dataset", id_type=pa.int64())
+    cc = connected_components(pairs, "id_a", "id_b")
     out = attach_clusters(_t(sf_dir, "documents", ["doc_id"]),
                           "doc_id", cc)
     return out.map_batches(

@@ -108,24 +108,49 @@ def exact_jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
+def _pair_part_codes(id_a: np.ndarray, id_b: np.ndarray,
+                     num_parts: int) -> np.ndarray:
+    """Deterministic verify-part assignment per pair — computed inside
+    WORKER tasks, so it must not depend on process state (Python's
+    builtin ``hash`` is salted per process; ``sketches.hash64`` is
+    stable).  Both id columns go through object arrays so int64-typed
+    and object-typed sources agree (test_verify_prefilter_hash_agreement
+    lesson)."""
+    from ..sketches import hash64 as _h
+
+    ha = _h(np.asarray(id_a, dtype=object))
+    hb = _h(np.asarray(id_b, dtype=object), seed=1)
+    return (splitmix64(ha ^ hb) % np.uint64(num_parts)).astype(np.int64)
+
+
+_EMPTY_CELL_IDS = (np.empty(0, dtype=object), np.empty(0, dtype=object))
+
+
 @ray.remote
-def _cand_pair_slice_task(bucket_cap: int, *payload_lists
-                          ) -> pd.DataFrame:
+def _cand_pair_slice_task(bucket_cap: int, num_parts: int,
+                          *payload_lists) -> tuple:
     """Flat candidate-pairing task for one slice of the packed key
     stream.  Receives ONLY its own slice's payloads (slice-addressed
     scatter — bytes move once on a multi-node cluster).  Bucket
     enumeration reuses the property-tested size-class kernel
     (``near_dup._segment_pairs`` with verification off) — the nested
     per-pair Python loop it replaces was the 8.8x-slower shape the
-    Hamming stage already abandoned."""
+    Hamming stage already abandoned.
+
+    Returns ``num_parts`` cells (``num_returns=num_parts``), cell ``p``
+    = pickled (id_a, id_b) arrays of this slice's pairs whose
+    deterministic pair hash routes to verify part ``p`` — so the full
+    pair list NEVER assembles on the driver: a pair's every duplicate
+    (it can surface from buckets in several slices) lands in the same
+    part, where the verify task dedups it."""
     import pickle
 
     from ..validators.near_dup import _segment_pairs
 
+    empty = pickle.dumps(_EMPTY_CELL_IDS)
     parts = [pickle.loads(p) for lst in payload_lists for p in lst]
     if not parts:
-        return pd.DataFrame({"id_a": pd.Series([], dtype=object),
-                             "id_b": pd.Series([], dtype=object)})
+        return tuple([empty] * num_parts)
     keys = np.concatenate([p[0] for p in parts])
     ids = np.concatenate([p[1] for p in parts])
     # one row per (bucket, id): a doc can land in one bucket via
@@ -136,21 +161,40 @@ def _cand_pair_slice_task(bucket_cap: int, *payload_lists
     keys, ids = keys[first], ids[first]
     out = _segment_pairs(keys, ids, np.zeros(len(ids), dtype=np.int64),
                          0, bucket_cap, verify=False)
-    return out[["id_a", "id_b"]]
+    if not len(out):
+        return tuple([empty] * num_parts)
+    ida = out["id_a"].to_numpy()
+    idb = out["id_b"].to_numpy()
+    code = _pair_part_codes(ida, idb, num_parts)
+    o = np.argsort(code, kind="stable")
+    code, ida, idb = code[o], ida[o], idb[o]
+    bounds = np.flatnonzero(np.r_[True, code[1:] != code[:-1], True])
+    cells = [empty] * num_parts
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        cells[int(code[s])] = pickle.dumps((ida[s:e], idb[s:e]))
+    return tuple(cells)
 
 
-def _candidate_pairs_distributed(keyed, bucket_cap: int) -> pd.DataFrame:
-    """Distributed LSH candidate pairing: per-block (slice, payload)
-    packing of the pruned (key, doc_id) rows, slice-addressed scatter
-    (``stages.transport`` — each payload byte moves once even
-    multi-node), then FLAT per-slice ray tasks enumerate complete
-    buckets — no bucket rows ever collect on the driver, only the
-    pairs, and no sort exchange for a keyspace of dozens of slices."""
+DEFAULT_VERIFY_PARTS = 32
+
+
+def candidate_pairs_grid(keyed, bucket_cap: int, *, num_slices: int = 64,
+                         num_parts: int = DEFAULT_VERIFY_PARTS
+                         ) -> list[list["ray.ObjectRef"]]:
+    """Distributed LSH candidate pairing, pairs kept DISTRIBUTED: per-
+    block (slice, payload) packing of the pruned (key, doc_id) rows,
+    slice-addressed scatter (``stages.transport`` — each payload byte
+    moves once even multi-node), then FLAT per-slice ray tasks
+    enumerate complete buckets and return their pairs pre-partitioned
+    by verify part (``num_returns``).  Neither bucket rows nor the
+    pair list ever collect on the driver — the grid of cell refs is
+    the result, and ``verify_pairs_routed`` consumes it part-by-part.
+
+    Returns ``grid`` where ``grid[p]`` lists one cell ref per slice,
+    each a pickled (id_a, id_b) array pair for verify part ``p``."""
     import pickle
 
     from .transport import scatter_slices
-
-    num_slices = 64
 
     def pack(t: dict) -> pa.Table:
         keys = np.asarray(t["key"], dtype=np.int64)
@@ -174,47 +218,105 @@ def _candidate_pairs_distributed(keyed, bucket_cap: int) -> pd.DataFrame:
 
     packed = keyed.map_batches(pack, batch_format="numpy").materialize()
     per_slice = scatter_slices(packed, num_slices)
-    futs = [_cand_pair_slice_task.remote(bucket_cap, *per_slice[s])
-            for s in range(num_slices)]
-    out = pd.concat(ray.get(futs), ignore_index=True)
-    if not len(out):
-        return pd.DataFrame({"id_a": [], "id_b": []})
-    return out.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
+    grids = [_cand_pair_slice_task.options(num_returns=num_parts)
+             .remote(bucket_cap, num_parts, *per_slice[s])
+             for s in range(num_slices)]
+    return [[g[p] for g in grids] for p in range(num_parts)]
 
 
 @ray.remote
-def _verify_part_task(pairs: list, score, score_name: str,
-                      *payload_lists) -> pd.DataFrame:
-    """Score one verify part's pairs from its slice-addressed payload
-    cells (each a pickled (ids, blobs) pack)."""
+def _part_ids_task(*pair_cells) -> bytes:
+    """Distinct ids touched by one verify part's candidate pairs —
+    the per-part partial the driver folds into the id->part routing
+    map (arrays in flight, never pair rows)."""
     import pickle
 
+    arrs = []
+    for c in pair_cells:
+        a, b = pickle.loads(c)
+        if len(a):
+            arrs.append(a)
+            arrs.append(b)
+    if not arrs:
+        return pickle.dumps(np.empty(0, dtype=object))
+    return pickle.dumps(np.unique(np.concatenate(arrs)))
+
+
+@ray.remote
+def _verify_part_task(n_pair_cells: int, score, score_name: str,
+                      out_mode, *cells):
+    """Score one verify part's pairs from its slice-addressed cells:
+    the first ``n_pair_cells`` args are pickled (id_a, id_b) pair
+    cells (one per candidate slice task — deduped here, the part owns
+    every copy of its pairs), the rest are payload cell lists (each a
+    pickled (ids, blobs) pack).  ``out_mode=None`` returns a pandas
+    frame; ``(id_type, min_score)`` returns a typed Arrow table with
+    the threshold applied task-side (the Dataset output path)."""
+    import pickle
+
+    pair_cells = cells[:n_pair_cells]
+    payload_lists = cells[n_pair_cells:]
+    arrs_a, arrs_b = [], []
+    for c in pair_cells:
+        a, b = pickle.loads(c)
+        if len(a):
+            arrs_a.append(a)
+            arrs_b.append(b)
+    if arrs_a:
+        dfp = pd.DataFrame({"a": np.concatenate(arrs_a),
+                            "b": np.concatenate(arrs_b)}).drop_duplicates()
+        pairs = list(zip(dfp["a"], dfp["b"]))
+    else:
+        pairs = []
     local: dict = {}
     for lst in payload_lists:
         for cell in lst:
             ids_l, blobs_l = pickle.loads(cell)
-            for i, b in zip(ids_l, blobs_l):
+            for i, bl in zip(ids_l, blobs_l):
                 if i not in local:
-                    local[i] = pickle.loads(b)
+                    local[i] = pickle.loads(bl)
     rows = [(a, b, score(local[a], local[b]))
             for a, b in pairs if a in local and b in local]
-    return pd.DataFrame({
+    out = pd.DataFrame({
         "id_a": pd.Series([r[0] for r in rows], dtype=object),
         "id_b": pd.Series([r[1] for r in rows], dtype=object),
         score_name: pd.Series([r[2] for r in rows], dtype=np.float64)})
+    if out_mode is None:
+        return out
+    id_type, min_score = out_mode
+    if min_score is not None:
+        out = out[out[score_name] >= min_score]
+    return pa.table({
+        "id_a": pa.array(out["id_a"], type=id_type, from_pandas=True),
+        "id_b": pa.array(out["id_b"], type=id_type, from_pandas=True),
+        score_name: pa.array(out[score_name], type=pa.float64(),
+                             from_pandas=True)})
 
 
-def verify_pairs_routed(ds, id_col: str, cand: pd.DataFrame,
-                        extract, score, score_name: str) -> pd.DataFrame:
+def verify_pairs_routed(ds, id_col: str, cand, extract, score,
+                        score_name: str, *, output: str = "pandas",
+                        id_type: "pa.DataType | None" = None,
+                        min_score: float | None = None):
     """Distributed pair verification as a broadcast-routed candidate
-    join: the tiny pair list is broadcast as an id->verify-part routing
-    map; the data stream computes each candidate row's payload and
-    packs it per destination part; the packed stream scatters
-    slice-addressed (``stages.transport`` — each payload byte moves
-    once) to one flat task per part, which applies ``score(pa, pb)`` to
-    its pairs locally.  Driver memory stays O(pairs) — candidate
-    payloads (texts, vectors) never collect on the driver — and a
-    keyspace of dozens of parts never pays a sort-groupby exchange.
+    join.  ``cand`` is either a :func:`candidate_pairs_grid` result
+    (pairs stay DISTRIBUTED end-to-end — the preferred form) or a
+    small driver-side DataFrame (converted to a one-cell-per-part
+    grid; fine for test/debug-sized pair lists).
+
+    The id->verify-part routing map folds from per-part distinct-id
+    partials (``_part_ids_task`` — arrays move, pair rows don't); the
+    data stream computes each candidate row's payload and packs it per
+    destination part; the packed stream scatters slice-addressed
+    (``stages.transport`` — each payload byte moves once) to one flat
+    task per part, which dedups its own pairs and applies
+    ``score(pa, pb)`` locally.  Driver state is O(distinct candidate
+    ids) routing arrays — never the pair list, never payloads.
+
+    ``output='pandas'`` concatenates the VERIFIED pairs (the final
+    result) on the driver; ``output='dataset'`` returns a Ray Dataset
+    of typed Arrow blocks (pass ``id_type``; ``min_score`` filters
+    task-side) so downstream stages — connected components, cluster
+    attach — consume pairs without any driver materialization.
 
     ``extract(sub_batch)`` receives a batch already FILTERED to
     candidate rows (vectorized hash64 mask against the sorted candidate
@@ -226,19 +328,27 @@ def verify_pairs_routed(ds, id_col: str, cand: pd.DataFrame,
     from ..sketches import np_object
     from .transport import scatter_slices
 
-    num_parts = max(4, min(64, len(cand) // 32 + 1))
-    pair_arr = list(zip(cand["id_a"], cand["id_b"]))
-    part_of = [hash((a, b)) % num_parts for a, b in pair_arr]
-    pairs_by_part: dict[int, list] = {}
+    if isinstance(cand, pd.DataFrame):
+        num_parts = max(4, min(64, len(cand) // 32 + 1))
+        ida = cand["id_a"].to_numpy(dtype=object)
+        idb = cand["id_b"].to_numpy(dtype=object)
+        code = _pair_part_codes(ida, idb, num_parts)
+        grid = [[ray.put(pickle.dumps((ida[code == p], idb[code == p])))]
+                for p in range(num_parts)]
+    else:
+        grid = cand
+        num_parts = len(grid)
+
+    id_futs = [_part_ids_task.remote(*grid[p]) for p in range(num_parts)]
     doc_parts: dict = {}
-    for (a, b), p in zip(pair_arr, part_of):
-        pairs_by_part.setdefault(p, []).append((a, b))
-        doc_parts.setdefault(a, set()).add(p)
-        doc_parts.setdefault(b, set()).add(p)
+    for p, blob in enumerate(ray.get(id_futs)):
+        for i in pickle.loads(blob):
+            doc_parts.setdefault(i, []).append(p)
     # both sides hash OBJECT arrays: pandas' hash differs between
     # int64-typed and object-typed inputs, so the batch side must go
     # through np_object too (see test_verify_prefilter_hash_agreement)
-    cand_hashes = np.sort(hash64(np.array(list(doc_parts), dtype=object)))
+    cand_hashes = np.sort(hash64(np.array(list(doc_parts), dtype=object))) \
+        if doc_parts else np.empty(0, dtype=np.uint64)
     route_ref = ray.put((doc_parts, cand_hashes))
 
     def ship(batch: pa.Table) -> pa.Table:
@@ -267,9 +377,14 @@ def verify_pairs_routed(ds, id_col: str, cand: pd.DataFrame,
     packed = ds.map_batches(ship, batch_format="pyarrow",
                             zero_copy_batch=True).materialize()
     per_slice = scatter_slices(packed, num_parts)
-    futs = [_verify_part_task.remote(pairs_by_part.get(s, []), score,
-                                     score_name, *per_slice[s])
-            for s in range(num_parts)]
+    out_mode = None if output == "pandas" else (id_type, min_score)
+    futs = [_verify_part_task.remote(len(grid[p]), score, score_name,
+                                     out_mode, *grid[p], *per_slice[p])
+            for p in range(num_parts)]
+    if output == "dataset":
+        import ray.data as rd
+
+        return rd.from_arrow_refs(futs)
     out = pd.concat(ray.get(futs), ignore_index=True)
     if not len(out):
         return pd.DataFrame({"id_a": [], "id_b": [], score_name: []})
@@ -277,8 +392,7 @@ def verify_pairs_routed(ds, id_col: str, cand: pd.DataFrame,
 
 
 def _verify_jaccard_distributed(ds, text_col: str, id_col: str,
-                                cand: pd.DataFrame, n_words: int
-                                ) -> pd.DataFrame:
+                                cand, n_words: int, **kwargs):
     def extract(sub: pa.Table) -> list:
         # Python shingling runs ONLY over the surviving candidate rows
         # (the hash64 mask in verify_pairs_routed filtered the batch)
@@ -286,24 +400,32 @@ def _verify_jaccard_distributed(ds, text_col: str, id_col: str,
                 for t in sub[text_col].to_pylist()]
 
     return verify_pairs_routed(ds, id_col, cand, extract, exact_jaccard,
-                               "jaccard")
+                               "jaccard", **kwargs)
 
 
 def minhash_lsh_pairs(ds, text_col: str, id_col: str, *,
                       num_perm: int = 128, bands: int = 32,
                       n_words: int = 3, threshold: float = 0.5,
                       bucket_cap: int = 256, concurrency: int | None = None,
-                      batch_size: int = 512):
+                      batch_size: int = 512, output: str = "pandas",
+                      id_type: "pa.DataType | None" = None):
     """Near-duplicate pairs with verified word-shingle Jaccard >= threshold.
 
-    Returns a pandas DataFrame (id_a, id_b, jaccard).  Every heavy step
-    is distributed: signature + band keys in stateless vectorized
-    tasks, candidate buckets census-pruned then paired by slice-
-    addressed flat tasks, exact-Jaccard verification as a broadcast-
-    routed candidate join — the driver only ever holds the
-    candidate/verified PAIR lists.
+    ``output='pandas'`` returns a sorted DataFrame (id_a, id_b,
+    jaccard) — the final result is the only thing the driver holds;
+    ``output='dataset'`` returns a Ray Dataset of typed Arrow pair
+    blocks (threshold applied task-side) so the cluster path —
+    connected components, attach — consumes pairs with ZERO driver
+    materialization at any step.  Every heavy step is distributed:
+    signature + band keys in stateless vectorized tasks, candidate
+    buckets census-pruned then paired by slice-addressed flat tasks
+    that keep pairs partitioned by verify part (``num_returns`` grid),
+    exact-Jaccard verification as a broadcast-routed candidate join.
     """
     del concurrency  # kept for call-site compatibility (was actor pool)
+    if output == "dataset" and id_type is None:
+        sch = ds.schema()
+        id_type = sch.types[sch.names.index(id_col)]
     hasher = MinHasher(text_col=text_col, id_col=id_col,
                        num_perm=num_perm, bands=bands, n_words=n_words)
     band_rows = ds.map_batches(
@@ -338,6 +460,13 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, *,
                                                   batch_format="numpy"))
     hot = cvals[ccnts >= 2]
     if hot.size == 0:
+        if output == "dataset":
+            import ray.data as rd
+
+            return rd.from_arrow(pa.table({
+                "id_a": pa.array([], type=id_type),
+                "id_b": pa.array([], type=id_type),
+                "jaccard": pa.array([], type=pa.float64())}))
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
     hot_ref = ray.put(np.sort(hot))
 
@@ -346,10 +475,12 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, *,
         return {"key": t["key"][mask], "doc_id": t["doc_id"][mask]}
 
     pruned = keyed.map_batches(keep_hot, batch_format="numpy")
-    cand = _candidate_pairs_distributed(pruned, bucket_cap)
-    if not len(cand):
-        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-    verified = _verify_jaccard_distributed(ds, text_col, id_col, cand,
+    grid = candidate_pairs_grid(pruned, bucket_cap)
+    if output == "dataset":
+        return _verify_jaccard_distributed(
+            ds, text_col, id_col, grid, n_words, output="dataset",
+            id_type=id_type, min_score=threshold)
+    verified = _verify_jaccard_distributed(ds, text_col, id_col, grid,
                                            n_words)
     out = verified[verified["jaccard"] >= threshold]
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -84,7 +84,7 @@ def cosine_neardup_pairs(ds, vec_col: str, id_col: str, *,
     normalized vector only to the part(s) whose pairs need it, so total
     exchange volume stays well under 1x the dataset.
     """
-    from .dedup import _candidate_pairs_distributed, verify_pairs_routed
+    from .dedup import candidate_pairs_grid, verify_pairs_routed
 
     rng = np.random.default_rng(seed)
     first = ds.take(1)
@@ -111,9 +111,7 @@ def cosine_neardup_pairs(ds, vec_col: str, id_col: str, *,
 
     keyed = ds.map_batches(explode_keys, batch_format="pyarrow",
                            zero_copy_batch=True)
-    cand = _candidate_pairs_distributed(keyed, bucket_cap)
-    if not len(cand):
-        return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+    grid = candidate_pairs_grid(keyed, bucket_cap)
 
     def extract(sub: pa.Table) -> list:
         # sub is pre-filtered to candidate rows by the vectorized
@@ -123,7 +121,7 @@ def cosine_neardup_pairs(ds, vec_col: str, id_col: str, *,
         return [Mn[k] for k in range(len(Mn))]
 
     verified = verify_pairs_routed(
-        ds, id_col, cand, extract,
+        ds, id_col, grid, extract,
         lambda a, b: float(a @ b), "cos")
     out = verified[verified["cos"] >= threshold]
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

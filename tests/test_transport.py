@@ -134,3 +134,74 @@ def test_verify_prefilter_hash_agreement(ids_dtype):
     got = {(a, b): s for a, b, s in
            zip(out["id_a"], out["id_b"], out["s"])}
     assert got == {(ids[1], ids[2]): 3.0, (ids[5], ids[9]): 14.0}
+
+
+def test_candidate_pairs_stay_distributed():
+    """Directive: no driver-side list of ALL candidate pairs.  The
+    candidate path must return a grid of per-(slice, part) cell refs —
+    cells route each pair (with all its cross-slice duplicates) to one
+    verify part — and its source must never collect pairs with
+    pd.concat(ray.get(...)) (the round-3 pattern this replaces)."""
+    import inspect
+
+    from autoprepad_ray.stages import dedup
+
+    src = inspect.getsource(dedup.candidate_pairs_grid)
+    assert "pd.concat(ray.get" not in src
+
+    # a tiny keyed stream with two hot buckets split across blocks
+    keyed = rd.from_arrow([
+        pa.table({"key": pa.array([1, 1, 2], type=pa.int64()),
+                  "doc_id": pa.array([10, 11, 20], type=pa.int64())}),
+        pa.table({"key": pa.array([1, 2, 3], type=pa.int64()),
+                  "doc_id": pa.array([12, 21, 30], type=pa.int64())}),
+    ])
+    num_parts = 8
+    grid = dedup.candidate_pairs_grid(keyed, 1000, num_slices=16,
+                                      num_parts=num_parts)
+    assert len(grid) == num_parts
+    assert all(isinstance(c, ray.ObjectRef) for refs in grid
+               for c in refs)
+    seen = {}
+    for p, refs in enumerate(grid):
+        for cell in ray.get(refs):
+            a, b = pickle.loads(cell)
+            for pair in zip(a.tolist(), b.tolist()):
+                # every copy of a pair lands in ITS one part
+                assert seen.setdefault(pair, p) == p
+    want = {(10, 11), (10, 12), (11, 12), (20, 21)}
+    assert set(seen) == want
+    # part assignment matches the deterministic worker-side hash
+    ida = np.array([a for a, _ in seen], dtype=object)
+    idb = np.array([b for _, b in seen], dtype=object)
+    codes = dedup._pair_part_codes(ida, idb, num_parts)
+    assert {p for p in seen.values()} == set(codes.tolist()) and all(
+        seen[(a, b)] == c for a, b, c in zip(ida, idb, codes))
+
+
+def test_minhash_dataset_output_equals_pandas():
+    """output='dataset' (the zero-driver-materialization cluster path)
+    must contain exactly the pandas-mode pairs, typed."""
+    import pandas as pd
+
+    from autoprepad_ray.stages.dedup import minhash_lsh_pairs
+
+    import pyarrow.parquet as pq
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    for k in range(5):
+        ids.append(100000 + k)
+        texts.append(" ".join(texts[k].split()[:-2]))
+    tbl = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                    "text": pa.array(texts)})
+    ds = rd.from_arrow(tbl).repartition(4)
+    want = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5)
+    got_ds = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5,
+                               output="dataset")
+    assert got_ds.schema().types[0] == pa.int64()
+    got = got_ds.to_pandas().sort_values(["id_a", "id_b"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, want.astype({"id_a": np.int64, "id_b": np.int64}))
