@@ -101,6 +101,29 @@ def profile_lineitem_stats(sf_dir: str):
                      "distinct_v": _i64(rows["distinct_v"])})
 
 
+@query("constant_columns_events_clicks", sql=" UNION ALL ".join(
+    f"SELECT '{c}' AS col_name, CAST(COUNT({c}) AS BIGINT) AS n, "
+    f"CAST(COUNT(DISTINCT {c}) <= 1 AS BIGINT) AS is_constant "
+    f"FROM events WHERE event_type = 'click'"
+    for c in ["event_type", "user_id", "ts"]))
+def constant_columns_events_clicks(sf_dir: str):
+    """Constant / zero-variance column finding (SURVEY A6; reference
+    drops such columns silently, runs.py:333-335, experiment.py:545-559
+    — the engine reports them).  Filtering events to one event_type
+    makes that column constant by construction while user_id/ts stay
+    varied, so both branches of the check are exercised.  One profile
+    pass; NaN-free columns only (see ``domain.constant_columns``) so
+    sketch min==max equals SQL COUNT(DISTINCT)<=1 exactly."""
+    from ..validators.domain import constant_columns
+
+    ds = _t(sf_dir, "events", ["event_type", "user_id", "ts"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return constant_columns(ds, ["event_type", "user_id", "ts"],
+                            include_all=True)
+
+
 # ---------------------------------------------------------------------------
 # Tukey / MAD flags, scores, labels, verdicts (SURVEY F5-F8, M13, M14)
 

@@ -48,3 +48,53 @@ def shape_domain_flags(series: pd.Series, shape_domain: frozenset,
     format profile (rare signature => malformed id/uuid/code)."""
     shapes = signature(series)
     return (~shapes.isin(shape_domain) & series.notna()).to_numpy(np.int8)
+
+
+def constant_columns(ds, columns: list[str] | None = None, *,
+                     include_all: bool = False) -> pa.Table:
+    """Constant / zero-variance column finding (SURVEY A6).
+
+    The reference silently DROPS zero-variance columns before fitting
+    (/root/reference/pipelines/runs.py:333-335,
+    /root/reference/pipelines/experiment/experiment.py:545-559); the
+    engine surfaces them as an explicit violation listing instead —
+    a constant column in fresh data is usually an upstream bug (dead
+    sensor, join fan-out, wrong filter), not something to hide.
+
+    One streaming profile pass; no extra execution.  A column is
+    constant when it has no two distinct non-null values: numeric /
+    timestamp via exact sketch ``min == max``; string via the exact
+    value-count distinct (an overflowed counter implies far more than
+    one distinct value, hence not constant).  All-null columns count
+    as constant (the degenerate case the reference also drops).  NaN
+    parity note: the moment sketch excludes float NaNs from min/max
+    and ``n``, while SQL COUNT/DISTINCT treat NaN as a value — run the
+    check on NaN-free columns (or canonicalize first) when comparing
+    against a SQL oracle.
+
+    Returns (col_name, n, is_constant); only the constant rows unless
+    ``include_all``.
+    """
+    from ..profile import profile_dataset
+
+    prof = profile_dataset(ds, columns)
+    order = columns if columns is not None else sorted(prof.columns)
+    names, ns, flags = [], [], []
+    for name in order:
+        sk = prof[name]
+        n = sk.count
+        if n == 0:
+            const = True
+        elif sk.kind in ("numeric", "timestamp"):
+            const = sk.moments.vmin == sk.moments.vmax
+        elif not sk.values.overflow:
+            const = sk.values.distinct <= 1
+        else:
+            const = False
+        if const or include_all:
+            names.append(name)
+            ns.append(int(n))
+            flags.append(int(const))
+    return pa.table({"col_name": pa.array(names, type=pa.string()),
+                     "n": pa.array(ns, type=pa.int64()),
+                     "is_constant": pa.array(flags, type=pa.int64())})

@@ -64,7 +64,7 @@ def _install_builtins() -> None:
     from ..stages.dedup import exact_dedup, minhash_lsh_pairs, \
         simhash_neardup_pairs
     from ..stages.textjoin import ngram_jaccard_pairs
-    from . import drift, heavy, referential, uniqueness
+    from . import domain, drift, heavy, referential, uniqueness
     from .near_dup import duplicate_phash_groups, hamming_neardup_pairs
 
     def _decontaminate_self_eval(ds, eval_ds=None, *, text_col="text",
@@ -86,6 +86,8 @@ def _install_builtins() -> None:
          "approximate distinct counts (HyperLogLog)"),
         ("hll_distinct_per_group", uniqueness.hll_distinct_per_group,
          "approximate distinct values per key (HLL sketch per group)"),
+        ("constant_columns", domain.constant_columns,
+         "constant / zero-variance column finding (profile-driven)"),
         ("orphans", referential.orphans,
          "referential-integrity anti-join between two key streams"),
         ("psi_numeric", drift.psi_numeric,

@@ -163,3 +163,34 @@ def test_hll_per_group_error_bound(ray_session):
     rel = np.abs(got["distinct_est"].to_numpy()
                  - exp["n"].to_numpy()) / exp["n"].to_numpy()
     assert rel.max() < 0.05, rel
+
+
+def test_constant_columns_finding(ray_session):
+    """SURVEY A6: constant / zero-variance columns surface as findings
+    (the reference drops them silently, runs.py:333-335) — numeric
+    min==max, exact string distinct<=1, all-null degenerate, and the
+    overflow escape (huge-cardinality strings are never constant)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from autoprepad_ray.validators import registry
+    from autoprepad_ray.validators.domain import constant_columns
+
+    n = 500
+    tbl = pa.table({
+        "const_i": pa.array(np.full(n, 7), pa.int64()),
+        "const_s": pa.array(["x"] * n),
+        "all_null": pa.array([None] * n, pa.float64()),
+        "varied_i": pa.array(np.arange(n), pa.int64()),
+        "varied_s": pa.array([f"v{i}" for i in range(n)]),
+    })
+    ds = rd.from_arrow(tbl).repartition(4)
+    out = constant_columns(ds).to_pydict()
+    assert out["col_name"] == ["all_null", "const_i", "const_s"]
+    assert out["is_constant"] == [1, 1, 1]
+    assert out["n"] == [0, n, n]
+    full = registry.run("constant_columns", ds,
+                        columns=["varied_i", "const_i"],
+                        include_all=True).to_pydict()
+    assert full["col_name"] == ["varied_i", "const_i"]
+    assert full["is_constant"] == [0, 1]
