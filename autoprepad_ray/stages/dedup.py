@@ -24,16 +24,36 @@ import ray
 from ..sketches import hash64, splitmix64
 
 
+def _batch_shingles(texts, n_words: int):
+    """Distinct word-shingle hashes for a whole batch through the
+    SHARED gram kernel (``stages.text._gram_hashes`` — one flat
+    ``hash_array`` call for every word in the batch, polynomial gram
+    mixing, no per-document Python).  Documents shorter than
+    ``n_words`` contribute one whole-doc gram (``short_doc_gram``).
+    Returns (doc_idx, grams) sorted by (doc, gram) with per-doc
+    duplicate grams removed — the shingle SET stream."""
+    from .text import _flat_words, _gram_hashes
+
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(list(texts), type=pa.string())
+    words, counts = _flat_words(texts)
+    doc_idx, grams, _ = _gram_hashes(words, counts, n_words,
+                                     short_doc_gram=True)
+    if not len(grams):
+        return doc_idx, grams
+    order = np.lexsort((grams, doc_idx))
+    doc_idx, grams = doc_idx[order], grams[order]
+    first = np.r_[True, (doc_idx[1:] != doc_idx[:-1])
+                  | (grams[1:] != grams[:-1])]
+    return doc_idx[first], grams[first]
+
+
 def _shingle_hashes(text: str, n_words: int = 3) -> np.ndarray:
-    toks = text.split()
-    if not toks:
-        return np.empty(0, dtype=np.uint64)
-    if len(toks) < n_words:
-        grams = [" ".join(toks)]
-    else:
-        grams = [" ".join(toks[i:i + n_words])
-                 for i in range(len(toks) - n_words + 1)]
-    return np.unique(hash64(grams))
+    """Distinct shingle hashes of ONE document — the verify-path /
+    brute-force-oracle view of the same kernel the signature stage
+    uses, so both sides always agree on gram identity."""
+    _, grams = _batch_shingles([text or ""], n_words)
+    return grams
 
 
 def minhash_signature(shingles: np.ndarray, seeds: np.ndarray) -> np.ndarray:
@@ -69,36 +89,37 @@ class MinHasher:
         self.bands, self.n_words = bands, n_words
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        ids = batch[self.id_col].to_pylist()
-        # ONE vectorized hash call for every shingle in the batch (the
-        # per-document pandas hash would dominate the stage), then
-        # per-doc segment mins over the mixed matrix
-        grams: list[str] = []
-        offsets = [0]
-        for txt in texts:
-            toks = (txt or "").split()
-            if not toks:
-                pass
-            elif len(toks) < self.n_words:
-                grams.append(" ".join(toks))
-            else:
-                grams.extend(" ".join(toks[i:i + self.n_words])
-                             for i in range(len(toks) - self.n_words + 1))
-            offsets.append(len(grams))
-        all_h = hash64(grams) if grams else np.empty(0, np.uint64)
-        out_band = np.tile(np.arange(self.bands, dtype=np.int32),
-                           len(texts))
-        out_hash = np.empty(len(texts) * self.bands, dtype=np.int64)
-        out_id = np.repeat(np.asarray(ids, dtype=object), self.bands)
-        for i in range(len(texts)):
-            sh = np.unique(all_h[offsets[i]:offsets[i + 1]])
-            sig = minhash_signature(sh, self.seeds)
-            bh = _band_hashes(sig, self.bands)
-            out_hash[i * self.bands:(i + 1) * self.bands] = \
-                bh.view(np.int64)
+        n_docs = batch.num_rows
+        # shared gram kernel: one flat hash_array call for every word
+        # in the batch, doc-segmented distinct shingles (the per-doc
+        # Python join/tokenize loop this replaces dominated the stage)
+        doc_idx, grams = _batch_shingles(batch[self.text_col],
+                                         self.n_words)
+        sig = np.zeros((n_docs, len(self.seeds)), dtype=np.uint64)
+        if len(grams):
+            starts = np.flatnonzero(np.r_[True,
+                                          doc_idx[1:] != doc_idx[:-1]])
+            docs_present = doc_idx[starts]
+            # chunk the (perms, grams) mix matrix to ~16 MB transients
+            step = max(1, (2 << 20) // max(1, len(grams)))
+            for s in range(0, len(self.seeds), step):
+                mixed = splitmix64(grams[None, :]
+                                   ^ self.seeds[s:s + step, None])
+                mins = np.minimum.reduceat(mixed, starts, axis=1)
+                sig[docs_present, s:s + step] = mins.T
+        # per-doc band fold, vectorized across the batch:
+        # (docs, bands, r) -> r shifted splitmix folds -> (docs, bands)
+        r = len(self.seeds) // self.bands
+        folded = sig[:, : self.bands * r].reshape(n_docs, self.bands, r)
+        acc = np.zeros((n_docs, self.bands), dtype=np.uint64)
+        for j in range(r):
+            acc = splitmix64(acc ^ folded[:, :, j])
+        from ..sketches import np_object
+        out_band = np.tile(np.arange(self.bands, dtype=np.int32), n_docs)
+        out_id = np.repeat(np_object(batch[self.id_col]), self.bands)
         return pa.table({"band": pa.array(out_band),
-                         "band_hash": pa.array(out_hash),
+                         "band_hash": pa.array(
+                             acc.reshape(-1).view(np.int64)),
                          "doc_id": pa.array(out_id)})
 
 

@@ -82,7 +82,8 @@ def _flat_words(texts: pa.ChunkedArray | pa.Array):
     return words, counts
 
 
-def _gram_hashes(words: np.ndarray, counts: np.ndarray, n: int):
+def _gram_hashes(words: np.ndarray, counts: np.ndarray, n: int, *,
+                 short_doc_gram: bool = False):
     """64-bit hashes of all word n-grams, doc boundaries respected.
 
     Word hash = ``pd.util.hash_array`` over the OBJECT array (one C
@@ -90,11 +91,23 @@ def _gram_hashes(words: np.ndarray, counts: np.ndarray, n: int):
     scan pass come through this one function, so the two sides always
     agree).  Gram hash = positional polynomial over the n word hashes
     with uint64 wraparound — vectorized as n shifted adds, no per-gram
-    loop.  Returns (doc_index_per_gram, gram_hashes, grams_per_doc).
+    loop.  Returns (doc_index_per_gram, gram_hashes, grams_per_doc),
+    grams sorted by document.
+
+    ``short_doc_gram=True`` adds the MinHash-shingling rule for
+    documents shorter than ``n`` words: such a doc contributes ONE
+    gram — the same polynomial over its k < n words — instead of none
+    (the decontamination semantics, where sub-n docs genuinely have no
+    n-gram, keep the default).  Vectorized by length class: at most
+    n - 1 extra shifted-add passes, each over only the short docs of
+    that length.
     """
     h = pd.util.hash_array(words) if len(words) else np.empty(
         0, dtype=np.uint64)
     g_per_doc = np.maximum(counts - (n - 1), 0)
+    if short_doc_gram:
+        g_per_doc = np.where(counts > 0, np.maximum(g_per_doc, 1),
+                             g_per_doc)
     total = int(g_per_doc.sum())
     if total == 0:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64),
@@ -106,10 +119,18 @@ def _gram_hashes(words: np.ndarray, counts: np.ndarray, n: int):
         np.concatenate([[0], np.cumsum(g_per_doc)])[:-1], g_per_doc)
     starts = base + intra
     grams = np.zeros(total, dtype=np.uint64)
+    # short docs occupy their single gram slot; width = their own count
+    width = np.repeat(np.minimum(counts, n), g_per_doc) if short_doc_gram \
+        else None
     with np.errstate(over="ignore"):               # uint64 wrap is the point
         mult = np.uint64(1)
         for j in range(n):
-            grams = grams * _GRAM_MULT + h[starts + j] * mult
+            if width is None:
+                grams = grams * _GRAM_MULT + h[starts + j] * mult
+            else:
+                live = j < width
+                grams[live] = grams[live] * _GRAM_MULT \
+                    + h[starts[live] + j] * mult
             mult = mult * np.uint64(0x100000001B3)  # FNV odd prime
     return doc_idx, grams, g_per_doc
 

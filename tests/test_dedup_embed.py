@@ -268,3 +268,27 @@ def test_label_centroids_match_numpy():
         assert row["n"] == len(sel)
         np.testing.assert_allclose(np.array(row["centroid"]),
                                    sel.mean(axis=0), atol=1e-12)
+
+
+def test_minhasher_batch_matches_perdoc_reference():
+    """The vectorized batch signature path (shared gram kernel +
+    reduceat segment mins + batch band fold) must emit exactly the
+    per-document reference composition minhash_signature ->
+    _band_hashes over _shingle_hashes."""
+    from autoprepad_ray.stages.dedup import (MinHasher, _band_hashes,
+                                             minhash_signature)
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "one two", "", "single",
+             "the quick brown fox jumps over the lazy cat",
+             "a b c d e f g h i j k l m n o p"]
+    ids = list(range(len(texts)))
+    mh = MinHasher("text", "doc_id", num_perm=64, bands=16)
+    got = mh(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                       "text": pa.array(texts)})).to_pandas()
+    for i, txt in enumerate(texts):
+        sh = _shingle_hashes(txt, 3)
+        want = _band_hashes(minhash_signature(sh, mh.seeds), 16) \
+            .view(np.int64)
+        rows = got[got["doc_id"] == i].sort_values("band")
+        assert rows["band_hash"].to_numpy().tolist() == want.tolist(), i
