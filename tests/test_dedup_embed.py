@@ -292,3 +292,28 @@ def test_minhasher_batch_matches_perdoc_reference():
             .view(np.int64)
         rows = got[got["doc_id"] == i].sort_values("band")
         assert rows["band_hash"].to_numpy().tolist() == want.tolist(), i
+
+
+def test_label_centroids_wide_and_long_forms_equal():
+    """The stage's wide list<float64> output (the real-consumer form)
+    and the query's long (label, n, dim, value) explode (the
+    oracle-harness form — list columns don't sort/hash there) must
+    carry the same values."""
+    from autoprepad_ray.pipelines.queries import label_centroids_embeddings
+    from autoprepad_ray.stages.embed import label_centroids
+
+    sf = "/root/testdata/sf0.001"
+    import ray.data as rd
+    wide = label_centroids(
+        rd.read_parquet(f"{sf}/embeddings.parquet",
+                        columns=["embedding", "label"]))
+    assert wide.schema.field("centroid").type == pa.list_(pa.float64())
+    long = label_centroids_embeddings(sf).to_pandas()
+    for lab, n, cent in zip(wide["label"].to_pylist(),
+                            wide["n"].to_pylist(),
+                            wide["centroid"].to_pylist()):
+        sub = long[long["label"] == lab].sort_values("dim")
+        assert (sub["n"] == n).all()
+        np.testing.assert_array_equal(
+            sub["value"].to_numpy(),
+            np.round(np.asarray(cent, dtype=np.float64), 6))
