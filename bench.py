@@ -97,9 +97,34 @@ def _consume(res) -> int:
     return 0
 
 
+def _wait_quiet() -> list:
+    """Hold the bench until the box is quiet (load5 below
+    GRAFT_QUIET_LOAD, default 3.0), bounded by GRAFT_QUIET_WAIT_SEC
+    (default 900; 0 disables).  Single-query walls swing 3-5x when a
+    neighbor loads the host (hypervisor steal is LOAD-TRIGGERED here —
+    see BASELINE.md), so an un-gated capture measures the neighbor,
+    not the code.  Returns [load1, load5] at release time for the
+    output record."""
+    limit = float(os.environ.get("GRAFT_QUIET_LOAD", "3.0"))
+    budget = float(os.environ.get("GRAFT_QUIET_WAIT_SEC", "900"))
+    waited = 0.0
+    while True:
+        l1, l5 = [float(x) for x in
+                  open("/proc/loadavg").read().split()[:2]]
+        if l5 < limit or waited >= budget:
+            if waited >= budget and l5 >= limit:
+                print(f"# bench: never quiet (load5={l5}) after "
+                      f"{waited:.0f}s — timing under load",
+                      file=sys.stderr)
+            return [l1, l5]
+        time.sleep(30)
+        waited += 30
+
+
 def run_bench() -> dict:
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_at_start = _wait_quiet()
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
@@ -172,6 +197,7 @@ def run_bench() -> dict:
         "images": n_images,
         "images_per_sec": round(n_images / t_img, 1),
         "image_validation_passes": img_passes,
+        "loadavg_at_start": load_at_start,
     }
     ray.shutdown()
     return out
