@@ -968,6 +968,29 @@ def phash_neardup_pairs(sf_dir: str):
     return hamming_neardup_pairs(ds, max_dist=4)
 
 
+@query("phash_dedup_clusters_images")
+def phash_dedup_clusters_images(sf_dir: str):
+    """Image near-dup CLUSTERS (pairs -> connected components ->
+    canonical flags) on the F-IMG table — the image-side counterpart
+    of minhash_dedup_clusters: exact phash collisions star to their
+    representative, banded-Hamming pairs (<= 4 bits) connect
+    representatives, and every image gets its transitive cluster id
+    with the minimum-id member flagged canonical (what a dedup keeps).
+    Rows-only; pytest pins clusters against a brute-force union-find
+    over all O(n^2) Hamming pairs (test_near_dup)."""
+    from ..validators.near_dup import phash_dedup_clusters
+
+    d = _fimg_for_sf(sf_dir)
+    ds = rd.read_parquet(f"{d}/images").select_columns(
+        ["image_id", "phash"])
+    out = phash_dedup_clusters(ds, max_dist=4)
+    return out.map_batches(
+        lambda df: df.assign(is_canonical=df["is_canonical"]
+                             .astype(np.int64))
+        .sort_values("image_id").reset_index(drop=True),
+        batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # batch 2: mode / z-flags / missing bit patterns / KS / histogram
 
@@ -2909,6 +2932,37 @@ def json_extract_events_props(sf_dir: str):
 
     return _t(sf_dir, "events", ["event_id", "props"]).map_batches(
         ext, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@query("pii_mask_events_props", sql="""
+SELECT event_id,
+       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS masked_props,
+       CAST(length(regexp_extract_all(props, '[0-9]+')) AS BIGINT)
+           AS n_matches
+FROM events""")
+def pii_mask_events_props(sf_dir: str):
+    """PII-style redaction kernel: mask every occurrence of a
+    sensitive pattern in a string column and count the hits — the
+    scrubbing pass every training-corpus pipeline runs (emails,
+    phones, ids) before release.  Pattern here is digit runs (the only
+    PII-shaped content in the fixture; the kernel takes any RE2 —
+    pyarrow and DuckDB both compile RE2, which is what makes the
+    masked STRINGS exactly SQL-checkable).  Two vectorized Arrow C
+    kernels per batch (replace_substring_regex + count_substring_regex),
+    pure map, no shuffle; nulls stay null on both sides."""
+
+    def mask(t: pa.Table) -> pa.Table:
+        s = t["props"].combine_chunks() \
+            if isinstance(t["props"], pa.ChunkedArray) else t["props"]
+        return pa.table({
+            "event_id": t["event_id"],
+            "masked_props": pc.replace_substring_regex(
+                s, pattern="[0-9]+", replacement="<NUM>"),
+            "n_matches": pc.cast(pc.count_substring_regex(
+                s, pattern="[0-9]+"), pa.int64())})
+
+    return _t(sf_dir, "events", ["event_id", "props"]).map_batches(
+        mask, batch_format="pyarrow", zero_copy_batch=True)
 
 
 @query("bm25_docs")

@@ -510,3 +510,58 @@ def hamming_neardup_pairs(ds, *, max_dist: int = 4,
     band_ds = _band_stream(ds, phash_col, num_parts, hot_ref)
     ph_pairs = _pair_parts(band_ds, max_dist, bucket_cap, num_parts)
     return _resolve_ids(ds, phash_col, id_col, ph_pairs)
+
+
+def phash_dedup_clusters(ds, *, phash_col: str = "phash",
+                         id_col: str = "image_id", max_dist: int = 4,
+                         member_cap: int = 4096,
+                         scheme: str = "4x16",
+                         materialize_input: bool = False):
+    """Transitive near-duplicate CLUSTERS for the image/phash family —
+    the keep-one-canonical step the minhash path already has
+    (pairs name WHO matches; a dedup needs the components).
+
+    Edges feeding ``stages.graph.connected_components``:
+
+    - NEAR (1 <= dist <= max_dist): :func:`hamming_neardup_pairs`,
+      which reports one representative id (the global min) per
+      DISTINCT hash value;
+    - EXACT (dist 0): every hash with >= 2 rows contributes star edges
+      representative -> member from :func:`duplicate_phash_groups`, so
+      same-hash rows join their representative's component.  Member
+      listings are bounded by ``member_cap`` ids per hash value (the
+      census counts stay exact) — past the cap a hot hash's remaining
+      members stay unlabeled singletons; raise the cap or dedup
+      exact-equal hashes upstream first at that density.
+
+    Together the transitive closure equals the closure of ALL row
+    pairs at Hamming distance <= max_dist (recall caveats of the
+    banding ``scheme`` apply to the NEAR component — exact to d=3 for
+    4x16, d=5 for 2x32f1).
+
+    Returns ``ds``'s id column labeled (id, cluster_id, is_canonical)
+    via the broadcast ``attach_clusters`` — rows in no cluster label
+    themselves and stay canonical.
+    """
+    from ..stages.graph import attach_clusters, connected_components
+
+    if materialize_input:
+        ds = ds.materialize()
+    near = hamming_neardup_pairs(ds, phash_col=phash_col, id_col=id_col,
+                                 max_dist=max_dist, scheme=scheme)
+    groups = duplicate_phash_groups(ds, phash_col=phash_col,
+                                    id_col=id_col,
+                                    sample_cap=member_cap).to_pandas()
+    ex_a, ex_b = [], []
+    for ids in groups["ids"]:
+        members = np.asarray(ids, dtype=object)
+        if len(members) >= 2:
+            ex_a.append(np.broadcast_to(members[0],
+                                        (len(members) - 1,)).copy())
+            ex_b.append(members[1:])
+    src = np.concatenate([near["id_a"].to_numpy()] + ex_a) \
+        if len(near) or ex_a else np.empty(0, dtype=object)
+    dst = np.concatenate([near["id_b"].to_numpy()] + ex_b) \
+        if len(near) or ex_a else np.empty(0, dtype=object)
+    cc = connected_components((src, dst), "src", "dst")
+    return attach_clusters(ds.select_columns([id_col]), id_col, cc)

@@ -65,7 +65,8 @@ def _install_builtins() -> None:
         simhash_neardup_pairs
     from ..stages.textjoin import ngram_jaccard_pairs
     from . import domain, drift, heavy, referential, uniqueness
-    from .near_dup import duplicate_phash_groups, hamming_neardup_pairs
+    from .near_dup import (duplicate_phash_groups, hamming_neardup_pairs,
+                           phash_dedup_clusters)
 
     def _decontaminate_self_eval(ds, eval_ds=None, *, text_col="text",
                                  id_col="doc_id", n=8):
@@ -100,6 +101,8 @@ def _install_builtins() -> None:
          "exact near-dup buckets on a 64-bit hash column"),
         ("hamming_neardup_pairs", hamming_neardup_pairs,
          "banded-Hamming near-duplicate pairs (distributed MIH)"),
+        ("phash_dedup_clusters", phash_dedup_clusters,
+         "transitive near-dup clusters + canonical flags on a hash col"),
         ("minhash_neardup_pairs", minhash_lsh_pairs,
          "MinHash+LSH near-duplicate pairs with exact-Jaccard verify"),
         ("simhash_neardup_pairs", simhash_neardup_pairs,

@@ -232,3 +232,50 @@ def test_flip_scheme_exact_at_d4_where_4x16_misses():
     planted = {tuple(sorted((f"r{k:03d}", f"p{k:03d}"))) for k in range(8)}
     assert not (legacy_pairs & planted)
     assert planted <= brute(4)
+
+
+def test_phash_dedup_clusters_match_bruteforce_unionfind():
+    """Clusters = transitive closure of ALL row pairs at dist <= 3
+    (exact recall regime of the 4x16 banding), including exact-equal
+    hashes; canonical = minimum id per component; untouched rows label
+    themselves."""
+    from autoprepad_ray.validators.near_dup import phash_dedup_clusters
+
+    rng = np.random.default_rng(21)
+    tbl = _fixture(n_base=300, n_planted=24, seed=21)
+    ids = list(tbl["image_id"].to_pylist())
+    ph = list(tbl["phash"].to_pylist())
+    # plant exact duplicates (dist 0) of a few hashes, incl. a triple
+    for k, src in enumerate([0, 0, 5, 17]):
+        ids.append(f"x{k:05d}")
+        ph.append(ph[src])
+    tbl = pa.table({"image_id": pa.array(ids),
+                    "phash": pa.array(ph, type=pa.int64())})
+    ds = rd.from_arrow(tbl).repartition(5)
+
+    got = phash_dedup_clusters(ds, max_dist=3).to_pandas() \
+        .sort_values("image_id").reset_index(drop=True)
+
+    # brute-force union-find over every pair at dist <= 3 (incl. 0)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    arr = np.asarray(ph, dtype=np.int64)
+    for i in range(len(ids) - 1):
+        d = hamming64(arr[i + 1:], int(arr[i]))
+        for j in np.nonzero(d <= 3)[0]:
+            ra, rb = find(ids[i]), find(ids[i + 1 + j])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in ids}
+
+    assert len(got) == len(ids)
+    for _, row in got.iterrows():
+        assert row["cluster_id"] == want[row["image_id"]], row["image_id"]
+        assert bool(row["is_canonical"]) == \
+            (want[row["image_id"]] == row["image_id"])
