@@ -70,6 +70,24 @@ def _merge_count_payloads(batch: pa.Table) -> pa.Table:
     return _pickled(_merge_count_arrays(parts))
 
 
+def _minid_per_key(keys: np.ndarray, ids: np.ndarray
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted unique keys, min id per key) — vectorized lexsort fold
+    of (key, id) partials."""
+    order = np.lexsort((ids, keys))
+    keys, ids = keys[order], ids[order]
+    first = np.r_[True, keys[1:] != keys[:-1]] if len(keys) else \
+        np.empty(0, bool)
+    return keys[first], ids[first]
+
+
+def _merge_minid_payloads(batch: pa.Table) -> pa.Table:
+    parts = [pickle.loads(p) for p in batch["payload"].to_pylist()]
+    keys = np.concatenate([p[0] for p in parts])
+    ids = np.concatenate([p[1] for p in parts])
+    return _pickled(_minid_per_key(keys, ids))
+
+
 def _tree_counts(ds_payloads) -> tuple[np.ndarray, np.ndarray]:
     """Tree-merge pickled (values, counts) array partials: one 32-way
     merge level, then a vectorized driver fold.  Returns sorted
@@ -122,20 +140,28 @@ def duplicate_phash_groups(ds, *, phash_col: str = "phash",
             np.where(first, np.arange(len(ph)), 0)) if len(ph) else \
             np.empty(0, np.int64)
         keep = rank < sample_cap
-        return pa.table({id_col: pa.array(ids[keep]),
-                         phash_col: pa.array(ph[keep])})
+        # packed (hash, id) arrays: the driver fold is one lexsort over
+        # arrays, never per-row dict appends
+        return _pickled((ph[keep].astype(np.int64), ids[keep]))
 
-    rows = (ds.map_batches(members, batch_format="pyarrow",
-                           zero_copy_batch=True).take_all())
-    by_hash: dict[int, list] = {}
-    for r in rows:
-        by_hash.setdefault(int(r[phash_col]), []).append(r[id_col])
-    hashes = sorted(by_hash)
+    parts = [pickle.loads(r["payload"])
+             for r in ds.map_batches(members, batch_format="pyarrow",
+                                     zero_copy_batch=True).take_all()]
+    ph_all = np.concatenate([p[0] for p in parts]) if parts else \
+        np.empty(0, np.int64)
+    id_all = np.concatenate([p[1] for p in parts]) if parts else \
+        np.empty(0, object)
+    order = np.lexsort((id_all, ph_all))
+    ph_all, id_all = ph_all[order], id_all[order]
+    bounds = np.flatnonzero(np.r_[True, ph_all[1:] != ph_all[:-1], True])
+    hashes, id_lists = [], []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        hashes.append(int(ph_all[s]))
+        id_lists.append(id_all[s:min(e, s + sample_cap)].tolist())
     return pa.table({
         phash_col: pa.array(hashes, type=pa.int64()),
         "n": pa.array([dup[h] for h in hashes], type=pa.int64()),
-        "ids": pa.array([sorted(by_hash[h])[:sample_cap] for h in hashes],
-                        type=pa.list_(pa.string()))})
+        "ids": pa.array(id_lists, type=pa.list_(pa.string()))})
 
 
 _GROUPED_SEG_MAX = 256  # segments up to this size batch by size class
@@ -420,23 +446,25 @@ def _resolve_ids(ds, phash_col: str, id_col: str,
         ph = t[phash_col].to_numpy(zero_copy_only=False)
         m = np.isin(ph, ray.get(need_ref))
         ph, ids = ph[m], np_object(t[id_col])[m]
-        if not len(ph):
-            return pa.table({"ph": pa.array([], type=pa.int64()),
-                             "id": t[id_col].slice(0, 0)})
-        order = np.lexsort((ids, ph))
-        ph, ids = ph[order], ids[order]
-        first = np.r_[True, ph[1:] != ph[:-1]]
-        return pa.table({"ph": pa.array(ph[first]),
-                         "id": pa.array(ids[first])})
+        if len(ph):
+            order = np.lexsort((ids, ph))
+            ph, ids = ph[order], ids[order]
+            first = np.r_[True, ph[1:] != ph[:-1]]
+            ph, ids = ph[first], ids[first]
+        # packed (hash, min-id) arrays — the driver fold is one
+        # vectorized lexsort over arrays, never per-row dict updates
+        return _pickled((ph.astype(np.int64), ids))
 
-    rep: dict[int, object] = {}
-    for r in ds.map_batches(partial, batch_format="pyarrow",
-                            zero_copy_batch=True).take_all():
-        p, i = r["ph"], r["id"]
-        if p not in rep or i < rep[p]:
-            rep[p] = i
-    a = np.array([rep[p] for p in ph_pairs["ph_a"]], dtype=object)
-    b = np.array([rep[p] for p in ph_pairs["ph_b"]], dtype=object)
+    parts = [pickle.loads(r["payload"])
+             for r in ds.map_batches(partial, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+             .map_batches(_merge_minid_payloads, batch_size=32,
+                          batch_format="pyarrow").take_all()]
+    ph_all = np.concatenate([p[0] for p in parts])
+    id_all = np.concatenate([p[1] for p in parts])
+    ph_u, id_u = _minid_per_key(ph_all, id_all)
+    a = id_u[np.searchsorted(ph_u, ph_pairs["ph_a"].to_numpy())]
+    b = id_u[np.searchsorted(ph_u, ph_pairs["ph_b"].to_numpy())]
     swap = a > b
     out = pd.DataFrame({
         "id_a": pd.Series(np.where(swap, b, a)),
