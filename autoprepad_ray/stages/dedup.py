@@ -360,32 +360,43 @@ def verify_pairs_routed(ds, id_col: str, cand, extract, score,
         grid = cand
         num_parts = len(grid)
 
+    # routing map as SORTED ARRAYS, folded vectorized from the per-part
+    # id partials — no Python loop over candidate ids on the driver.
+    # Keys are hash64 of OBJECT id arrays (pandas' hash differs between
+    # int64-typed and object-typed inputs, so the batch side goes
+    # through np_object too — test_verify_prefilter_hash_agreement); a
+    # hash collision only ships a payload to an extra part, where the
+    # verify task's real-id dict ignores it.
     id_futs = [_part_ids_task.remote(*grid[p]) for p in range(num_parts)]
-    doc_parts: dict = {}
+    h_list, p_list = [], []
     for p, blob in enumerate(ray.get(id_futs)):
-        for i in pickle.loads(blob):
-            doc_parts.setdefault(i, []).append(p)
-    # both sides hash OBJECT arrays: pandas' hash differs between
-    # int64-typed and object-typed inputs, so the batch side must go
-    # through np_object too (see test_verify_prefilter_hash_agreement)
-    cand_hashes = np.sort(hash64(np.array(list(doc_parts), dtype=object))) \
-        if doc_parts else np.empty(0, dtype=np.uint64)
-    route_ref = ray.put((doc_parts, cand_hashes))
+        arr = pickle.loads(blob)
+        if len(arr):
+            h_list.append(hash64(arr))
+            p_list.append(np.full(len(arr), p, dtype=np.int32))
+    route_h = np.concatenate(h_list) if h_list else \
+        np.empty(0, dtype=np.uint64)
+    route_p = np.concatenate(p_list) if p_list else \
+        np.empty(0, dtype=np.int32)
+    order = np.lexsort((route_p, route_h))
+    route_h, route_p = route_h[order], route_p[order]
+    route_ref = ray.put((route_h, route_p))
 
     def ship(batch: pa.Table) -> pa.Table:
-        routes, ch = ray.get(route_ref)
+        rh, rp = ray.get(route_ref)
         ids_all = np_object(batch[id_col])
-        mask = np.isin(hash64(ids_all), ch)
+        h_all = hash64(ids_all)
+        lo = np.searchsorted(rh, h_all, side="left")
+        hi = np.searchsorted(rh, h_all, side="right")
+        mask = hi > lo
         per_part: dict[int, tuple[list, list]] = {}
         if mask.any():
             objs = extract(batch.filter(pa.array(mask)))
-            for i, obj in zip(ids_all[mask], objs):
-                ps = routes.get(i)
-                if ps is None:       # hash64 collision false positive
-                    continue
+            for i, obj, a, b in zip(ids_all[mask], objs,
+                                    lo[mask], hi[mask]):
                 blob = pickle.dumps(obj)
-                for p in ps:
-                    ids_l, blobs_l = per_part.setdefault(p, ([], []))
+                for p in rp[a:b]:
+                    ids_l, blobs_l = per_part.setdefault(int(p), ([], []))
                     ids_l.append(i)
                     blobs_l.append(blob)
         slices = sorted(per_part)
