@@ -153,3 +153,40 @@ def test_gram_hashes_respect_doc_boundaries_property():
             didx, np.repeat(np.arange(len(texts)), gpd))
 
     inner()
+
+
+def test_gram_hashes_short_doc_mode_property():
+    """Property (short_doc_gram=True, the MinHash shingling mode): the
+    batch kernel equals per-doc calls; a doc with 0 < k < n words gets
+    exactly ONE gram, equal to the default kernel's n-gram with n = k
+    over that doc; docs with >= n words are byte-identical to the
+    default mode."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from autoprepad_ray.stages.text import _flat_words, _gram_hashes
+
+    word = st.text(alphabet="abcxyz", min_size=1, max_size=3)
+    doc = st.lists(word, min_size=1, max_size=10).map(" ".join)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6), st.integers(2, 4))
+    def inner(texts, n):
+        batch = pa.array(texts)
+        w, c = _flat_words(batch)
+        didx, grams, gpd = _gram_hashes(w, c, n, short_doc_gram=True)
+        exp_grams, exp_gpd = [], []
+        for t in texts:
+            wi, ci = _flat_words(pa.array([t]))
+            k = len(t.split(" "))
+            _, gi, _ = _gram_hashes(wi, ci, n if k >= n else k)
+            exp_grams.append(gi)
+            exp_gpd.append(len(gi))
+        np.testing.assert_array_equal(
+            grams, np.concatenate(exp_grams) if exp_grams
+            else np.empty(0))
+        assert list(gpd) == exp_gpd
+        np.testing.assert_array_equal(
+            didx, np.repeat(np.arange(len(texts)), gpd))
+
+    inner()
