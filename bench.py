@@ -71,6 +71,9 @@ BENCH_QUERIES = [
     "top_term_per_doc",
     "group_distinct_users_events",
     "running_total_docs",
+    "constant_columns_events_clicks",
+    "pii_mask_events_props",
+    "phash_dedup_clusters_images",
 ]
 
 IMG_PARTITIONS = 32
