@@ -94,11 +94,19 @@ class DecodeVerify:
         for (ih, iw), members in groups.items():
             idx = np.array([m[0] for m in members])
             stack = np.stack([m[1] for m in members])          # (k,h,w,3)
-            gray = stack.sum(axis=3, dtype=np.uint16)
             if ih % 8 == 0 and iw % 8 == 0:
-                cells = gray.reshape(len(idx), 8, ih // 8, 8, iw // 8) \
-                    .mean(axis=(2, 4))
+                # fused cell sums straight off the uint8 stack: cell
+                # mean of the gray (channel-sum) plane == cell pixel
+                # sum over all channels / pixels-per-cell, and integer
+                # sums < 2^53 make the float64 division exact — bit-
+                # identical to the uint16-gray mean while skipping the
+                # 4 bytes/px write+reread of the gray intermediate
+                # (this stage is memory-bandwidth-bound)
+                csum = stack.reshape(len(idx), 8, ih // 8, 8, iw // 8, 3) \
+                    .sum(axis=(2, 4, 5), dtype=np.int64)
+                cells = csum / float((ih // 8) * (iw // 8))
             else:
+                gray = stack.sum(axis=3, dtype=np.uint16)
                 cells = np.stack([ic._box_mean_8x8(g) for g in gray])
             bits = cells > cells.mean(axis=(1, 2), keepdims=True)
             packed = np.packbits(bits.reshape(len(idx), 64), axis=1)
