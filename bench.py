@@ -148,9 +148,11 @@ def run_bench() -> dict:
     # across the two scaling runs via the /tmp cache)
     img_dir, _ = ensure_fimg(partitions=IMG_PARTITIONS, rows=IMG_ROWS,
                              inject=False, use_ray=True)
-    # media fixture likewise generated outside timing (/tmp cache)
-    from autoprepad_ray.pipelines.queries import _fmedia_for_sf
+    # media + sf-scaled image fixtures likewise generated outside
+    # timing (/tmp caches; the sf-scaled F-IMG feeds the phash queries)
+    from autoprepad_ray.pipelines.queries import _fimg_for_sf, _fmedia_for_sf
     _fmedia_for_sf(sf_dir)
+    _fimg_for_sf(sf_dir)
 
     # Warm-up: (a) spawn + import-warm the Ray worker pool — parquet
     # count() is metadata-only and spawns nothing, so without a real
