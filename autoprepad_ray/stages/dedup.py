@@ -31,11 +31,22 @@ def _batch_shingles(texts, n_words: int):
     mixing, no per-document Python).  Documents shorter than
     ``n_words`` contribute one whole-doc gram (``short_doc_gram``).
     Returns (doc_idx, grams) sorted by (doc, gram) with per-doc
-    duplicate grams removed — the shingle SET stream."""
+    duplicate grams removed — the shingle SET stream.
+
+    Tokenization matches ``str.split()`` (the dedup family's historic
+    semantics): whitespace RUNS of any kind separate words and edge
+    whitespace is ignored, so 'a\\tb' and 'a  b' shingle identically —
+    one vectorized Arrow regex normalization before the single-space
+    kernel split (which decontamination keeps raw for its SQL-oracle
+    parity)."""
+    import pyarrow.compute as pc
+
     from .text import _flat_words, _gram_hashes
 
     if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
         texts = pa.array(list(texts), type=pa.string())
+    texts = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+        texts, pattern=r"\s+", replacement=" "))
     words, counts = _flat_words(texts)
     doc_idx, grams, _ = _gram_hashes(words, counts, n_words,
                                      short_doc_gram=True)
@@ -212,7 +223,15 @@ def candidate_pairs_grid(keyed, bucket_cap: int, *, num_slices: int = 64,
     the result, and ``verify_pairs_routed`` consumes it part-by-part.
 
     Returns ``grid`` where ``grid[p]`` lists one cell ref per slice,
-    each a pickled (id_a, id_b) array pair for verify part ``p``."""
+    each a pickled (id_a, id_b) array pair for verify part ``p``.
+
+    Transport regime note: cells below Ray's ~100 KB inline-return
+    bound live in the DRIVER's in-process store, so a small pair
+    stream routes its bytes through the driver — bounded by O(pairs),
+    i.e. never worse than the pre-grid design that materialized the
+    whole list there.  A large (dup-heavy) stream's cells clear the
+    bound and live in plasma, where each byte moves once — the regime
+    where distribution actually matters."""
     import pickle
 
     from .transport import scatter_slices
@@ -380,6 +399,17 @@ def verify_pairs_routed(ds, id_col: str, cand, extract, score,
         np.empty(0, dtype=np.int32)
     order = np.lexsort((route_p, route_h))
     route_h, route_p = route_h[order], route_p[order]
+    if not len(route_h):
+        # no candidates anywhere: skip the full-dataset ship scan (a
+        # whole extra execution) and return the typed empty result
+        if output == "dataset":
+            import ray.data as rd
+
+            return rd.from_arrow(pa.table({
+                "id_a": pa.array([], type=id_type),
+                "id_b": pa.array([], type=id_type),
+                score_name: pa.array([], type=pa.float64())}))
+        return pd.DataFrame({"id_a": [], "id_b": [], score_name: []})
     route_ref = ray.put((route_h, route_p))
 
     def ship(batch: pa.Table) -> pa.Table:

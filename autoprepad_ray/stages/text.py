@@ -119,19 +119,37 @@ def _gram_hashes(words: np.ndarray, counts: np.ndarray, n: int, *,
         np.concatenate([[0], np.cumsum(g_per_doc)])[:-1], g_per_doc)
     starts = base + intra
     grams = np.zeros(total, dtype=np.uint64)
-    # short docs occupy their single gram slot; width = their own count
-    width = np.repeat(np.minimum(counts, n), g_per_doc) if short_doc_gram \
-        else None
+    # short docs occupy their single gram slot (width = their own word
+    # count).  The HOT path stays the contiguous unmasked loop — short
+    # grams are the rare slice, so they are recomputed separately
+    # afterwards instead of paying gather/scatter masking on every gram
+    # of the dominant >= n-word population.
+    short_pos = None
+    if short_doc_gram:
+        short_docs = (counts > 0) & (counts < n)
+        if short_docs.any():
+            short_pos = np.flatnonzero(np.repeat(short_docs, g_per_doc))
     with np.errstate(over="ignore"):               # uint64 wrap is the point
         mult = np.uint64(1)
+        last = len(h) - 1
         for j in range(n):
-            if width is None:
-                grams = grams * _GRAM_MULT + h[starts + j] * mult
-            else:
-                live = j < width
-                grams[live] = grams[live] * _GRAM_MULT \
-                    + h[starts[live] + j] * mult
+            # a trailing short doc's starts+j can run past the word
+            # array — clip (the garbage it mixes is overwritten below)
+            idx = starts + j if short_pos is None \
+                else np.minimum(starts + j, last)
+            grams = grams * _GRAM_MULT + h[idx] * mult
             mult = mult * np.uint64(0x100000001B3)  # FNV odd prime
+        if short_pos is not None:
+            s_starts = starts[short_pos]
+            s_width = np.repeat(counts, g_per_doc)[short_pos]
+            g = np.zeros(len(short_pos), dtype=np.uint64)
+            mult = np.uint64(1)
+            for j in range(int(s_width.max())):
+                live = j < s_width
+                g[live] = g[live] * _GRAM_MULT \
+                    + h[s_starts[live] + j] * mult
+                mult = mult * np.uint64(0x100000001B3)
+            grams[short_pos] = g
     return doc_idx, grams, g_per_doc
 
 

@@ -87,9 +87,13 @@ def constant_columns(ds, columns: list[str] | None = None, *,
             const = True
         elif sk.kind in ("numeric", "timestamp"):
             const = sk.moments.vmin == sk.moments.vmax
-        elif not sk.values.overflow:
+        elif sk.kind == "string" and not sk.values.overflow:
             const = sk.values.distinct <= 1
         else:
+            # 'other'-kind columns (binary / list / struct) carry no
+            # value sketch — constancy is UNDECIDABLE from the profile,
+            # so report not-constant rather than false-flagging every
+            # blob/embedding column (their distinct stays 0)
             const = False
         if const or include_all:
             names.append(name)

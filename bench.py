@@ -127,7 +127,6 @@ def _wait_quiet() -> list:
 def run_bench() -> dict:
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    load_at_start = _wait_quiet()
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
@@ -167,6 +166,11 @@ def run_bench() -> dict:
     rd.read_parquet(f"{img_dir}/images", columns=["bytes"]) \
         .map_batches(lambda t: _pa.table({"n": [t.num_rows]}),
                      batch_format="pyarrow", zero_copy_batch=True).count()
+
+    # gate AFTER fixture generation/warm-up: a cold F-IMG cache takes
+    # ~12 min to build, long enough for a quiet window sampled before
+    # it to have expired by the time timing starts
+    load_at_start = _wait_quiet()
 
     queries: dict[str, float] = {}
 

@@ -317,3 +317,13 @@ def test_label_centroids_wide_and_long_forms_equal():
         np.testing.assert_array_equal(
             sub["value"].to_numpy(),
             np.round(np.asarray(cent, dtype=np.float64), 6))
+
+
+def test_shingles_whitespace_run_invariant():
+    """str.split() semantics (r4 review finding): whitespace RUNS and
+    kinds must not change the shingle set — 'a\\tb  c' shingles like
+    'a b c', so whitespace-variant near-dups keep jaccard 1.0."""
+    a = _shingle_hashes("alpha beta gamma delta epsilon", 3)
+    b = _shingle_hashes("alpha\tbeta  gamma\ndelta epsilon ", 3)
+    np.testing.assert_array_equal(a, b)
+    assert exact_jaccard(a, b) == 1.0

@@ -194,3 +194,25 @@ def test_constant_columns_finding(ray_session):
                         include_all=True).to_pydict()
     assert full["col_name"] == ["varied_i", "const_i"]
     assert full["is_constant"] == [0, 1]
+
+
+def test_constant_columns_other_kind_not_flagged(ray_session):
+    """Binary / list ('other'-kind) columns carry no value sketch —
+    constancy is undecidable from the profile and must NOT be
+    false-flagged (r4 review finding: they previously all came back
+    constant because distinct stayed 0)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from autoprepad_ray.validators.domain import constant_columns
+
+    tbl = pa.table({
+        "blob": pa.array([bytes([i]) for i in range(50)], pa.binary()),
+        "vec": pa.array([[float(i), 1.0] for i in range(50)],
+                        pa.list_(pa.float64())),
+        "all_null_blob": pa.array([None] * 50, pa.binary()),
+    })
+    out = constant_columns(rd.from_arrow(tbl).repartition(2),
+                           include_all=True).to_pydict()
+    flags = dict(zip(out["col_name"], out["is_constant"]))
+    assert flags == {"blob": 0, "vec": 0, "all_null_blob": 1}
