@@ -367,8 +367,18 @@ def run_validation(images_dir: str, out_dir: str, *,
         }
         _atomic_write_json(manifest_path, manifest)
 
+    # A6 finding off the already-built reference profile (zero extra
+    # pass): the reference DROPS zero-variance columns silently before
+    # fitting (reference runs.py:333-335, experiment.py:545-559); the
+    # engine reports them — a constant stat column usually means a
+    # broken upstream feed, not a column to quietly exclude
+    from ..validators.domain import sketch_is_constant
+    const_cols = sorted(n for n in prof.columns
+                        if sketch_is_constant(prof[n]))
+
     run_entry = {"started_at": time.time(), "pending": pending,
-                 "profile_fp": prof_fp}
+                 "profile_fp": prof_fp,
+                 "constant_columns": const_cols}
     if run_global_checks:
         from ..sketches import hash64, np_object
         from ..validators.near_dup import _merge_count_arrays

@@ -50,6 +50,25 @@ def shape_domain_flags(series: pd.Series, shape_domain: frozenset,
     return (~shapes.isin(shape_domain) & series.notna()).to_numpy(np.int8)
 
 
+def sketch_is_constant(sk) -> bool:
+    """Constancy decision for ONE ColumnSketch (shared by the dataset
+    check and profile-holding pipelines like the image runner).
+    All-null is constant; numeric/timestamp decide by exact sketch
+    min == max; strings by exact value-count distinct <= 1 (an
+    overflowed counter implies far more than one value);
+    'other'-kind columns (binary / list / struct) carry no value
+    sketch — constancy is UNDECIDABLE from the profile, so report
+    not-constant rather than false-flagging every blob/embedding
+    column (their distinct stays 0)."""
+    if sk.count == 0:
+        return True
+    if sk.kind in ("numeric", "timestamp"):
+        return bool(sk.moments.vmin == sk.moments.vmax)
+    if sk.kind == "string" and not sk.values.overflow:
+        return sk.values.distinct <= 1
+    return False
+
+
 def constant_columns(ds, columns: list[str] | None = None, *,
                      include_all: bool = False) -> pa.Table:
     """Constant / zero-variance column finding (SURVEY A6).
@@ -82,22 +101,10 @@ def constant_columns(ds, columns: list[str] | None = None, *,
     names, ns, flags = [], [], []
     for name in order:
         sk = prof[name]
-        n = sk.count
-        if n == 0:
-            const = True
-        elif sk.kind in ("numeric", "timestamp"):
-            const = sk.moments.vmin == sk.moments.vmax
-        elif sk.kind == "string" and not sk.values.overflow:
-            const = sk.values.distinct <= 1
-        else:
-            # 'other'-kind columns (binary / list / struct) carry no
-            # value sketch — constancy is UNDECIDABLE from the profile,
-            # so report not-constant rather than false-flagging every
-            # blob/embedding column (their distinct stays 0)
-            const = False
+        const = sketch_is_constant(sk)
         if const or include_all:
             names.append(name)
-            ns.append(int(n))
+            ns.append(int(sk.count))
             flags.append(int(const))
     return pa.table({"col_name": pa.array(names, type=pa.string()),
                      "n": pa.array(ns, type=pa.int64()),
