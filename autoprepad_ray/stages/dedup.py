@@ -34,11 +34,13 @@ def _batch_shingles(texts, n_words: int):
     duplicate grams removed — the shingle SET stream.
 
     Tokenization matches ``str.split()`` (the dedup family's historic
-    semantics): whitespace RUNS of any kind separate words and edge
-    whitespace is ignored, so 'a\\tb' and 'a  b' shingle identically —
-    one vectorized Arrow regex normalization before the single-space
-    kernel split (which decontamination keeps raw for its SQL-oracle
-    parity)."""
+    semantics): whitespace RUNS of any kind — including Unicode
+    separators (NBSP, ideographic space: ``\\p{Z}``), NEL and the
+    \\x0B/\\x1C-\\x1F controls RE2's ASCII ``\\s`` misses — separate
+    words and edge whitespace is ignored, so 'a\\tb', 'a\\xa0b' and
+    'a  b' all shingle identically.  One vectorized Arrow regex
+    normalization before the single-space kernel split (which
+    decontamination keeps raw for its SQL-oracle parity)."""
     import pyarrow.compute as pc
 
     from .text import _flat_words, _gram_hashes
@@ -46,7 +48,9 @@ def _batch_shingles(texts, n_words: int):
     if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
         texts = pa.array(list(texts), type=pa.string())
     texts = pc.utf8_trim_whitespace(pc.replace_substring_regex(
-        texts, pattern=r"\s+", replacement=" "))
+        texts,
+        pattern=r"[\s\p{Z}\x{0085}\x{000B}\x{001C}-\x{001F}]+",
+        replacement=" "))
     words, counts = _flat_words(texts)
     doc_idx, grams, _ = _gram_hashes(words, counts, n_words,
                                      short_doc_gram=True)
@@ -456,10 +460,14 @@ def verify_pairs_routed(ds, id_col: str, cand, extract, score,
 def _verify_jaccard_distributed(ds, text_col: str, id_col: str,
                                 cand, n_words: int, **kwargs):
     def extract(sub: pa.Table) -> list:
-        # Python shingling runs ONLY over the surviving candidate rows
-        # (the hash64 mask in verify_pairs_routed filtered the batch)
-        return [_shingle_hashes(t or "", n_words)
-                for t in sub[text_col].to_pylist()]
+        # ONE batched kernel call over the surviving candidate rows
+        # (the hash64 mask in verify_pairs_routed filtered the batch);
+        # per-row _shingle_hashes would pay Arrow array construction +
+        # two kernels + a hash call per document
+        doc_idx, grams = _batch_shingles(sub[text_col], n_words)
+        bounds = np.searchsorted(doc_idx,
+                                 np.arange(sub.num_rows + 1))
+        return [grams[s:e] for s, e in zip(bounds[:-1], bounds[1:])]
 
     return verify_pairs_routed(ds, id_col, cand, extract, exact_jaccard,
                                "jaccard", **kwargs)
@@ -510,7 +518,7 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, *,
                     zero_copy_only=False))}
 
     # keyed is consumed twice (census, then pruned pairing); materialize
-    # so the signature actor pool runs ONCE — the keyed stream is small
+    # so the signature chain runs ONCE — the keyed stream is small
     # (bands x n rows of int64 + id) and object-store-resident/spillable
     keyed = band_rows.map_batches(fold_key,
                                   batch_format="pyarrow").materialize()

@@ -158,10 +158,14 @@ def duplicate_phash_groups(ds, *, phash_col: str = "phash",
     for s, e in zip(bounds[:-1], bounds[1:]):
         hashes.append(int(ph_all[s]))
         id_lists.append(id_all[s:min(e, s + sample_cap)].tolist())
+    # id list type INFERRED from the data (string image ids, int64 doc
+    # ids both work); only the no-members case needs an explicit type
+    ids_arr = pa.array(id_lists) if id_lists else \
+        pa.array([], type=pa.list_(pa.string()))
     return pa.table({
         phash_col: pa.array(hashes, type=pa.int64()),
         "n": pa.array([dup[h] for h in hashes], type=pa.int64()),
-        "ids": pa.array(id_lists, type=pa.list_(pa.string()))})
+        "ids": ids_arr})
 
 
 _GROUPED_SEG_MAX = 256  # segments up to this size batch by size class
@@ -463,8 +467,23 @@ def _resolve_ids(ds, phash_col: str, id_col: str,
     ph_all = np.concatenate([p[0] for p in parts])
     id_all = np.concatenate([p[1] for p in parts])
     ph_u, id_u = _minid_per_key(ph_all, id_all)
-    a = id_u[np.searchsorted(ph_u, ph_pairs["ph_a"].to_numpy())]
-    b = id_u[np.searchsorted(ph_u, ph_pairs["ph_b"].to_numpy())]
+
+    def _lookup(col: np.ndarray) -> np.ndarray:
+        pos = np.minimum(np.searchsorted(ph_u, col), len(ph_u) - 1) \
+            if len(ph_u) else np.zeros(len(col), dtype=np.int64)
+        if not len(ph_u) or not (ph_u[pos] == col).all():
+            # loud, like the dict KeyError this replaced: a pair hash
+            # absent from the resolution scan means the input chain
+            # changed between executions (see materialize_input)
+            missing = col if not len(ph_u) else col[ph_u[pos] != col]
+            raise KeyError(
+                f"_resolve_ids: {len(missing)} pair hash(es) not found "
+                "in the id-resolution scan (nondeterministic input "
+                "chain? pass materialize_input=True)")
+        return id_u[pos]
+
+    a = _lookup(ph_pairs["ph_a"].to_numpy())
+    b = _lookup(ph_pairs["ph_b"].to_numpy())
     swap = a > b
     out = pd.DataFrame({
         "id_a": pd.Series(np.where(swap, b, a)),

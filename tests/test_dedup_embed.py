@@ -327,3 +327,8 @@ def test_shingles_whitespace_run_invariant():
     b = _shingle_hashes("alpha\tbeta  gamma\ndelta epsilon ", 3)
     np.testing.assert_array_equal(a, b)
     assert exact_jaccard(a, b) == 1.0
+    # Unicode separators + the controls RE2's ASCII \s misses (NBSP,
+    # NEL, VT, FS) — str.split() splits them all
+    c = _shingle_hashes(
+        "alpha\xa0beta\x85gamma\x0bdelta\x1cepsilon", 3)
+    np.testing.assert_array_equal(a, c)
