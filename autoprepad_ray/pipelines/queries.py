@@ -2957,14 +2957,12 @@ def pii_mask_events_props(sf_dir: str):
     pure map, no shuffle; nulls stay null on both sides."""
 
     def mask(t: pa.Table) -> pa.Table:
-        s = t["props"].combine_chunks() \
-            if isinstance(t["props"], pa.ChunkedArray) else t["props"]
         return pa.table({
             "event_id": t["event_id"],
             "masked_props": pc.replace_substring_regex(
-                s, pattern="[0-9]+", replacement="<NUM>"),
+                t["props"], pattern="[0-9]+", replacement="<NUM>"),
             "n_matches": pc.cast(pc.count_substring_regex(
-                s, pattern="[0-9]+"), pa.int64())})
+                t["props"], pattern="[0-9]+"), pa.int64())})
 
     return _t(sf_dir, "events", ["event_id", "props"]).map_batches(
         mask, batch_format="pyarrow", zero_copy_batch=True)

@@ -101,22 +101,28 @@ def _consume(res) -> int:
 
 
 def _wait_quiet() -> list:
-    """Hold the bench until the box is quiet (load5 below
+    """Hold the bench until the box is quiet (load1 below
     GRAFT_QUIET_LOAD, default 3.0), bounded by GRAFT_QUIET_WAIT_SEC
-    (default 900; 0 disables).  Single-query walls swing 3-5x when a
-    neighbor loads the host (hypervisor steal is LOAD-TRIGGERED here —
-    see BASELINE.md), so an un-gated capture measures the neighbor,
-    not the code.  Returns [load1, load5] at release time for the
-    output record."""
+    (default 900; 0 disables the gate).  Single-query walls swing
+    3-5x when a neighbor loads the host (hypervisor steal is
+    LOAD-TRIGGERED here — see BASELINE.md), so an un-gated capture
+    measures the neighbor, not the code.
+
+    The gate runs AFTER the bench's own warm-up, so it keys on the
+    1-MINUTE average: the bench's own fixture/warm-up load decays out
+    of load1 in ~a minute while genuine neighbor load persists —
+    load5 would stall minutes on self-generated load (and, under
+    --scaling, on the previous child's).  Returns [load1, load5] at
+    release time for the output record."""
     limit = float(os.environ.get("GRAFT_QUIET_LOAD", "3.0"))
     budget = float(os.environ.get("GRAFT_QUIET_WAIT_SEC", "900"))
     waited = 0.0
     while True:
         l1, l5 = [float(x) for x in
                   open("/proc/loadavg").read().split()[:2]]
-        if l5 < limit or waited >= budget:
-            if waited >= budget and l5 >= limit:
-                print(f"# bench: never quiet (load5={l5}) after "
+        if l1 < limit or waited >= budget:
+            if budget and waited >= budget and l1 >= limit:
+                print(f"# bench: never quiet (load1={l1}) after "
                       f"{waited:.0f}s — timing under load",
                       file=sys.stderr)
             return [l1, l5]
