@@ -37,9 +37,11 @@ def entry() -> Any:
          "Tukey_Total", "MAD_Total", "AnomalyScore", "AnomalyLabel"])
 
 
-# Queries the round-3 driver gate already verified green (CORRECTNESS_r03).
-# The gate covered only the first 50 registry entries, so rotate these BEHIND
-# the not-yet-driver-verified ones; new round-4 queries land in front too.
+# Queries earlier driver gates verified green (union of CORRECTNESS_r03 +
+# CORRECTNESS_r04).  The gate covers only the first 50 registry entries per
+# round, so rotate these BEHIND the not-yet-driver-verified ones; queries
+# whose implementation CHANGED this round are pulled back out (below) so the
+# r5 gate re-verifies them first.
 _R03_DRIVER_COVERED = frozenset({
     "profile_lineitem_stats", "tukey_flags_events", "mad_flags_events",
     "anomaly_scores_events", "partition_verdicts_events",
@@ -63,12 +65,51 @@ _R03_DRIVER_COVERED = frozenset({
     "iterative_impute_lineitem",
 })
 
+# round-4 gate greens (CORRECTNESS_r04: 44 SQL-exact + 6 rows-only checked)
+_R04_DRIVER_COVERED = frozenset({
+    "constant_columns_events_clicks", "phash_dedup_clusters_images",
+    "audio_features_clips", "video_frame_neardup_pairs",
+    "asof_join_events_orders", "range_join_purchase_window",
+    "pack_documents_bins", "deterministic_split_events",
+    "tumbling_window_counts", "group_quantiles_events",
+    "rolling_window_events", "sessionize_events", "top_events_per_user",
+    "json_roundtrip_nation", "heavy_hitters_quantity",
+    "vocab_top_terms_docs", "percent_rank_events",
+    "pivot_event_type_counts", "semi_join_urgent_customers",
+    "rollup_pricing_levels", "stratified_sample_events",
+    "hopping_window_counts", "top_term_per_doc",
+    "group_distinct_users_events", "running_total_docs",
+    "text_roundtrip_nation", "decontaminate_docs", "word_repetition_docs",
+    "user_event_sequences", "cube_pricing_levels", "ntile_events_value",
+    "left_join_customer_orders", "quota_sample_docs",
+    "label_centroids_embeddings", "full_outer_user_day_activity",
+    "cross_join_region_nation", "setops_orderkeys_by_flag",
+    "json_extract_events_props", "pii_mask_events_props", "bm25_docs",
+    "session_stats_events", "cohort_retention_events",
+    "funnel_stages_events", "event_transition_counts",
+    "hll_distinct_users_per_day",
+})
+
+# implementations that CHANGED in round 5 — re-verify them first even though
+# an earlier gate passed them (near-dup pair/cluster rework, aggregate-driven
+# experiment sweep, vectorized string/encoder kernels, new SQL oracles)
+_R05_CHANGED = frozenset({
+    "phash_dedup_clusters_images", "phash_neardup_pairs",
+    "simhash_neardup_docs", "video_frame_neardup_pairs",
+    "image_validation_verdicts", "mixed_experiment_metrics",
+    "bm25_docs", "label_centroids_embeddings", "text_quality_docs",
+    "bit_patterns_partnames", "ordinal_encode_priority",
+    "preprocess_events_matrix",
+})
+
+_DRIVER_COVERED = (_R03_DRIVER_COVERED | _R04_DRIVER_COVERED) - _R05_CHANGED
+
 
 def _ordered_registry():
     from autoprepad_ray.pipelines.queries import REGISTRY
 
-    fresh = {n: q for n, q in REGISTRY.items() if n not in _R03_DRIVER_COVERED}
-    seen = {n: q for n, q in REGISTRY.items() if n in _R03_DRIVER_COVERED}
+    fresh = {n: q for n, q in REGISTRY.items() if n not in _DRIVER_COVERED}
+    seen = {n: q for n, q in REGISTRY.items() if n in _DRIVER_COVERED}
     return {**fresh, **seen}
 
 

@@ -25,9 +25,25 @@ def ordinal_map(values: np.ndarray) -> dict:
 
 
 def ordinal_encode_array(arr, mapping: dict, unknown: int = -1) -> np.ndarray:
+    """Vectorized category -> code lookup: one ``np.searchsorted`` over
+    the sorted category array instead of a per-value dict ``.map``
+    (mixed-type or otherwise non-sortable inputs fall back to the map
+    path, matching its NaN -> unknown semantics)."""
     vals = np.asarray(arr if not hasattr(arr, "to_numpy")
                       else arr.to_numpy(zero_copy_only=False), dtype=object)
-    return pd.Series(vals).map(mapping).fillna(unknown).to_numpy(np.int64)
+    if not len(mapping) or not len(vals):
+        return np.full(len(vals), unknown, dtype=np.int64)
+    cats = np.array(sorted(mapping), dtype=object)
+    codes = np.array([mapping[c] for c in cats], dtype=np.int64)
+    try:
+        null = pd.isna(vals)
+        safe = np.where(null, cats[0], vals)
+        pos = np.minimum(np.searchsorted(cats, safe), len(cats) - 1)
+        hit = (cats[pos] == safe) & ~null
+        return np.where(hit, codes[pos], unknown).astype(np.int64)
+    except TypeError:
+        return pd.Series(vals).map(mapping).fillna(unknown) \
+            .to_numpy(np.int64)
 
 
 def binary_bits(codes: np.ndarray, k: int) -> dict[str, np.ndarray]:

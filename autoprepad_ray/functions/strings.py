@@ -49,13 +49,22 @@ def shape_pattern(series: pd.Series) -> pd.Series:
     return s
 
 
-def reference_bit_pattern(series: pd.Series) -> pd.Series:
-    """EXACT reference encoding (CategoricalPatterns.py:57-75): per char
-    upper->'00', lower->'01', digit->'10', other->'11'; '0' prepended;
-    rendered as ``str(BitArray(bin=bits))``.  The bit length is always
-    odd (2n+1), and bitstring renders non-nibble-aligned values in
-    binary form — i.e. ``'0b' + bits`` — so the encoding is reproduced
-    here without the bitstring dependency.  Nulls stay null."""
+# byte-class LUT for the vectorized reference_bit_pattern: per ASCII
+# byte the two code chars (upper->'00', lower->'01', digit->'10',
+# other->'11') — the same flat-buffer trick _gram_hashes uses
+_BIT0 = np.full(256, ord("1"), dtype=np.uint8)
+_BIT1 = np.full(256, ord("1"), dtype=np.uint8)
+_BIT0[ord("A"):ord("Z") + 1] = ord("0")
+_BIT1[ord("A"):ord("Z") + 1] = ord("0")
+_BIT0[ord("a"):ord("z") + 1] = ord("0")
+_BIT1[ord("a"):ord("z") + 1] = ord("1")
+_BIT0[ord("0"):ord("9") + 1] = ord("1")
+_BIT1[ord("0"):ord("9") + 1] = ord("0")
+
+
+def _bit_pattern_rowwise(series: pd.Series) -> pd.Series:
+    """Per-row reference encoding — the non-ASCII / non-string fallback
+    (Python char classes are Unicode-aware; the byte LUT is not)."""
     def enc(v):
         if v is None or (isinstance(v, float) and np.isnan(v)):
             return None
@@ -74,6 +83,55 @@ def reference_bit_pattern(series: pd.Series) -> pd.Series:
     return series.map(enc)
 
 
+def reference_bit_pattern(series: pd.Series) -> pd.Series:
+    """EXACT reference encoding (CategoricalPatterns.py:57-75): per char
+    upper->'00', lower->'01', digit->'10', other->'11'; '0' prepended;
+    rendered as ``str(BitArray(bin=bits))``.  The bit length is always
+    odd (2n+1), and bitstring renders non-nibble-aligned values in
+    binary form — i.e. ``'0b' + bits`` — so the encoding is reproduced
+    here without the bitstring dependency.  Nulls stay null.
+
+    Vectorized: a uint8 byte-class LUT over the Arrow flat string
+    buffer writes every output byte with two fancy-indexed stores and
+    the result array assembles via ``StringArray.from_buffers`` — no
+    per-row Python on the ASCII hot path (non-ASCII or non-string
+    inputs fall back to the row-wise Unicode-exact encoder)."""
+    try:
+        arr = pa.Array.from_pandas(series, type=pa.string())
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        return _bit_pattern_rowwise(series)
+    if arr.offset != 0:
+        arr = pa.concat_arrays([arr])
+    off = arr.buffers()[1]
+    off = np.frombuffer(off, dtype=np.int32, count=len(arr) + 1)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8,
+                         count=int(off[-1])) if arr.buffers()[2] else \
+        np.empty(0, dtype=np.uint8)
+    if data.size and (data >= 0x80).any():
+        return _bit_pattern_rowwise(series)
+    n = len(arr)
+    lens = np.diff(off).astype(np.int64)
+    out_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(3 + 2 * lens, out=out_off[1:])
+    buf = np.empty(int(out_off[-1]), dtype=np.uint8)
+    starts = out_off[:-1]
+    buf[starts] = ord("0")
+    buf[starts + 1] = ord("b")
+    buf[starts + 2] = ord("0")
+    if data.size:
+        row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        in_pos = np.arange(len(data), dtype=np.int64) - np.repeat(
+            off[:-1].astype(np.int64), lens)
+        pos = out_off[row] + 3 + 2 * in_pos
+        buf[pos] = _BIT0[data]
+        buf[pos + 1] = _BIT1[data]
+    validity = arr.buffers()[0]
+    out = pa.StringArray.from_buffers(
+        n, pa.py_buffer(out_off.astype(np.int32).tobytes()),
+        pa.py_buffer(buf.tobytes()), validity, arr.null_count)
+    return pd.Series(out.to_pandas().to_numpy(), index=series.index)
+
+
 def word_counts(series: pd.Series) -> pd.Series:
     """Whitespace token count (trimmed); empty -> 0."""
     t = series.fillna("").str.strip()
@@ -82,13 +140,21 @@ def word_counts(series: pd.Series) -> pd.Series:
 
 
 def stopword_ratio(series: pd.Series, stopwords: tuple[str, ...] = ("the", "a", "of", "and", "to")) -> pd.Series:
-    """Share of tokens that are stopwords — a quality-score component."""
-    toks = series.fillna("").str.strip().str.split(r"\s+", regex=True)
-    n = word_counts(series)
+    """Share of tokens that are stopwords — a quality-score component.
 
-    sw = frozenset(stopwords)
-    hits = toks.map(lambda ws: sum(1 for w in ws if w in sw) if isinstance(ws, list) else 0)
-    return (hits / n.replace(0, 1)).where(n > 0, 0.0)
+    Vectorized: one explode + ``isin`` + level-0 segment sum over the
+    whole batch (the ``_langid_frame`` shape) — no per-row Python."""
+    idx = series.index
+    s = series.reset_index(drop=True)
+    t = s.fillna("").str.strip()
+    toks = t.str.split(r"\s+", regex=True)
+    n = toks.str.len().where(t.str.len() > 0, 0).astype("int64")
+    hits = (toks.explode().isin(frozenset(stopwords))
+            .groupby(level=0).sum()
+            .reindex(range(len(s)), fill_value=0).astype("int64"))
+    out = (hits / n.replace(0, 1)).where(n > 0, 0.0)
+    out.index = idx
+    return out
 
 
 def punct_ratio(series: pd.Series) -> pd.Series:

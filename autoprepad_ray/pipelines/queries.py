@@ -983,11 +983,10 @@ def phash_dedup_clusters_images(sf_dir: str):
     d = _fimg_for_sf(sf_dir)
     ds = rd.read_parquet(f"{d}/images").select_columns(
         ["image_id", "phash"])
-    # the near+exact+attach composition scans its input ~7 times;
-    # materializing the tiny (id, phash) stream trades one execution
-    # for six object-store re-reads (12.3s -> 7.2s at sf0.1).  At
-    # 10^12-row scale prefer re-reading the pruned parquet instead
-    # (hamming_neardup_pairs docstring).
+    # r5 fused shape: ONE pass emits census partials + id-carrying band
+    # cells, ONE pass labels rows through the broadcast hash->cluster
+    # map — two executions of the input total; materializing the tiny
+    # (id, phash) stream makes the second an object-store re-read.
     out = phash_dedup_clusters(ds, max_dist=4, materialize_input=True)
     return out.map_batches(
         lambda df: df.assign(is_canonical=df["is_canonical"]
@@ -2744,29 +2743,42 @@ def quota_sample_docs(sf_dir: str):
     return quota_sample(docs, "doc_id", "source", 5)
 
 
-@query("label_centroids_embeddings")
+@query("label_centroids_embeddings", sql="""
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       dim,
+       ROUND(SUM(CAST(e AS DOUBLE)), 2) / COUNT(*) AS value
+FROM (SELECT label, unnest(embedding) AS e,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim
+      FROM embeddings)
+GROUP BY label, dim""")
 def label_centroids_embeddings(sf_dir: str):
     """Per-class mean embedding (prototype vectors for
-    nearest-centroid labeling / corpus diagnostics).  Rows-only: float
-    vector means are order-sensitive, so the oracle is a pytest
-    numpy-mean parity check (test_dedup_embed), not SQL.  Emitted in
-    long (label, n, dim, value) form — scalar columns sort/hash
-    cleanly in any comparison harness."""
+    nearest-centroid labeling / corpus diagnostics).  SQL-exact (r5):
+    the stage's raw per-dim SUMS ride along with the centroids, and
+    the emitted mean is ROUND(SUM, 2)/COUNT on both sides — the
+    file-header float-parity trick (the rounded sum snaps both
+    engines' order-sensitive float sums to the same value; the IEEE
+    division is then deterministic).  Emitted in long (label, n, dim,
+    value) form — scalar columns sort/hash cleanly in any comparison
+    harness; the unrounded means stay pinned by the numpy pytest
+    oracle (test_dedup_embed)."""
     from ..stages.embed import label_centroids
 
     wide = label_centroids(_t(sf_dir, "embeddings",
                               ["embedding", "label"]))
     labs = wide["label"].to_numpy()
     ns = wide["n"].to_numpy()
-    cents = [np.asarray(c, dtype=np.float64)
-             for c in wide["centroid"].to_pylist()]
-    d = len(cents[0]) if cents else 0
+    sums = [np.asarray(c, dtype=np.float64)
+            for c in wide["vec_sum"].to_pylist()]
+    d = len(sums[0]) if sums else 0
     return pa.table({
         "label": _i64(np.repeat(labs, d)),
         "n": _i64(np.repeat(ns, d)),
         "dim": _i64(np.tile(np.arange(d, dtype=np.int64), len(labs))),
-        "value": pa.array(np.round(np.concatenate(cents), 6)
-                          if cents else np.array([], dtype=np.float64))})
+        "value": pa.array(np.round(np.concatenate(sums), 2)
+                          / np.repeat(ns, d).astype(np.float64)
+                          if sums else np.array([], dtype=np.float64))})
 
 
 @query("full_outer_user_day_activity", sql="""
@@ -2968,14 +2980,48 @@ def pii_mask_events_props(sf_dir: str):
         mask, batch_format="pyarrow", zero_copy_batch=True)
 
 
-@query("bm25_docs")
+@query("bm25_docs", sql="""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+t AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+         CAST(len(list_filter(w, x -> x = 'merge')) AS DOUBLE) AS tf1,
+         CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) AS tf2,
+         CAST(len(list_filter(w, x -> x = 'sort')) AS DOUBLE) AS tf3
+  FROM d),
+c AS (
+  SELECT COUNT(*) AS n, SUM(dl) AS total,
+         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+         SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+  FROM t),
+s AS (
+  SELECT total / n AS avgdl,
+         ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) AS idf1,
+         ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) AS idf2,
+         ln(1.0 + (n - df3 + 0.5) / (df3 + 0.5)) AS idf3
+  FROM c)
+SELECT t.doc_id,
+  ROUND(idf1 * tf1 * (1.2 + 1.0)
+            / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / avgdl))
+      + idf2 * tf2 * (1.2 + 1.0)
+            / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / avgdl))
+      + idf3 * tf3 * (1.2 + 1.0)
+            / (tf3 + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / avgdl)), 6)
+      AS bm25
+FROM t, s""")
 def bm25_docs(sf_dir: str):
     """BM25 relevance of every document against a fixed query — the
     retrieval ranker beside the TF-IDF and cosine families.  Corpus
     stats (N, avgdl, per-term df) fold from per-block int payloads;
-    scoring is a broadcast-state map.  Rows-only: log-idf floats are
-    libm-dependent, so the oracle is a pure-numpy pytest parity check
-    (test_textops), not SQL."""
+    scoring is a broadcast-state map.  SQL-exact (r5): the oracle
+    mirrors the engine's arithmetic ORDER term by term (same
+    left-associativity, (1.2 + 1.0) spelled as the same float
+    expression, per-value DOUBLE casts), so every op is deterministic
+    IEEE except ln() — numpy's and DuckDB's ln agree to the last ulp
+    on these inputs and the r6 round absorbs any residue (verified
+    value-exact at sf 0.001/0.01/0.1); the pure-numpy pytest oracle
+    (test_textops) still pins the unrounded math at 1e-9."""
     from ..stages.text import bm25_scores
 
     return bm25_scores(_t(sf_dir, "documents", ["doc_id", "text"]),

@@ -258,4 +258,9 @@ def label_centroids(ds, vec_col: str = "embedding",
         "n": pa.array([acc[l][0] for l in labs], pa.int64()),
         "centroid": pa.array([(acc[l][1] / acc[l][0]).tolist()
                               for l in labs],
-                             pa.list_(pa.float64()))})
+                             pa.list_(pa.float64())),
+        # raw per-dim sums ride along so SQL-parity consumers can apply
+        # the ROUND(SUM, 2)/COUNT mean trick (queries.py header) —
+        # mean*n would NOT reproduce the sum bit-exactly
+        "vec_sum": pa.array([acc[l][1].tolist() for l in labs],
+                            pa.list_(pa.float64()))})

@@ -18,23 +18,24 @@ of the d differing bits — guaranteed for d <= 3 (4 bands, pigeonhole),
 ~90% for d = 4 under uniform bit positions (documented recall bound;
 exact-equal hashes are the other stage's job).  The opt-in
 ``scheme='2x32f1'`` (2x32-bit bands, 1-bit-flip enumeration) makes
-recall EXACT through d = 5 at 66 keys/row — see
-:func:`_band_stream_flip`.
+recall EXACT through d = 5 at 66 keys/row — see :func:`_scheme_keys`.
 
-Execution shape — pairing and verification are DISTRIBUTED, never
-driver-side:
-1. dense band census (4x65536 bincount partials, vector-add tree merge)
-   decides the path: ``prune`` broadcasts the multi-member bucket keys
-   and ships only their rows; ``mih_shuffle`` (when collisions are the
-   norm, n >> 2^16 per band) skips the pointless filter and ships the
-   whole band stream;
-2. either way, ONE hash-partitioned exchange on ``part =
-   splitmix64(band_key) % P`` co-locates complete buckets, and
-   ``groupby(part).map_groups`` pairs within lexsorted segments — full
-   64-bit Hamming verification happens inside the group.  Rows are
-   deduped to one representative per distinct hash value (min id) both
-   per block and per part, which also neutralizes hot-value skew.
-Only verified (id_a, id_b, dist) pairs — the output — reach the driver.
+Execution shape — pairing, id resolution and verification are all
+DISTRIBUTED, never driver-side (r5 layout):
+
+1. the deduped band stream carries (band_key, hash, block-min id)
+   triples sliced by ``part = splitmix64(band_key) % P`` — every bucket
+   lands complete in one slice, and because EVERY block containing a
+   hash ships that hash's row for each of its band keys, a pairing task
+   can fold the GLOBAL min id per hash from its own slice alone;
+2. flat per-slice ray tasks (slice-addressed scatter,
+   ``stages.transport``) dedupe cross-block rows, pair within lexsorted
+   bucket segments with the size-class-batched XOR+popcount kernel, and
+   return verified (hash_a, hash_b, dist) pairs PLUS the (hash, min id)
+   resolution entries for exactly the hashes their pairs touch — the
+   separate id-resolution pass of earlier rounds no longer exists.
+Only verified pairs and their per-hash representatives — the output —
+reach the driver.
 """
 
 from __future__ import annotations
@@ -67,6 +68,9 @@ def _merge_count_arrays(parts: list[tuple[np.ndarray, np.ndarray]]
 
 def _merge_count_payloads(batch: pa.Table) -> pa.Table:
     parts = [pickle.loads(p) for p in batch["payload"].to_pylist()]
+    if not parts:
+        # a filtered mixed stream can hand the merge an empty batch
+        return pa.table({"payload": pa.array([], type=pa.large_binary())})
     return _pickled(_merge_count_arrays(parts))
 
 
@@ -114,9 +118,14 @@ def duplicate_phash_groups(ds, *, phash_col: str = "phash",
                                              zero_copy_batch=True))
     dup_mask = cnts >= 2
     if not dup_mask.any():
+        # empty-list value type derives from the INPUT id column so the
+        # output schema is stable whether or not dups exist (r4 advice:
+        # hardcoded list<string> flipped the schema for int64-id inputs)
+        sch = ds.schema()
+        id_type = dict(zip(sch.names, sch.types)).get(id_col, pa.string())
         return pa.table({phash_col: pa.array([], type=pa.int64()),
                          "n": pa.array([], type=pa.int64()),
-                         "ids": pa.array([], type=pa.list_(pa.string()))})
+                         "ids": pa.array([], type=pa.list_(id_type))})
     dup = dict(zip(vals[dup_mask].tolist(), cnts[dup_mask].tolist()))
     dup_ref = ray.put(vals[dup_mask].astype(np.int64))
 
@@ -158,14 +167,10 @@ def duplicate_phash_groups(ds, *, phash_col: str = "phash",
     for s, e in zip(bounds[:-1], bounds[1:]):
         hashes.append(int(ph_all[s]))
         id_lists.append(id_all[s:min(e, s + sample_cap)].tolist())
-    # id list type INFERRED from the data (string image ids, int64 doc
-    # ids both work); only the no-members case needs an explicit type
-    ids_arr = pa.array(id_lists) if id_lists else \
-        pa.array([], type=pa.list_(pa.string()))
     return pa.table({
         phash_col: pa.array(hashes, type=pa.int64()),
         "n": pa.array([dup[h] for h in hashes], type=pa.int64()),
-        "ids": ids_arr})
+        "ids": pa.array(id_lists)})
 
 
 _GROUPED_SEG_MAX = 256  # segments up to this size batch by size class
@@ -274,6 +279,58 @@ def _band_combos(ph: np.ndarray) -> np.ndarray:
     return out
 
 
+def _scheme_keys(ph: np.ndarray, scheme: str) -> tuple[np.ndarray, int]:
+    """All band-bucket keys per hash for a banding scheme, row-major.
+
+    ``4x16``: 4 16-bit substrings (multi-index hashing) — exact recall
+    to d = 3, ~90% at d = 4; 4 keys/hash.
+
+    ``2x32f1``: 2x32-bit bands with 1-bit-flip enumeration (Norouzi et
+    al. MIH with query expansion).  Each hash emits, per band, its band
+    value plus all 32 1-bit flips (66 keys/hash).  Two hashes at
+    distance d split their differing bits between the two bands; by
+    pigeonhole some band carries <= floor(d/2) of them, so for d <= 5
+    some band differs in <= 2 bits — and 1-bit flips FROM BOTH SIDES
+    meet in the middle: diff 0 collides on the originals, diff 1 on one
+    side's flip, diff 2 on the two complementary flips.  Recall is
+    therefore exact for max_dist <= 5; the pairing stage's XOR+popcount
+    verify discards the extra candidates flips invent.  Cost: 66
+    keys/hash vs 4 — opt-in where the missed ~10% at d = 4 matters more
+    than the 16x band-stream volume.
+
+    Returns (keys flattened to (n * keys_per_hash,), keys_per_hash);
+    ``np.repeat(ph, keys_per_hash)`` aligns hashes with their keys."""
+    if scheme == "4x16":
+        return _band_combos(ph).ravel(), N_BANDS
+    if scheme == "2x32f1":
+        u = ph.astype(np.int64).view(np.uint64)
+        flips = (np.uint64(1) << np.arange(32, dtype=np.uint64))
+        cols = []
+        for b in range(2):
+            val = ((u >> np.uint64(32 * b))
+                   & np.uint64(0xFFFFFFFF))                  # (n,)
+            cand = np.concatenate(
+                [val[:, None], val[:, None] ^ flips[None, :]],
+                axis=1)                                      # (n, 33)
+            off = np.uint64((b + 1) << 32)  # band tag above the 32 bits
+            cols.append((cand + off).astype(np.int64))
+        return np.concatenate(cols, axis=1).ravel(), 66
+    raise ValueError(f"unknown banding scheme {scheme!r}")
+
+
+def _owner_keys(ph: np.ndarray, scheme: str) -> np.ndarray:
+    """ONE deterministic band key per hash (its first key) — used to
+    assign each hash an owner slice so per-hash side-channel emissions
+    (exact-dup min ids) happen exactly once across pairing tasks."""
+    u = ph.astype(np.int64).view(np.uint64)
+    if scheme == "4x16":
+        return (u & np.uint64(0xFFFF)).astype(np.int64)
+    if scheme == "2x32f1":
+        return ((u & np.uint64(0xFFFFFFFF))
+                + np.uint64(1 << 32)).astype(np.int64)
+    raise ValueError(f"unknown banding scheme {scheme!r}")
+
+
 def _dense_band_census(ds, phash_col: str) -> np.ndarray:
     """Total per-bucket counts over the (block-deduped) band stream:
     per-block 4x65536 bincount, vector-add tree merge."""
@@ -300,9 +357,9 @@ def _dense_band_census(ds, phash_col: str) -> np.ndarray:
 
 
 def _pack_sliced(keys: np.ndarray, out_ph: np.ndarray,
-                 num_parts: int) -> pa.Table:
-    """Sort (key, hash) rows by key-hash slice and emit one pickled
-    payload row per slice (the packed-payload exchange shape)."""
+                 num_parts: int, ids: np.ndarray | None = None) -> pa.Table:
+    """Sort (key, hash[, id]) rows by key-hash slice and emit one
+    pickled payload row per slice (the packed-payload exchange shape)."""
     from ..sketches import splitmix64
 
     if not len(keys):
@@ -313,86 +370,67 @@ def _pack_sliced(keys: np.ndarray, out_ph: np.ndarray,
           % np.uint64(num_parts)).astype(np.int32)
     order = np.argsort(sl, kind="stable")
     sl, keys, out_ph = sl[order], keys[order], out_ph[order]
+    if ids is not None:
+        ids = ids[order]
     bounds = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1], True])
     slices, payloads = [], []
     for s, e in zip(bounds[:-1], bounds[1:]):
         slices.append(int(sl[s]))
-        payloads.append(pickle.dumps((keys[s:e], out_ph[s:e])))
+        payloads.append(pickle.dumps(
+            (keys[s:e], out_ph[s:e]) if ids is None
+            else (keys[s:e], out_ph[s:e], ids[s:e])))
     return pa.table({"slice": pa.array(slices, type=pa.int32()),
                      "payload": pa.array(payloads,
                                          type=pa.large_binary())})
 
 
-def _band_stream_flip(ds, phash_col: str, num_parts: int):
-    """2x32-bit bands with 1-bit-flip enumeration — the EXACT d<=4 mode
-    (CLAUDE.md round-3 thread; cf. Norouzi et al. multi-index hashing
-    with query expansion).
+def _band_stream(ds, phash_col: str, id_col: str, num_parts: int, *,
+                 scheme: str = "4x16", hot_ref=None):
+    """Sliced band-row payloads over DISTINCT per-block hash values,
+    each row carrying the hash's BLOCK-min id.  Because every block
+    containing a hash emits that hash's (key, hash, min id) row for
+    each of its band keys, any pairing task folding a slice sees ALL
+    blocks' entries for every hash present there — so the GLOBAL min
+    id per hash is computable inside the task and the separate
+    id-resolution execution of earlier rounds is gone.
 
-    Each hash emits, per 32-bit band, its band value plus all 32 1-bit
-    flips (66 keys/row).  Two hashes at distance d split their
-    differing bits between the two bands; by pigeonhole some band
-    carries <= floor(d/2) of them, so for d <= 5 some band differs in
-    <= 2 bits — and 1-bit flips FROM BOTH SIDES meet in the middle:
-    diff 0 collides on the originals, diff 1 on one side's flip, diff 2
-    on the two complementary flips.  Recall is therefore exact for
-    max_dist <= 5 (the 4x16 scheme is exact only to 3, ~90% at 4); the
-    pairing stage's XOR+popcount verify discards the extra candidates
-    flips invent.  Cost: 66 keys/row vs 4 — opt-in where the missed
-    ~10% at d=4 matters more than the 16x band-stream volume."""
-
-    def fn(t: pa.Table) -> pa.Table:
-        ph = np.unique(t[phash_col].to_numpy(zero_copy_only=False))
-        u = ph.astype(np.int64).view(np.uint64)
-        flips = (np.uint64(1) << np.arange(32, dtype=np.uint64))
-        keys_l, ph_l = [], []
-        for b in range(2):
-            val = ((u >> np.uint64(32 * b))
-                   & np.uint64(0xFFFFFFFF))                  # (n,)
-            cand = np.concatenate(
-                [val[:, None], val[:, None] ^ flips[None, :]],
-                axis=1)                                      # (n, 33)
-            off = np.uint64((b + 1) << 32)  # band tag above the 32 bits
-            keys_l.append((cand + off).astype(np.int64).ravel())
-            ph_l.append(np.repeat(ph, 33))
-        return _pack_sliced(np.concatenate(keys_l),
-                            np.concatenate(ph_l), num_parts)
-
-    # smaller batches: the 66x key expansion makes per-batch scratch
-    # ~1 KB/row — keep batch x concurrency well inside worker heaps
-    return ds.map_batches(fn, batch_format="pyarrow",
-                          zero_copy_batch=True, batch_size=16384)
-
-
-def _band_stream(ds, phash_col: str, num_parts: int, hot_ref=None):
-    """Sliced band-row payloads over DISTINCT per-block hash values —
-    pairing runs in hash space (ids resolved only for matched pairs).
-    Each block emits ONE pickled (keys, hashes) array pair per key-hash
-    slice (the pass-1 census packing: the exchange moves blocks x slices
-    payload ROWS, not 4n row-shaped records — Ray's per-row shuffle
-    overhead is the cost at bench scale, not the bytes).  Slicing by
-    splitmix64(bucket key) keeps every bucket complete in one slice;
-    per-block dedupe also neutralizes hot-value skew (a popular hash
-    contributes one row per bucket per block, not thousands)."""
-    from ..sketches import splitmix64
+    Each block emits ONE pickled (keys, hashes, ids) array triple per
+    key-hash slice (the pass-1 census packing: the exchange moves
+    blocks x slices payload ROWS, not row-shaped records — Ray's
+    per-row shuffle overhead is the cost at bench scale, not the
+    bytes).  Slicing by splitmix64(bucket key) keeps every bucket
+    complete in one slice; per-block dedupe also neutralizes hot-value
+    skew (a popular hash contributes one row per bucket per block, not
+    thousands)."""
 
     def fn(t: pa.Table) -> pa.Table:
-        ph = np.unique(t[phash_col].to_numpy(zero_copy_only=False))
-        keys = _band_combos(ph).ravel()
-        out_ph = np.repeat(ph, N_BANDS)
+        from ..sketches import np_object
+
+        ph_rows = t[phash_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ids_rows = np_object(t[id_col])
+        ph, minid = _minid_per_key(ph_rows, ids_rows)
+        keys, kpr = _scheme_keys(ph, scheme)
+        out_ph = np.repeat(ph, kpr)
+        out_id = np.repeat(minid, kpr)
         if hot_ref is not None:
             m = np.isin(keys, ray.get(hot_ref))
-            keys, out_ph = keys[m], out_ph[m]
-        return _pack_sliced(keys, out_ph, num_parts)
+            keys, out_ph, out_id = keys[m], out_ph[m], out_id[m]
+        return _pack_sliced(keys, out_ph, num_parts, ids=out_id)
 
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    # smaller batches under the 66x key expansion: per-batch scratch is
+    # ~1 KB/row there — keep batch x concurrency well inside worker heaps
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=16384 if scheme == "2x32f1" else None)
 
 
 @ray.remote
 def _hash_pair_slice_task(max_dist: int, bucket_cap: int,
                           *payload_lists) -> pd.DataFrame:
-    """Flat pairing task for ONE slice of the packed band stream.
-    Receives only its own slice's payload cells (slice-addressed
-    scatter, ``stages.transport``)."""
+    """Flat pairing task for ONE slice of a packed (keys, hashes) band
+    stream WITHOUT ids (the image pipeline's pass-2 payloads).  Kept
+    beside :func:`_id_pair_slice_task` for streams whose ids resolve
+    via a later pruned read (``_resolve_ids``)."""
     payloads = [p for lst in payload_lists for p in lst]
     if not payloads:
         return pd.DataFrame({"ph_a": pd.Series([], dtype=np.int64),
@@ -403,42 +441,134 @@ def _hash_pair_slice_task(max_dist: int, bucket_cap: int,
     ph = np.concatenate([p[1] for p in parts])
     uniq = np.unique(np.stack([keys, ph], axis=1), axis=0)
     out = _segment_pairs(uniq[:, 0], uniq[:, 1], uniq[:, 1],
-                        max_dist, bucket_cap)
+                         max_dist, bucket_cap)
     return out.rename(columns={"id_a": "ph_a", "id_b": "ph_b"})
 
 
-def _pair_parts(band_ds, max_dist: int, bucket_cap: int,
-                num_parts: int | None = None) -> pd.DataFrame:
-    """Distributed pairing: the packed band stream materializes once,
+@ray.remote
+def _census_fold_task(*blocks):
+    """Merge the census payload rows of <= 32 fused-pass blocks into one
+    (values, counts) partial (None when the blocks carry none)."""
+    parts = []
+    for b in blocks:
+        for p in b.filter(pc.equal(b["kind"], "census"))["payload"] \
+                .to_pylist():
+            parts.append(pickle.loads(p))
+    return _merge_count_arrays(parts) if parts else None
+
+
+@ray.remote
+def _id_pair_slice_task(max_dist: int, bucket_cap: int, dup_ref,
+                        num_parts: int, slice_id: int, scheme: str,
+                        *payload_lists):
+    """Flat pairing task for ONE slice of the id-carrying band stream.
+
+    Returns (ph_a, ph_b, dist, res_ph, res_id):
+
+    - verified hash pairs within this slice's buckets (cross-block
+      dedupe + size-class-batched XOR+popcount verify);
+    - (hash, GLOBAL min id) resolution entries for every hash touched
+      by an emitted pair — valid because all blocks deliver a hash's
+      rows to each of its band slices (see ``_band_stream``) — plus,
+      when ``dup_ref`` names exact-duplicate hashes, the entries for
+      dup hashes whose owner key routes to this slice (so each dup
+      hash resolves exactly once across tasks even when it pairs with
+      nothing)."""
+    payloads = [p for lst in payload_lists for p in lst]
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64),
+             np.empty(0, np.int64), np.empty(0, np.int64),
+             np.empty(0, object))
+    if not payloads:
+        return empty
+    from ..sketches import splitmix64
+
+    parts = [pickle.loads(p) for p in payloads]
+    keys = np.concatenate([p[0] for p in parts])
+    ph = np.concatenate([p[1] for p in parts])
+    ids = np.concatenate([p[2] for p in parts])
+    ph_u, minid = _minid_per_key(ph, ids)
+    uniq = np.unique(np.stack([keys, ph], axis=1), axis=0)
+    pairs = _segment_pairs(uniq[:, 0], uniq[:, 1], uniq[:, 1],
+                           max_dist, bucket_cap)
+    ph_a = pairs["id_a"].to_numpy().astype(np.int64)
+    ph_b = pairs["id_b"].to_numpy().astype(np.int64)
+    dist = pairs["dist"].to_numpy().astype(np.int64)
+    res = np.unique(np.concatenate([ph_a, ph_b])) if len(ph_a) else \
+        np.empty(0, np.int64)
+    if dup_ref is not None:
+        dup = dup_ref  # top-level ObjectRef args arrive dereferenced
+        if len(dup):
+            pos = np.minimum(np.searchsorted(dup, ph_u),
+                             len(dup) - 1)
+            is_dup = dup[pos] == ph_u if len(ph_u) else \
+                np.empty(0, bool)
+            cand = ph_u[is_dup]
+            own = (splitmix64(_owner_keys(cand, scheme).view(np.uint64))
+                   % np.uint64(num_parts)).astype(np.int64) == slice_id
+            res = np.unique(np.concatenate([res, cand[own]]))
+    if not len(res):
+        return (ph_a, ph_b, dist, np.empty(0, np.int64),
+                np.empty(0, object))
+    res_id = minid[np.searchsorted(ph_u, res)]
+    return (ph_a, ph_b, dist, res, res_id)
+
+
+def _pair_ids(packed, num_parts: int, max_dist: int, bucket_cap: int,
+              scheme: str, *, dup_ref=None, kind: str | None = None):
+    """Distributed pairing over a MATERIALIZED id-carrying band stream:
     scatter tasks split it into slice-addressed cells (bytes move once
-    even on a multi-node cluster — ``stages.transport``), and FLAT
-    per-slice ray tasks pair their own cells (cross-block dedupe +
-    segment-vectorized pairing + exact Hamming verify inside each task
-    — a sort-groupby pays ~1-2 s of exchange overhead for a keyspace of
-    dozens of slices).  Only verified (ph_a, ph_b, dist) pairs leave
-    the tasks."""
+    even multi-node — ``stages.transport``), flat per-slice ray tasks
+    pair and resolve ids in one visit.  Returns (hash-pair DataFrame
+    (ph_a, ph_b, dist), sorted resolution arrays (hashes, min ids))."""
     from ..stages.transport import scatter_slices
 
-    if num_parts is None:
-        num_parts = default_num_parts()
-    per_slice = scatter_slices(band_ds.materialize(), num_parts)
-    futs = [_hash_pair_slice_task.remote(max_dist, bucket_cap,
-                                         *per_slice[s])
+    per_slice = scatter_slices(packed, num_parts, kind=kind)
+    futs = [_id_pair_slice_task.remote(max_dist, bucket_cap, dup_ref,
+                                       num_parts, s, scheme,
+                                       *per_slice[s])
             for s in range(num_parts)]
-    out = pd.concat(ray.get(futs), ignore_index=True)
-    if not len(out):
-        return pd.DataFrame({"ph_a": pd.Series([], dtype=np.int64),
-                             "ph_b": pd.Series([], dtype=np.int64),
-                             "dist": pd.Series([], dtype=np.int64)})
-    # a pair can surface in several buckets routed to different slices
-    return out.drop_duplicates(["ph_a", "ph_b"]).reset_index(drop=True)
+    outs = ray.get(futs)
+    ph_a = np.concatenate([o[0] for o in outs])
+    ph_b = np.concatenate([o[1] for o in outs])
+    dist = np.concatenate([o[2] for o in outs])
+    res_ph = np.concatenate([o[3] for o in outs])
+    res_id = np.concatenate([o[4] for o in outs])
+    # a pair can surface in several buckets routed to different slices;
+    # its dist is identical everywhere (exact Hamming), keep the first
+    if len(ph_a):
+        order = np.lexsort((ph_b, ph_a))
+        ph_a, ph_b, dist = ph_a[order], ph_b[order], dist[order]
+        first = np.r_[True, (ph_a[1:] != ph_a[:-1])
+                      | (ph_b[1:] != ph_b[:-1])]
+        ph_a, ph_b, dist = ph_a[first], ph_b[first], dist[first]
+    pairs = pd.DataFrame({"ph_a": pd.Series(ph_a, dtype=np.int64),
+                          "ph_b": pd.Series(ph_b, dtype=np.int64),
+                          "dist": pd.Series(dist, dtype=np.int64)})
+    # same hash from several slices carries the identical global min id
+    ph_map, id_map = _minid_per_key(res_ph, res_id)
+    return pairs, ph_map, id_map
+
+
+def _lookup_minid(ph_map: np.ndarray, id_map: np.ndarray,
+                  col: np.ndarray) -> np.ndarray:
+    pos = np.minimum(np.searchsorted(ph_map, col), len(ph_map) - 1) \
+        if len(ph_map) else np.zeros(len(col), dtype=np.int64)
+    if len(col) and (not len(ph_map) or not (ph_map[pos] == col).all()):
+        missing = col if not len(ph_map) else col[ph_map[pos] != col]
+        raise KeyError(
+            f"_lookup_minid: {len(missing)} pair hash(es) missing from "
+            "the in-task id resolution — pairing and resolution ride "
+            "the same stream, so this indicates a bug, not input skew")
+    return id_map[pos]
 
 
 def _resolve_ids(ds, phash_col: str, id_col: str,
                  ph_pairs: pd.DataFrame) -> pd.DataFrame:
     """Map hash pairs to (id_a, id_b, dist) with the GLOBAL min id as
-    each hash's representative: one pruned execution (broadcast matched
-    hashes, per-block min-id partials — tiny by construction)."""
+    each hash's representative via one pruned execution of ``ds``
+    (broadcast matched hashes, per-block min-id partials — tiny by
+    construction).  Used by streams that pair WITHOUT ids riding the
+    band cells (the image pipeline's pass-2 payloads)."""
     if not len(ph_pairs):
         return pd.DataFrame(_EMPTY_PAIRS)
     need = np.unique(np.concatenate([ph_pairs["ph_a"].to_numpy(),
@@ -467,23 +597,8 @@ def _resolve_ids(ds, phash_col: str, id_col: str,
     ph_all = np.concatenate([p[0] for p in parts])
     id_all = np.concatenate([p[1] for p in parts])
     ph_u, id_u = _minid_per_key(ph_all, id_all)
-
-    def _lookup(col: np.ndarray) -> np.ndarray:
-        pos = np.minimum(np.searchsorted(ph_u, col), len(ph_u) - 1) \
-            if len(ph_u) else np.zeros(len(col), dtype=np.int64)
-        if not len(ph_u) or not (ph_u[pos] == col).all():
-            # loud, like the dict KeyError this replaced: a pair hash
-            # absent from the resolution scan means the input chain
-            # changed between executions (see materialize_input)
-            missing = col if not len(ph_u) else col[ph_u[pos] != col]
-            raise KeyError(
-                f"_resolve_ids: {len(missing)} pair hash(es) not found "
-                "in the id-resolution scan (nondeterministic input "
-                "chain? pass materialize_input=True)")
-        return id_u[pos]
-
-    a = _lookup(ph_pairs["ph_a"].to_numpy())
-    b = _lookup(ph_pairs["ph_b"].to_numpy())
+    a = _lookup_minid(ph_u, id_u, ph_pairs["ph_a"].to_numpy())
+    b = _lookup_minid(ph_u, id_u, ph_pairs["ph_b"].to_numpy())
     swap = a > b
     out = pd.DataFrame({
         "id_a": pd.Series(np.where(swap, b, a)),
@@ -513,102 +628,192 @@ def hamming_neardup_pairs(ds, *, max_dist: int = 4,
     """Banded-LSH candidates + exact Hamming verification, distributed.
 
     Returns a DataFrame (id_a, id_b, dist), id_a < id_b, 1 <= dist <=
-    max_dist, one representative id per distinct hash value.  The dense
-    census picks the path: ``prune`` (collisions rare — ship only
-    multi-member buckets' rows) or ``mih_shuffle`` (collisions the norm
-    at n >> 2^16 per band — ship the whole deduped band stream; the
-    filter would keep ~everything anyway).  Both paths end in the same
-    hash-partitioned groupby pairing; results are path-independent.
+    max_dist, one representative id (the global min) per distinct hash
+    value.  The dense census picks the path: ``prune`` (collisions rare
+    — ship only multi-member buckets' rows) or ``mih_shuffle``
+    (collisions the norm at n >> 2^16 per band — ship the whole deduped
+    band stream; the filter would keep ~everything anyway).  Both paths
+    end in the same slice-addressed flat-task pairing; results are
+    path-independent.
 
     ``scheme='2x32f1'`` switches to the exact-recall banding
-    (:func:`_band_stream_flip`): recall is EXACT for max_dist <= 5
-    instead of exact-to-3/~90%-at-4, at 66 keys/row instead of 4 — no
-    census (32-bit bands make collisions rare, and every candidate is
+    (:func:`_scheme_keys`): recall is EXACT for max_dist <= 5 instead
+    of exact-to-3/~90%-at-4, at 66 keys/row instead of 4 — no census
+    (32-bit bands make collisions rare, and every candidate is
     popcount-verified anyway).
 
-    ``ds`` is consumed up to three times (census, band stream, id
-    resolution).  For a cheap pruned parquet read that is the right
-    trade; when ``ds`` is a COMPUTED chain (e.g. SimHash signatures),
-    pass ``materialize_input=True`` so the chain executes once and the
-    small (id, hash) stream is object-store-resident for the re-reads.
+    ``ds`` is consumed up to TWICE (census, band stream) — the band
+    cells carry block-min ids, so pairing tasks resolve global
+    representative ids in the same visit and the id-resolution pass of
+    earlier rounds is gone.  For a cheap pruned parquet read two reads
+    are the right trade; when ``ds`` is a COMPUTED chain (e.g. SimHash
+    signatures), pass ``materialize_input=True`` so the chain executes
+    once.
     """
     if num_parts is None:
         num_parts = default_num_parts()
     if materialize_input:
         ds = ds.materialize()
+    hot_ref = None
     if scheme == "2x32f1":
         if max_dist > 5:
             raise ValueError("2x32f1 guarantees recall only to dist 5")
-        band_ds = _band_stream_flip(ds, phash_col, num_parts)
-        ph_pairs = _pair_parts(band_ds, max_dist, bucket_cap, num_parts)
-        return _resolve_ids(ds, phash_col, id_col, ph_pairs)
-    if scheme != "4x16":
+    elif scheme == "4x16":
+        census = _dense_band_census(ds, phash_col)
+        hot = np.nonzero(census >= 2)[0].astype(np.int64)
+        if hot.size == 0:
+            return pd.DataFrame(_EMPTY_PAIRS)
+        collision_rows = int(census[hot].sum())
+        path = force_path or (
+            "mih_shuffle"
+            if collision_rows > max(sat_min, int(sat_frac * census.sum()))
+            else "prune")
+        hot_ref = ray.put(hot) if path == "prune" else None
+    else:
         raise ValueError(f"unknown banding scheme {scheme!r}")
-    census = _dense_band_census(ds, phash_col)
-    hot = np.nonzero(census >= 2)[0].astype(np.int64)
-    if hot.size == 0:
+    band_ds = _band_stream(ds, phash_col, id_col, num_parts,
+                           scheme=scheme, hot_ref=hot_ref)
+    ph_pairs, ph_map, id_map = _pair_ids(band_ds.materialize(), num_parts,
+                                         max_dist, bucket_cap, scheme)
+    if not len(ph_pairs):
         return pd.DataFrame(_EMPTY_PAIRS)
-    collision_rows = int(census[hot].sum())
-    path = force_path or (
-        "mih_shuffle"
-        if collision_rows > max(sat_min, int(sat_frac * census.sum()))
-        else "prune")
-    hot_ref = ray.put(hot) if path == "prune" else None
-    band_ds = _band_stream(ds, phash_col, num_parts, hot_ref)
-    ph_pairs = _pair_parts(band_ds, max_dist, bucket_cap, num_parts)
-    return _resolve_ids(ds, phash_col, id_col, ph_pairs)
+    a = _lookup_minid(ph_map, id_map, ph_pairs["ph_a"].to_numpy())
+    b = _lookup_minid(ph_map, id_map, ph_pairs["ph_b"].to_numpy())
+    swap = a > b
+    out = pd.DataFrame({
+        "id_a": pd.Series(np.where(swap, b, a)),
+        "id_b": pd.Series(np.where(swap, a, b)),
+        "dist": ph_pairs["dist"].to_numpy()})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def phash_dedup_clusters(ds, *, phash_col: str = "phash",
                          id_col: str = "image_id", max_dist: int = 4,
-                         member_cap: int = 4096,
+                         num_parts: int | None = None,
+                         bucket_cap: int = 4096,
                          scheme: str = "4x16",
                          materialize_input: bool = False):
     """Transitive near-duplicate CLUSTERS for the image/phash family —
-    the keep-one-canonical step the minhash path already has
-    (pairs name WHO matches; a dedup needs the components).
+    the keep-one-canonical step the minhash path already has (pairs
+    name WHO matches; a dedup needs the components).
 
-    Edges feeding ``stages.graph.connected_components``:
+    r5 layout — clustering happens in HASH space, so exact-collision
+    members never materialize anywhere (the r4 shape listed dup-hash
+    member ids on the driver and built star edges in a Python loop,
+    with a silent ``member_cap`` truncation):
 
-    - NEAR (1 <= dist <= max_dist): :func:`hamming_neardup_pairs`,
-      which reports one representative id (the global min) per
-      DISTINCT hash value;
-    - EXACT (dist 0): every hash with >= 2 rows contributes star edges
-      representative -> member from :func:`duplicate_phash_groups`, so
-      same-hash rows join their representative's component.  Member
-      listings are bounded by ``member_cap`` ids per hash value (the
-      census counts stay exact) — past the cap a hot hash's remaining
-      members stay unlabeled singletons; raise the cap or dedup
-      exact-equal hashes upstream first at that density.
+    1. ONE fused pass over (id, phash) emits per block BOTH the exact
+       value census partial (row counts per hash) and the id-carrying
+       band cells — the census and band-stream executions of the old
+       shape collapse into one;
+    2. flat pairing tasks return verified hash pairs + the global min
+       id per pair-touched hash, plus min ids for exact-dup hashes
+       (owner-sliced, each resolved exactly once);
+    3. the driver runs connected components over HASH-pair edges (dup
+       hashes ride as self-nodes), assigns every component the minimum
+       member min-id as its cluster id, and broadcasts one sorted
+       (hash -> cluster id) map — bounded by pair-touched + dup hashes,
+       never by rows;
+    4. one labeling pass maps every row through its hash: rows sharing
+       a hash join the hash's component implicitly (NO star edges, NO
+       member listings, NO cap), unmatched rows label themselves.
 
-    Together the transitive closure equals the closure of ALL row
-    pairs at Hamming distance <= max_dist (recall caveats of the
-    banding ``scheme`` apply to the NEAR component — exact to d=3 for
-    4x16, d=5 for 2x32f1).
+    The transitive closure equals the closure of ALL row pairs at
+    Hamming distance <= max_dist including dist 0 (recall caveats of
+    the banding ``scheme`` apply to the near component — exact to d=3
+    for 4x16, d=5 for 2x32f1).
 
-    Returns ``ds``'s id column labeled (id, cluster_id, is_canonical)
-    via the broadcast ``attach_clusters`` — rows in no cluster label
-    themselves and stay canonical.
+    Two executions of ``ds`` total (fused pass + labeling) — pass
+    ``materialize_input=True`` for computed chains.  Returns a Dataset
+    (id, cluster_id, is_canonical); the canonical row of every cluster
+    is its minimum id (the one a dedup keeps).
     """
-    from ..stages.graph import attach_clusters, connected_components
+    from ..stages.graph import _star_forest
 
+    if num_parts is None:
+        num_parts = default_num_parts()
     if materialize_input:
         ds = ds.materialize()
-    near = hamming_neardup_pairs(ds, phash_col=phash_col, id_col=id_col,
-                                 max_dist=max_dist, scheme=scheme)
-    groups = duplicate_phash_groups(ds, phash_col=phash_col,
-                                    id_col=id_col,
-                                    sample_cap=member_cap).to_pandas()
-    ex_a, ex_b = [], []
-    for ids in groups["ids"]:
-        members = np.asarray(ids, dtype=object)
-        if len(members) >= 2:
-            ex_a.append(np.broadcast_to(members[0],
-                                        (len(members) - 1,)).copy())
-            ex_b.append(members[1:])
-    src = np.concatenate([near["id_a"].to_numpy()] + ex_a) \
-        if len(near) or ex_a else np.empty(0, dtype=object)
-    dst = np.concatenate([near["id_b"].to_numpy()] + ex_b) \
-        if len(near) or ex_a else np.empty(0, dtype=object)
-    cc = connected_components((src, dst), "src", "dst")
-    return attach_clusters(ds.select_columns([id_col]), id_col, cc)
+
+    def fused(t: pa.Table) -> pa.Table:
+        from ..sketches import np_object
+
+        ph_rows = t[phash_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ids_rows = np_object(t[id_col])
+        vals, cnts = np.unique(ph_rows, return_counts=True)
+        ph, minid = _minid_per_key(ph_rows, ids_rows)
+        keys, kpr = _scheme_keys(ph, scheme)
+        band = _pack_sliced(keys, np.repeat(ph, kpr), num_parts,
+                            ids=np.repeat(minid, kpr))
+        band = band.append_column(
+            "kind", pa.array(["band"] * band.num_rows))
+        census = pa.table({
+            "slice": pa.array([-1], type=pa.int32()),
+            "payload": pa.array([pickle.dumps((vals, cnts))],
+                                type=pa.large_binary()),
+            "kind": pa.array(["census"])})
+        return pa.concat_tables([band, census])
+
+    fused_out = ds.map_batches(
+        fused, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=16384 if scheme == "2x32f1" else None).materialize()
+
+    # exact value census fold: flat ray tasks over the materialized
+    # blocks' refs (a Dataset execution pays ~0.5 s of flat scheduling
+    # cost just to re-read KB-scale payload rows); hashes with >= 2
+    # rows form components even without a near pair
+    refs = fused_out.to_arrow_refs()
+    futs = [_census_fold_task.remote(*refs[i:i + 32])
+            for i in range(0, len(refs), 32)]
+    parts = [p for p in ray.get(futs) if p is not None]
+    vals, cnts = _merge_count_arrays(parts) if parts else (
+        np.empty(0, np.int64), np.empty(0, np.int64))
+    dup = vals[cnts >= 2].astype(np.int64)
+    dup_ref = ray.put(dup)
+
+    ph_pairs, ph_map, id_map = _pair_ids(
+        fused_out, num_parts, max_dist, bucket_cap, scheme,
+        dup_ref=dup_ref, kind="band")
+
+    # hash-space connected components: pair edges + dup self-nodes
+    node, root = _star_forest(ph_pairs["ph_a"].to_numpy(),
+                              ph_pairs["ph_b"].to_numpy())
+    all_h = np.unique(np.concatenate([node, dup]))
+    root_of = all_h.copy()
+    if len(node):
+        pos = np.minimum(np.searchsorted(node, all_h), len(node) - 1)
+        hit = node[pos] == all_h
+        root_of[hit] = root[pos[hit]]
+    if len(all_h):
+        # every mapped hash has a resolved min id: pair hashes from the
+        # task that paired them, dup hashes from their owner slice
+        m = _lookup_minid(ph_map, id_map, all_h)
+        order = np.lexsort((m, root_of))
+        r_s, m_s = root_of[order], m[order]
+        first = np.r_[True, r_s[1:] != r_s[:-1]]
+        roots_u, cluster_min = r_s[first], m_s[first]
+        cluster_of_hash = cluster_min[np.searchsorted(roots_u, root_of)]
+    else:
+        cluster_of_hash = np.empty(0, dtype=object)
+    map_ref = ray.put((all_h, cluster_of_hash))
+
+    def label(t: pa.Table) -> pa.Table:
+        from ..sketches import np_object
+
+        h_sorted, c_arr = ray.get(map_ref)
+        ph = t[phash_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ids = np_object(t[id_col])
+        out = ids.copy()
+        if len(h_sorted):
+            pos = np.minimum(np.searchsorted(h_sorted, ph),
+                             len(h_sorted) - 1)
+            hit = h_sorted[pos] == ph
+            out[hit] = c_arr[pos[hit]]
+        return pa.table({id_col: pa.array(ids),
+                         "cluster_id": pa.array(out),
+                         "is_canonical": pa.array(out == ids)})
+
+    return ds.map_batches(label, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -309,14 +309,20 @@ def test_label_centroids_wide_and_long_forms_equal():
                         columns=["embedding", "label"]))
     assert wide.schema.field("centroid").type == pa.list_(pa.float64())
     long = label_centroids_embeddings(sf).to_pandas()
-    for lab, n, cent in zip(wide["label"].to_pylist(),
-                            wide["n"].to_pylist(),
-                            wide["centroid"].to_pylist()):
+    for lab, n, cent, vsum in zip(wide["label"].to_pylist(),
+                                  wide["n"].to_pylist(),
+                                  wide["centroid"].to_pylist(),
+                                  wide["vec_sum"].to_pylist()):
         sub = long[long["label"] == lab].sort_values("dim")
         assert (sub["n"] == n).all()
+        # the query emits the SQL-parity form ROUND(SUM, 2)/COUNT
+        # (queries.py header trick); the raw sums must also divide back
+        # to the stage's centroid means exactly
+        vsum = np.asarray(vsum, dtype=np.float64)
+        np.testing.assert_array_equal(sub["value"].to_numpy(),
+                                      np.round(vsum, 2) / n)
         np.testing.assert_array_equal(
-            sub["value"].to_numpy(),
-            np.round(np.asarray(cent, dtype=np.float64), 6))
+            vsum / n, np.asarray(cent, dtype=np.float64))
 
 
 def test_shingles_whitespace_run_invariant():
