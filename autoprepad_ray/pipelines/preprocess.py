@@ -31,12 +31,31 @@ def preprocess_table(ds, *, numeric_cols: tuple[str, ...] = (),
                      categorical_cols: tuple[str, ...] = (),
                      datetime_cols: tuple[str, ...] = (),
                      passthrough_cols: tuple[str, ...] = (),
+                     pattern_cols: tuple[str, ...] = (),
                      round_scaled: int | None = 6):
-    """Returns (transformed Dataset, fitted state dict)."""
+    """Returns (transformed Dataset, fitted state dict).
+
+    ``pattern_cols`` enables the reference's OPT-IN pattern-recognition
+    branch (``deactivate_pattern_recognition=False``,
+    configuration.py:378-462) as one composed path per column:
+    schema-copy (M4, a rename of M1) -> mode-impute (F2,
+    configuration.py:399) -> CategoricalPatterns 2-bit char-class
+    encoding + length (M9, CategoricalPatterns.py:46-83) -> BinaryEncoder
+    over the pattern strings (F11, configuration.py:449).  Emits
+    ``{c}_PATTERN`` (the '0b0…' bit string), ``{c}_len``,
+    ``{c}_pattern_code`` and ``ceil(log2 k)`` pattern bit columns; the
+    fitted state is the mode + the sorted pattern->code map learned from
+    the profile's distinct values (imputation precedes the pattern step,
+    and the mode is itself a profile value, so the fit domain is exactly
+    the profile's value set)."""
+    from ..functions.strings import reference_bit_pattern
+    from ..sketches import np_object
+
     prof = profile_dataset(ds, columns=list(numeric_cols)
-                           + list(categorical_cols))
+                           + list(categorical_cols) + list(pattern_cols))
     state: dict = {"medians": {}, "iqr": {}, "fences": {}, "modes": {},
-                   "maps": {}, "k": {}}
+                   "maps": {}, "k": {}, "pattern_maps": {},
+                   "pattern_k": {}}
     for c in numeric_cols:
         p = prof[c]
         state["medians"][c] = p.quantile(0.5)
@@ -49,6 +68,15 @@ def preprocess_table(ds, *, numeric_cols: tuple[str, ...] = (),
         vals, _ = p.values.sorted_arrays()
         state["maps"][c] = ordinal_map(vals)
         state["k"][c] = len(state["maps"][c])
+    for c in pattern_cols:
+        p = prof[c]
+        state["modes"][c] = p.mode()[0] if p.mode() else None
+        vals, _ = p.values.sorted_arrays()
+        pats = reference_bit_pattern(
+            pd.Series(np.asarray(vals, dtype=object)))
+        state["pattern_maps"][c] = ordinal_map(
+            np.unique(pats.to_numpy(dtype=object)))
+        state["pattern_k"][c] = len(state["pattern_maps"][c])
 
     def transform(t: pa.Table) -> pa.Table:
         cols: dict = {c: t[c] for c in passthrough_cols}
@@ -80,6 +108,20 @@ def preprocess_table(ds, *, numeric_cols: tuple[str, ...] = (),
             cols[f"{c}_code"] = pa.array(codes)
             for name, bits in binary_bits(codes, state["k"][c]).items():
                 cols[f"{c}_{name}"] = pa.array(bits)
+        for c in pattern_cols:
+            filled = pc.fill_null(t[c], state["modes"][c])    # F2
+            pats = reference_bit_pattern(
+                pd.Series(np_object(filled)))                 # M9
+            cols[f"{c}_PATTERN"] = pa.array(
+                pats.to_numpy(dtype=object), type=pa.string())
+            cols[f"{c}_len"] = pc.cast(pc.utf8_length(filled),
+                                       pa.int64())
+            codes = ordinal_encode_array(                     # F11
+                pats.to_numpy(dtype=object), state["pattern_maps"][c])
+            cols[f"{c}_pattern_code"] = pa.array(codes)
+            for name, bits in binary_bits(
+                    codes, state["pattern_k"][c]).items():
+                cols[f"{c}_pattern_{name}"] = pa.array(bits)
         out = pa.table(cols)
         for c in datetime_cols:
             out = out.append_column(c, t[c])

@@ -3229,3 +3229,106 @@ def hll_distinct_users_per_day(sf_dir: str):
     days = ds.map_batches(add_day, batch_format="pyarrow",
                           zero_copy_batch=True)
     return hll_distinct_per_group(days, "day", "user_id")
+
+
+@query("config_validate_events", sql=f"""
+WITH {_EVENTS_FENCE_SQL},
+tot AS (SELECT COUNT(event_type) AS n FROM events),
+dom AS (SELECT event_type FROM events, tot GROUP BY event_type, tot.n
+        HAVING COUNT(*) / CAST(tot.n AS DOUBLE) >= 0.2),
+f AS (SELECT event_id, event_type,
+        CAST(CASE WHEN value < q.q1 - 1.5*(q.q3-q.q1)
+                    OR value > q.q3 + 1.5*(q.q3-q.q1) THEN 1 ELSE 0 END
+             AS BIGINT) AS value_tukey,
+        CAST(CASE WHEN d.mad > 0
+                    AND abs(0.6745 * (value - m.med) / d.mad) > 3.5
+             THEN 1 ELSE 0 END AS BIGINT) AS value_z_mod
+      FROM events, q, m, d),
+g AS (SELECT f.*,
+        CAST(CASE WHEN event_type IN (SELECT event_type FROM dom)
+             THEN 0 ELSE 1 END AS BIGINT) AS event_type_domain
+      FROM f),
+s AS (SELECT quantile_cont(value_tukey + value_z_mod, 0.9) AS thr FROM g)
+SELECT event_id, value_tukey, value_z_mod, event_type_domain,
+       value_tukey + value_z_mod + event_type_domain AS n_evidence,
+       CAST(CASE WHEN value_tukey + value_z_mod > s.thr THEN 1 ELSE 0 END
+            AS BIGINT) AS anomaly_label
+FROM g, s""")
+def config_validate_events(sf_dir: str):
+    """The declarative config facade (SURVEY §2.10; reference
+    constructor surface control.py:89-107) driven end-to-end from ONE
+    dict: numeric Tukey/MAD evidence + nominal domain check + OR-merge
+    total + percentile anomaly label, all assembled by
+    ``config.run_config``.  domain_min_frac=0.2 sits inside the
+    event_type frequency spread (~0.188-0.21) so the domain branch
+    genuinely fires; every output is int64 -> exact SQL parity (the
+    percentile threshold is the quantile_cont == ValueCounts.quantile
+    rule)."""
+    from ..config import run_config
+
+    ds = _t(sf_dir, "events", ["event_id", "value", "event_type"])
+    res = run_config(ds, {"numeric_columns": ["value"],
+                          "nominal_columns": ["event_type"],
+                          "thresholds": {"domain_min_frac": 0.2}})
+
+    def emit(t: pa.Table) -> pa.Table:
+        tuk = t["value" + rc.TUKEY_SUFFIX].cast(pa.int64())
+        mad = t["value" + rc.MADZ_SUFFIX].cast(pa.int64())
+        return pa.table({
+            "event_id": t["event_id"],
+            "value_tukey": tuk,
+            "value_z_mod": mad,
+            "event_type_domain": t["event_type_DOMAIN"].cast(pa.int64()),
+            "n_evidence": t["n_evidence"].cast(pa.int64()),
+            "anomaly_label": t[rc.LABEL_COL].cast(pa.int64())})
+
+    return res.enriched.map_batches(emit, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+
+@query("pattern_branch_orders", sql="""
+WITH pat AS (
+  SELECT o_orderkey,
+         '0b0' || replace(replace(replace(replace(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 o_orderpriority, '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'),
+                 '[0-9]', '9', 'g'), '[^Aa9]', '#', 'g'),
+             'A', '00'), 'a', '01'), '9', '10'), '#', '11') AS pattern,
+         CAST(len(o_orderpriority) AS BIGINT) AS plen
+  FROM orders),
+m AS (SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v) - 1 AS BIGINT) AS code
+      FROM (SELECT DISTINCT pattern AS v FROM pat))
+SELECT p.o_orderkey, p.pattern, p.plen, m.code AS pattern_code,
+       CAST(m.code % 2 AS BIGINT) AS bit0,
+       CAST((m.code // 2) % 2 AS BIGINT) AS bit1
+FROM pat p JOIN m ON p.pattern = m.v""")
+def pattern_branch_orders(sf_dir: str):
+    """The reference's composed pattern-recognition branch
+    (configuration.py:378-462, opt-in via
+    deactivate_pattern_recognition=False): schema-copy M4 -> mode-impute
+    F2 -> CategoricalPatterns 2-bit encoding M9 -> BinaryEncoder F11,
+    run as ONE preprocess_table pattern column over o_orderpriority.
+    The SQL mirrors the exact '0b0' + 2-bit rendering with a
+    shape-alphabet regexp chain followed by literal 2-bit expansion
+    (each replace only introduces 0/1 chars, which no later pattern
+    matches); the 5 priority values collapse to 4 distinct patterns ->
+    k=4 -> 2 stable bit columns at every sf.  All columns are
+    strings/ints — exact parity."""
+    from ..pipelines.preprocess import preprocess_table
+
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    out, state = preprocess_table(ds, pattern_cols=("o_orderpriority",),
+                                  passthrough_cols=("o_orderkey",))
+    assert state["pattern_k"]["o_orderpriority"] == 4
+
+    def emit(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "pattern": t["o_orderpriority_PATTERN"],
+            "plen": t["o_orderpriority_len"],
+            "pattern_code": t["o_orderpriority_pattern_code"],
+            "bit0": t["o_orderpriority_pattern_bit0"],
+            "bit1": t["o_orderpriority_pattern_bit1"]})
+
+    return out.map_batches(emit, batch_format="pyarrow",
+                           zero_copy_batch=True)

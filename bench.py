@@ -73,6 +73,10 @@ BENCH_QUERIES = [
     "running_total_docs",
     "constant_columns_events_clicks",
     "pii_mask_events_props",
+    "bm25_docs",
+    "label_centroids_embeddings",
+    "config_validate_events",
+    "pattern_branch_orders",
     "phash_dedup_clusters_images",
 ]
 
