@@ -3332,3 +3332,43 @@ def pattern_branch_orders(sf_dir: str):
 
     return out.map_batches(emit, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+@query("bpe_token_counts_docs", sql=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(COALESCE(text, ''),
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+           AS BIGINT) AS n_tokens,
+       CAST(len(COALESCE(text, '')) AS BIGINT) AS n_chars
+FROM documents""")
+def bpe_token_counts_docs(sf_dir: str):
+    """Token counting under a BPE-ish pretokenizer regex (the SURVEY
+    beyond-reference text-analysis item): both sides compile the SAME
+    RE2 pattern (pyarrow count_substring_regex vs DuckDB
+    regexp_extract_all), so non-overlapping match counts agree by
+    construction — exact int parity."""
+    from ..stages.text import bpe_token_counts
+
+    return bpe_token_counts(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+
+@query("chunk_documents_overlap", sql="""
+WITH g AS (
+  SELECT doc_id, COALESCE(text, '') AS t,
+         unnest(generate_series(
+             0, (greatest(len(COALESCE(text, '')) - 50, 1) - 1) // 150))
+             AS gs
+  FROM documents)
+SELECT doc_id, CAST(gs AS BIGINT) AS chunk_id,
+       substr(t, CAST(gs AS BIGINT) * 150 + 1, 200) AS chunk
+FROM g""")
+def chunk_documents_overlap(sf_dir: str):
+    """Fixed-size overlapping context chunking (size 200, step 150 ->
+    50-char overlap) — the flat_map-shaped RAG/packing precursor.
+    Chunk k = chars [k*150, k*150+200); a doc emits
+    ceil(max(len-50, 1)/150) chunks.  ASCII corpus => Arrow codeunit
+    slices == SQL substr chars; exact string parity."""
+    from ..stages.text import chunk_documents
+
+    return chunk_documents(_t(sf_dir, "documents", ["doc_id", "text"]),
+                           size=200, step=150)

@@ -255,6 +255,75 @@ def word_repetition(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(rep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# a GPT-2-style pretokenizer simplified to RE2 (no lookahead — RE2 has
+# none, which is exactly what makes it SQL-mirrorable: pyarrow's
+# count_substring_regex and DuckDB's regexp_extract_all BOTH compile
+# RE2, so match counts agree by construction)
+BPE_TOKEN_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)"
+                     r"| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+")
+
+
+def bpe_token_counts(ds, *, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Per-document token counts under a BPE-ish pretokenizer regex —
+    the cost estimator an LLM-corpus pipeline runs before packing
+    (whitespace word counts undercount punctuation-heavy text).  One
+    vectorized RE2 count per batch; no shuffle."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t[text_col], "")
+        return pa.table({
+            id_col: t[id_col],
+            "n_tokens": pc.cast(pc.count_substring_regex(
+                txt, pattern=BPE_TOKEN_PATTERN), pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(txt), pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_documents(ds, *, size: int = 200, step: int = 150,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Split documents into fixed-size character windows with overlap
+    (size - step) — the context-chunking step between cleaning and
+    embedding/packing in a RAG/training pipeline.
+
+    Chunk k covers [k*step, k*step + size); a document emits
+    ``ceil(max(len - overlap, 1) / step)`` chunks, so every character
+    is covered, consecutive chunks overlap by ``size - step``, and a
+    final window shorter than the overlap never spawns a chunk of
+    pure repetition.  Vectorized by CHUNK ROUND: round k slices every
+    document with > k chunks in one Arrow kernel call — the loop is
+    bounded by max chunks per document, never rows.  flat_map-shaped
+    output (doc_id, chunk_id, chunk)."""
+    overlap = size - step
+    if overlap < 0 or step <= 0:
+        raise ValueError("need 0 < step <= size")
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t[text_col], "").combine_chunks()
+        lens = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n_chunks = (np.maximum(lens - overlap, 1) + step - 1) // step
+        ids = t[id_col].combine_chunks()
+        parts = []
+        for k in range(int(n_chunks.max()) if len(lens) else 0):
+            idx = pa.array(np.flatnonzero(n_chunks > k))
+            piece = pc.utf8_slice_codeunits(
+                txt.take(idx), start=k * step, stop=k * step + size)
+            parts.append(pa.table({
+                id_col: ids.take(idx),
+                "chunk_id": pa.array(np.full(len(idx), k,
+                                             dtype=np.int64)),
+                "chunk": piece}))
+        if not parts:
+            return pa.table({id_col: ids.slice(0, 0),
+                             "chunk_id": pa.array([], type=pa.int64()),
+                             "chunk": pa.array([], type=pa.string())})
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # BM25 relevance scoring (two-pass: corpus stats -> broadcast -> score)
 

@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "label_centroids_embeddings",
     "config_validate_events",
     "pattern_branch_orders",
+    "bpe_token_counts_docs",
+    "chunk_documents_overlap",
     "phash_dedup_clusters_images",
 ]
 

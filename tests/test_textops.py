@@ -190,3 +190,56 @@ def test_gram_hashes_short_doc_mode_property():
             didx, np.repeat(np.arange(len(texts)), gpd))
 
     inner()
+
+
+def test_chunk_documents_coverage_and_overlap():
+    """Chunker invariants: every character covered, consecutive chunks
+    overlap by size-step, chunk k starts at k*step, empty/short docs
+    emit exactly one chunk, and reassembly reproduces the document."""
+    import ray.data as rd
+
+    from autoprepad_ray.stages.text import chunk_documents
+
+    docs = {
+        1: "a" * 577,          # bench-scale max length
+        2: "xy",               # shorter than overlap -> one chunk
+        3: "",                 # empty -> one empty chunk
+        4: "b" * 200,          # exactly one window
+        5: "c" * 201,          # one char past -> two chunks
+        6: "".join(chr(97 + i % 26) for i in range(350)),
+    }
+    t = pa.table({"doc_id": pa.array(list(docs), type=pa.int64()),
+                  "text": pa.array(list(docs.values()))})
+    out = chunk_documents(rd.from_arrow(t).repartition(3),
+                          size=200, step=150).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"])
+    for did, text in docs.items():
+        sub = out[out["doc_id"] == did]
+        n_exp = (max(len(text) - 50, 1) + 149) // 150
+        assert len(sub) == n_exp, (did, len(sub), n_exp)
+        assert sub["chunk_id"].tolist() == list(range(n_exp))
+        rebuilt = ""
+        for k, chunk in zip(sub["chunk_id"], sub["chunk"]):
+            assert chunk == text[k * 150:k * 150 + 200]
+            rebuilt = rebuilt[:k * 150] + chunk
+        assert rebuilt == text
+
+
+def test_bpe_token_counts_vs_re():
+    """RE2 pattern count == Python re.findall count on mixed text."""
+    import re
+
+    import ray.data as rd
+
+    from autoprepad_ray.stages.text import (BPE_TOKEN_PATTERN,
+                                            bpe_token_counts)
+
+    texts = ["the quick, brown fox's 42 jumps!!", "", "  ", "a1b2c3",
+             "don't stop-me now... (ok?)", "tab\tand\nnewline end "]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    out = bpe_token_counts(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id")
+    pat = re.compile(BPE_TOKEN_PATTERN)
+    for txt, n in zip(texts, out["n_tokens"]):
+        assert n == len(pat.findall(txt)), (txt, n)
