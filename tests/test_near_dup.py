@@ -302,3 +302,29 @@ def test_phash_dedup_clusters_int_ids():
         .sort_values("doc_id").reset_index(drop=True)
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     assert got == {3: 3, 7: 3, 50: 50, 60: 60, 61: 60}
+
+
+def test_hamming_pairs_global_min_id_across_blocks():
+    """r5 in-task id resolution: the representative id per hash must be
+    the GLOBAL min across blocks even when the pair is discovered in a
+    slice fed by many blocks — a hot hash with ids scattered over
+    blocks must resolve to its overall minimum."""
+    base = np.int64(0x0123456789ABCDEF)
+    near = np.int64(base ^ 1)                       # dist 1
+    # hot hash: 30 rows, ids deliberately NOT sorted with row order so
+    # block boundaries separate the min id from most rows
+    ids = [f"z{k:03d}" for k in range(29, -1, -1)] + ["m000"] + ["n500"]
+    ph = [base] * 30 + [base] + [near]
+    t = pa.table({"image_id": pa.array(ids),
+                  "phash": pa.array(ph, type=pa.int64())})
+    got = hamming_neardup_pairs(rd.from_arrow(t).repartition(7),
+                                max_dist=2)
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["id_a"], r["id_b"], r["dist"]) == ("m000", "n500", 1)
+
+    from autoprepad_ray.validators.near_dup import phash_dedup_clusters
+    cl = phash_dedup_clusters(rd.from_arrow(t).repartition(7),
+                              max_dist=2).to_pandas()
+    assert (cl["cluster_id"] == "m000").all()       # one component
+    assert set(cl.loc[cl["is_canonical"], "image_id"]) == {"m000"}
