@@ -3372,3 +3372,46 @@ def chunk_documents_overlap(sf_dir: str):
 
     return chunk_documents(_t(sf_dir, "documents", ["doc_id", "text"]),
                            size=200, step=150)
+
+
+@query("embed_dedup_clusters")
+def embed_dedup_clusters(sf_dir: str):
+    """Embedding-cosine dedup CLUSTERS — the pairs->components->
+    canonical composition for the THIRD near-dup modality (minhash and
+    phash already have it): sign-LSH cosine pairs over the planted
+    near-duplicate corpus (embed_neardup_planted's fixture) feed
+    ``connected_components`` + ``attach_clusters``, labeling every
+    vector with its transitive cluster and flagging the minimum id
+    canonical.  Rows-only; pytest pins the planted components
+    (test_dedup_embed)."""
+    from ..stages.embed import cosine_neardup_pairs
+    from ..stages.graph import attach_clusters, connected_components
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    base = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 10)),
+        batch_format="pyarrow").take_all()
+    rng = np.random.default_rng(123)
+    ids, vecs = [], []
+    for r in base:
+        v = np.asarray(r["embedding"], dtype=np.float32)
+        ids.append(int(r["vec_id"]) + 100000)
+        vecs.append((v + 0.02 * np.linalg.norm(v) / np.sqrt(len(v))
+                     * rng.standard_normal(len(v))).astype(np.float32))
+    planted = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32()))}))
+    both = ds.union(planted).materialize()   # consumed by pairs + attach
+    pairs = cosine_neardup_pairs(both, "embedding", "vec_id",
+                                 threshold=0.95)
+    cc = connected_components(
+        pa.table({"src": pa.array(pairs["id_a"].to_numpy(np.int64)),
+                  "dst": pa.array(pairs["id_b"].to_numpy(np.int64))}),
+        "src", "dst")
+    out = attach_clusters(both.select_columns(["vec_id"]), "vec_id", cc)
+    return out.map_batches(
+        lambda df: df.assign(is_canonical=df["is_canonical"]
+                             .astype(np.int64))
+        .sort_values("vec_id").reset_index(drop=True),
+        batch_format="pandas")

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "pattern_branch_orders",
     "bpe_token_counts_docs",
     "chunk_documents_overlap",
+    "embed_dedup_clusters",
     "phash_dedup_clusters_images",
 ]
 

@@ -338,3 +338,22 @@ def test_shingles_whitespace_run_invariant():
     c = _shingle_hashes(
         "alpha\xa0beta\x85gamma\x0bdelta\x1cepsilon", 3)
     np.testing.assert_array_equal(a, c)
+
+
+def test_embed_dedup_clusters_planted_components():
+    """Every planted near-duplicate (vec_id+100000) must share its
+    source vector's cluster with the source as canonical (min id);
+    untouched vectors stay singletons."""
+    from autoprepad_ray.pipelines.queries import embed_dedup_clusters
+
+    out = embed_dedup_clusters("/root/testdata/sf0.001").to_pandas() \
+        .set_index("vec_id")
+    for k in range(10):
+        assert out.loc[k + 100000, "cluster_id"] == k, k
+        assert out.loc[k, "cluster_id"] == k
+        assert out.loc[k, "is_canonical"] == 1
+        assert out.loc[k + 100000, "is_canonical"] == 0
+    singles = out.drop(index=[*range(10),
+                              *[k + 100000 for k in range(10)]])
+    assert (singles["cluster_id"] == singles.index).all()
+    assert (singles["is_canonical"] == 1).all()
