@@ -99,7 +99,7 @@ _R05_CHANGED = frozenset({
     "image_validation_verdicts", "mixed_experiment_metrics",
     "bm25_docs", "label_centroids_embeddings", "text_quality_docs",
     "bit_patterns_partnames", "ordinal_encode_priority",
-    "preprocess_events_matrix",
+    "preprocess_events_matrix", "langid_docs",
 })
 
 _DRIVER_COVERED = (_R03_DRIVER_COVERED | _R04_DRIVER_COVERED) - _R05_CHANGED

@@ -908,13 +908,51 @@ def embed_neardup_planted(sf_dir: str):
     return out
 
 
-@query("langid_docs")
+def _langid_sql() -> str:
+    """SQL mirror of ``text._langid_frame``'s prediction: the same
+    tokenization (regexp split semantics verified identical to pandas,
+    incl. edge empties), per-language stopword hit RATES as exact IEEE
+    quotients of identical ints, first-max tie-break in declared
+    language order, 0.05 floor.  The float SCORE is deliberately not
+    emitted — a rate like h/128 can sit exactly on a 1e-7 half-boundary
+    where np.round (half-even) and SQL ROUND (half-away) disagree; the
+    prediction only ever compares exact quotients."""
+    from ..stages.text import STOPWORDS, _LANGS
+
+    rates = ",\n       ".join(
+        f"CAST(len(list_filter(w, x -> x IN "
+        f"({', '.join(repr(t) for t in sorted(STOPWORDS[lang]))}))) "
+        f"AS DOUBLE) / n AS s_{lang}"
+        for lang in _LANGS)
+    first_max = "\n            ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in _LANGS[:-1])
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(COALESCE(text, '')), '\\s+') AS w
+  FROM documents),
+r AS (
+  SELECT doc_id,
+       {rates}
+  FROM (SELECT doc_id, w,
+               CAST(greatest(len(w), 1) AS DOUBLE) AS n FROM toks)),
+b AS (SELECT r.*, greatest(s_{', s_'.join(_LANGS)}) AS best FROM r)
+SELECT doc_id,
+       CASE WHEN best < 0.05 THEN 'und'
+            {first_max}
+            ELSE '{_LANGS[-1]}' END AS lang_pred
+FROM b"""
+
+
+@query("langid_docs", sql=_langid_sql())
 def langid_docs(sf_dir: str):
-    """Heuristic stopword language-ID (actor pool).  Rows-only."""
+    """Heuristic stopword language-ID.  SQL-exact since r5 on the
+    PREDICTION column (see ``_langid_sql`` for why the float score
+    stays engine-side)."""
     from ..stages.text import lang_id
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
-    return lang_id(ds).select_columns(["doc_id", "lang_pred", "lang_score"])
+    return lang_id(ds).select_columns(["doc_id", "lang_pred"])
 
 
 @query("hll_distinct_lineitem")
@@ -1187,13 +1225,24 @@ def ffill_events_by_user(sf_dir: str):
     return ds.groupby("user_id").map_groups(fill, batch_format="pandas")
 
 
-@query("bit_patterns_partnames")
+@query("bit_patterns_partnames", sql="""
+SELECT p_partkey,
+       '0b0' || replace(replace(replace(replace(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               p_brand, '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'),
+               '[0-9]', '9', 'g'), '[^Aa9]', '#', 'g'),
+           'A', '00'), 'a', '01'), '9', '10'), '#', '11')
+           AS p_brand_pattern,
+       CAST(len(p_brand) AS BIGINT) AS p_brand_len
+FROM part""")
 def bit_patterns_partnames(sf_dir: str):
     """EXACT reference CategoricalPatterns encoding
     (CategoricalPatterns.py:57-83): 2-bit char classes, '0'-prefixed,
-    BitArray-rendered, plus the _len column.  Rows-only (the 2-bit
-    expansion is awkward in SQL; pytest pins it against hand-computed
-    reference vectors)."""
+    BitArray-rendered, plus the _len column.  SQL-exact since r5: the
+    shape-alphabet regexp chain + literal 2-bit expansion reproduces
+    the BitArray rendering byte for byte (each replace introduces only
+    0/1 chars, which no later pattern matches); pytest additionally
+    pins hand-computed reference vectors."""
     ds = _t(sf_dir, "part", ["p_partkey", "p_brand"])
 
     def enc(df: pd.DataFrame) -> pd.DataFrame:
