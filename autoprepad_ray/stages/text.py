@@ -295,33 +295,38 @@ def chunk_documents(ds, *, size: int = 200, step: int = 150,
     document with > k chunks in one Arrow kernel call — the loop is
     bounded by max chunks per document, never rows.  flat_map-shaped
     output (doc_id, chunk_id, chunk)."""
-    overlap = size - step
-    if overlap < 0 or step <= 0:
+    if size - step < 0 or step <= 0:
         raise ValueError("need 0 < step <= size")
 
     def fn(t: pa.Table) -> pa.Table:
-        txt = pc.fill_null(t[text_col], "").combine_chunks()
-        lens = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        n_chunks = (np.maximum(lens - overlap, 1) + step - 1) // step
-        ids = t[id_col].combine_chunks()
-        parts = []
-        for k in range(int(n_chunks.max()) if len(lens) else 0):
-            idx = pa.array(np.flatnonzero(n_chunks > k))
-            piece = pc.utf8_slice_codeunits(
-                txt.take(idx), start=k * step, stop=k * step + size)
-            parts.append(pa.table({
-                id_col: ids.take(idx),
-                "chunk_id": pa.array(np.full(len(idx), k,
-                                             dtype=np.int64)),
-                "chunk": piece}))
-        if not parts:
-            return pa.table({id_col: ids.slice(0, 0),
-                             "chunk_id": pa.array([], type=pa.int64()),
-                             "chunk": pa.array([], type=pa.string())})
-        return pa.concat_tables(parts)
+        return _chunk_table(t, size, step, text_col, id_col)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _chunk_table(t: pa.Table, size: int, step: int, text_col: str,
+                 id_col: str) -> pa.Table:
+    """Pure per-batch chunking kernel (hypothesis-tested directly)."""
+    overlap = size - step
+    txt = pc.fill_null(t[text_col], "").combine_chunks()
+    lens = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    n_chunks = (np.maximum(lens - overlap, 1) + step - 1) // step
+    ids = t[id_col].combine_chunks()
+    parts = []
+    for k in range(int(n_chunks.max()) if len(lens) else 0):
+        idx = pa.array(np.flatnonzero(n_chunks > k))
+        piece = pc.utf8_slice_codeunits(
+            txt.take(idx), start=k * step, stop=k * step + size)
+        parts.append(pa.table({
+            id_col: ids.take(idx),
+            "chunk_id": pa.array(np.full(len(idx), k, dtype=np.int64)),
+            "chunk": piece}))
+    if not parts:
+        return pa.table({id_col: ids.slice(0, 0),
+                         "chunk_id": pa.array([], type=pa.int64()),
+                         "chunk": pa.array([], type=pa.string())})
+    return pa.concat_tables(parts)
 
 
 # ---------------------------------------------------------------------------

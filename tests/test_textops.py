@@ -243,3 +243,34 @@ def test_bpe_token_counts_vs_re():
     pat = re.compile(BPE_TOKEN_PATTERN)
     for txt, n in zip(texts, out["n_tokens"]):
         assert n == len(pat.findall(txt)), (txt, n)
+
+
+def test_chunk_table_property_vs_python_reference():
+    """Hypothesis: the vectorized chunk kernel == a per-doc Python
+    reference for random texts (incl. unicode) and random size/step."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from autoprepad_ray.stages.text import _chunk_table
+
+    txt = st.text(alphabet="ab éλ\n", max_size=60)
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.lists(txt, min_size=0, max_size=6),
+           st.integers(1, 12), st.integers(1, 12))
+    def inner(texts, step, extra):
+        size = step + extra % (step + 3)      # 0 <= overlap < step+3
+        t = pa.table({"doc_id": pa.array(range(len(texts)),
+                                         type=pa.int64()),
+                      "text": pa.array(texts, type=pa.string())})
+        got = _chunk_table(t, size, step, "text", "doc_id").to_pandas()
+        exp = []
+        overlap = size - step
+        for d, s in enumerate(texts):
+            n = -(-max(len(s) - overlap, 1) // step)
+            for k in range(n):
+                exp.append((d, k, s[k * step:k * step + size]))
+        got_t = sorted(zip(got["doc_id"], got["chunk_id"], got["chunk"]))
+        assert got_t == sorted(exp)
+
+    inner()
