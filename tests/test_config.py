@@ -102,3 +102,21 @@ def test_config_unknown_keys_raise():
     with pytest.raises(KeyError, match="unknown thresholds"):
         run_config(ds, {"numeric_columns": ["a"],
                         "thresholds": {"tukey": 2.0}})
+
+
+def test_config_native_timestamp_column():
+    """datetime_columns accepts a NATIVE timestamp column (no strptime
+    parse): epoch fences fire on an outlier year, UNPARSEABLE stays 0."""
+    n = 40
+    ts = ([np.datetime64("2024-01-01T00:00:00", "us")
+           + np.timedelta64(i * 3600, "s") for i in range(n - 1)]
+          + [np.datetime64("1970-01-05T00:00:00", "us")])
+    t = pa.table({"k": pa.array(list(range(n)), type=pa.int64()),
+                  "ts": pa.array(ts, type=pa.timestamp("us"))})
+    res = run_config(rd.from_arrow(t).repartition(2),
+                     {"datetime_columns": ["ts"]})
+    df = res.enriched.to_pandas().set_index("k")
+    assert (df["ts_UNPARSEABLE"] == 0).all()
+    assert df.loc[n - 1, "ts_epoch_TUKEY"] == 1       # 1970 outlier
+    assert df.loc[: n - 2, "ts_epoch_TUKEY"].sum() == 0
+    assert df.loc[n - 1, "n_evidence"] >= 1
