@@ -385,7 +385,25 @@ class _P2Partial:
         ph_members = None
         if self.dup_phashes.size:
             m = np.isin(ph, self.dup_phashes)
-            ph_members = (np.asarray(ids[m]), ph[m])
+            mi, mv = np.asarray(ids[m]), ph[m]
+            # capped member sample PER BLOCK (the duplicate_phash_groups
+            # rule): at most 64 (min) ids per dup hash leave each block,
+            # so the driver collection is bounded by dup_hashes x 64 x
+            # touching-blocks even when a hot hash has millions of rows
+            # — web-scale image corpora are dominated by exact dups, and
+            # uncapped member rows were the one remaining driver-bound
+            # O(dup rows) stream in this pipeline.  The global 64
+            # smallest ids per hash survive per-block capping exactly
+            # (each is among its own block's 64 smallest).
+            if len(mv):
+                order = np.lexsort((mi, mv))
+                mv, mi = mv[order], mi[order]
+                first = np.r_[True, mv[1:] != mv[:-1]]
+                rank = np.arange(len(mv)) - np.maximum.accumulate(
+                    np.where(first, np.arange(len(mv)), 0))
+                keep = rank < 64
+                mv, mi = mv[keep], mi[keep]
+            ph_members = (mi, mv)
         # three row kinds: the small per-block aggregate (driver-bound),
         # the capped violation table (object-store-bound — the driver
         # never concatenates violation rows), and the sliced Hamming
@@ -765,20 +783,24 @@ def validate_images(images_dir: str, captions_path: str | None = None, *,
         orphan_df = pd.DataFrame(rows, columns=["image_id", "left_n",
                                                 "right_n"])
 
-    # near-dup group listings (exact-equal phashes)
+    # near-dup group listings (exact-equal phashes) — vectorized
+    # lexsort fold over the capped per-block (id, phash) samples, never
+    # a per-row dict loop (counts stay exact from the pass-1 census)
     nd_groups = nd_pairs = None
     if neardup:
         if ph_member_ids:
             mi = np.concatenate(ph_member_ids)
             mv = np.concatenate(ph_member_vals)
-            by_hash: dict[int, list] = {}
-            for i, v in zip(mi.tolist(), mv.tolist()):
-                by_hash.setdefault(int(v), []).append(i)
-            hs = sorted(by_hash)
+            order = np.lexsort((mi, mv))
+            mv, mi = mv[order], mi[order]
+            bounds = np.flatnonzero(
+                np.r_[True, mv[1:] != mv[:-1], True])
+            hs = [int(mv[s]) for s in bounds[:-1]]
             nd_groups = pd.DataFrame({
                 "phash": hs,
                 "n": [int(ph_count_map[h]) for h in hs],
-                "ids": [sorted(by_hash[h])[:64] for h in hs]})
+                "ids": [mi[s:min(e, s + 64)].tolist()
+                        for s, e in zip(bounds[:-1], bounds[1:])]})
         else:
             nd_groups = pd.DataFrame({"phash": [], "n": [], "ids": []})
 
