@@ -60,7 +60,7 @@ def run(name: str, ds, **kwargs):
 
 def _install_builtins() -> None:
     from ..functions import sampling
-    from ..stages import graph, media, text
+    from ..stages import cluster, graph, media, text
     from ..stages.dedup import exact_dedup, minhash_lsh_pairs, \
         simhash_neardup_pairs
     from ..stages.textjoin import ngram_jaccard_pairs
@@ -127,6 +127,8 @@ def _install_builtins() -> None:
          "deterministic at-most-k rows per key (per-domain cap)"),
         ("connected_components", graph.attach_clusters,
          "connected-component cluster ids over an edge stream"),
+        ("cluster_similarity", cluster.cluster_similarity,
+         "distance-to-k-medoid pattern similarity (CLARA/PAM, F15)"),
     ]:
         _REGISTRY[spec_name] = ValidatorSpec(spec_name, fn, desc)
 

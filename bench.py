@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "bpe_token_counts_docs",
     "chunk_documents_overlap",
     "embed_dedup_clusters",
+    "kmedoid_pattern_similarity_parts",
     "phash_dedup_clusters_images",
 ]
 
