@@ -3510,3 +3510,56 @@ def kmedoid_pattern_similarity_parts(sf_dir: str):
 
     return assign_medoids(fds, state).map_batches(
         finalize, batch_format="pyarrow")
+
+
+@query("gopher_quality_docs", sql="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+t AS (SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_words,
+        CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT)
+            AS sum_word_len,
+        CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+            AS BIGINT) AS alpha_words,
+        CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to')))
+            AS BIGINT) AS stop_hits
+      FROM d)
+SELECT doc_id, n_words, sum_word_len, alpha_words, stop_hits,
+       CAST(CASE WHEN n_words BETWEEN 10 AND 100000
+                  AND sum_word_len BETWEEN 3 * n_words AND 10 * n_words
+                  AND 10 * alpha_words >= 8 * n_words
+                  AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT)
+           AS keep_flag
+FROM t""")
+def gopher_quality_docs(sf_dir: str):
+    """Gopher-rules composite keep/drop gate (word-count window,
+    mean-word-length window as cross-multiplied integer bounds,
+    alphabetic-word fraction >= 0.8, >= 2 stopword hits) — all-integer
+    components, so the flag is SQL-exact with no float rules.  See
+    stages/text.gopher_quality."""
+    from ..stages.text import gopher_quality
+
+    return gopher_quality(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+
+@query("unigram_logprob_docs", sql="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+v AS (SELECT unnest(w) AS term FROM d),
+cf AS (SELECT term, COUNT(*) AS c FROM v GROUP BY term),
+tot AS (SELECT SUM(c) AS total FROM cf),
+m AS (SELECT MAP(list(term ORDER BY term),
+                 list(ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE))
+                      ORDER BY term)) AS lp FROM cf, tot)
+SELECT d.doc_id,
+       ROUND(list_sum(list_transform(d.w, x -> m.lp[x][1])) / len(d.w), 6)
+           AS logprob
+FROM d, m""")
+def unigram_logprob_docs(sf_dir: str):
+    """Per-document mean unigram-LM log-probability (perplexity-filter
+    score).  ORDER-exact float parity: the engine's sequential
+    ``np.add.reduceat`` in document word order mirrors DuckDB's
+    ``list_sum`` fold over the same per-term doubles (one IEEE divide
+    + ln), r6 absorbs the ln ulp — verified bit-exact at
+    sf 0.001/0.01/0.1 before wiring.  See stages/text.unigram_logprob."""
+    from ..stages.text import unigram_logprob
+
+    return unigram_logprob(_t(sf_dir, "documents", ["doc_id", "text"]))

@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "embed_dedup_clusters",
     "kmedoid_pattern_similarity_parts",
     "phash_dedup_clusters_images",
+    "gopher_quality_docs",
+    "unigram_logprob_docs",
 ]
 
 IMG_PARTITIONS = 32

@@ -274,3 +274,56 @@ def test_chunk_table_property_vs_python_reference():
         assert got_t == sorted(exp)
 
     inner()
+
+
+def test_gopher_quality_matches_pure_python():
+    from autoprepad_ray.stages.text import gopher_quality
+
+    texts = [
+        "the cat sat of the mat and went to sleep now",   # 11 words, keeps
+        "a b c d e f g h i j k l",                        # mean len 1 -> drop
+        "only four words here",                           # < min_words
+        "the longwordhere of extraordinarily and to " * 3,
+    ]
+    texts[3] = texts[3].strip()
+    docs = _mkdocs(texts)
+    got = (gopher_quality(docs, min_words=5).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    stop = {"the", "a", "of", "and", "to"}
+    for i, txt in enumerate(texts):
+        w = txt.split(" ")
+        n = len(w)
+        sum_len = sum(len(x) for x in w)
+        alpha = sum(any(c.isascii() and c.isalpha() for c in x) for x in w)
+        hits = sum(x in stop for x in w)
+        keep = int(5 <= n <= 100_000 and 3 * n <= sum_len <= 10 * n
+                   and 10 * alpha >= 8 * n and hits >= 2)
+        row = got.loc[i]
+        assert (row["n_words"], row["sum_word_len"], row["alpha_words"],
+                row["stop_hits"], row["keep_flag"]) == \
+            (n, sum_len, alpha, hits, keep), (i, txt)
+    assert got["keep_flag"].tolist() == [1, 0, 0, 1]
+    assert all(got[c].dtype == np.int64 for c in got.columns if c != "text")
+
+
+def test_unigram_logprob_matches_pure_python():
+    import math
+
+    from autoprepad_ray.stages.text import unigram_logprob
+
+    docs = _mkdocs(TEXTS)
+    got = (unigram_logprob(docs).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    allw = [w for t in TEXTS for w in t.split(" ")]
+    total = len(allw)
+    cf = {w: allw.count(w) for w in set(allw)}
+    for i, t in enumerate(TEXTS):
+        w = t.split(" ")
+        s = 0.0
+        for x in w:          # sequential, document order (engine mirrors)
+            s += math.log(cf[x] / total)
+        assert abs(got.loc[i, "logprob"] - round(s / len(w), 6)) < 1e-9, i
+    # rare-word doc scores lower than common-word doc
+    assert got["logprob"].between(-15, 0).all()
