@@ -3563,3 +3563,49 @@ def unigram_logprob_docs(sf_dir: str):
     from ..stages.text import unigram_logprob
 
     return unigram_logprob(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+
+@query("bigram_repetition_docs", sql="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id,
+             CASE WHEN len(w) >= 2 THEN
+               list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+             ELSE [] END AS grams
+      FROM d)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+           / CASE WHEN len(grams) = 0 THEN 1 ELSE len(grams) END AS dup_ratio
+FROM g""")
+def bigram_repetition_docs(sf_dir: str):
+    """Gopher duplicate-bigram fraction (the n=2 member of the
+    duplicate-n-gram rule family; word_repetition_docs is n=1) —
+    exact-string in-block distinct, one int division.  See
+    stages/text.ngram_repetition."""
+    from ..stages.text import ngram_repetition
+
+    return ngram_repetition(_t(sf_dir, "documents", ["doc_id", "text"]),
+                            n=2)
+
+
+@query("source_mixture_weights", sql="""
+WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                      AS n_words
+           FROM documents GROUP BY source),
+tot AS (SELECT list_sum(list_transform(list(n_words ORDER BY source),
+                        x -> sqrt(CAST(x AS DOUBLE)))) AS z FROM s)
+SELECT source, n_docs, n_words,
+       ROUND(sqrt(CAST(n_words AS DOUBLE)) / z, 6) AS weight
+FROM s, tot""")
+def source_mixture_weights_q(sf_dir: str):
+    """Sqrt-temperature source sampling weights for corpus mixing —
+    integer partials folded driver-side, sqrt (correctly-rounded IEEE)
+    + sorted-order sequential normalizer mirrors the oracle's list_sum
+    fold; bit-exact at sf 0.001/0.01/0.1.  See
+    stages/text.source_mixture_weights."""
+    from ..stages.text import source_mixture_weights
+
+    return source_mixture_weights(
+        _t(sf_dir, "documents", ["text", "source"]))

@@ -503,3 +503,103 @@ def unigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id"):
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def ngram_repetition(ds, *, n: int = 2, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Gopher's duplicate n-gram fraction (the n >= 2 generalization of
+    ``word_repetition``): per document, how many of its word n-grams are
+    repeats of an earlier n-gram in the SAME document — boilerplate and
+    template spam show up as a heavy dup tail.
+
+    Same in-block exact-string shape as word_repetition: gram strings
+    are built by one ``binary_join_element_wise`` over n shifted
+    zero-copy slices of the flat word array (no per-row Python),
+    boundary-crossing starts masked off with the doc-position
+    arithmetic, and distinct counting is two Arrow ``group_by`` passes
+    inside the block — a pure map stage, no exchange.  dup_ratio is one
+    IEEE division of exact ints (header float rule: bit-stable)."""
+    if n < 2:
+        raise ValueError("use word_repetition for n=1")
+
+    def rep(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        la = pc.split_pattern(texts, pattern=" ")
+        vals = la.values
+        off = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(off)
+        nd = len(counts)
+        nv = len(vals)
+        n_starts = max(nv - (n - 1), 0)
+        slices = [vals.slice(k, n_starts) for k in range(n)]
+        grams = (pc.binary_join_element_wise(*slices, " ")
+                 if n_starts else pa.array([], pa.string()))
+        doc_idx = np.repeat(np.arange(nd, dtype=np.int64), counts)
+        in_pos = np.arange(nv, dtype=np.int64) - np.repeat(off[:-1], counts)
+        valid = (in_pos[:n_starts]
+                 <= counts[doc_idx[:n_starts]] - n) if n_starts else \
+            np.empty(0, bool)
+        g_per_doc = np.maximum(counts - (n - 1), 0)
+        pairs = pa.table({
+            "d": pa.array(doc_idx[:n_starts][valid]),
+            "g": grams.filter(pa.array(valid))})
+        dist = (pairs.group_by(["d", "g"]).aggregate([([], "count_all")])
+                .group_by("d").aggregate([([], "count_all")]))
+        n_dist = np.zeros(nd, dtype=np.int64)
+        n_dist[dist["d"].to_numpy()] = \
+            dist["count_all"].to_numpy().astype(np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            "n_grams": pa.array(g_per_doc),
+            "n_distinct": pa.array(n_dist),
+            "dup_ratio": pa.array((g_per_doc - n_dist).astype(np.float64)
+                                  / np.maximum(g_per_doc, 1))})
+
+    return ds.map_batches(rep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def source_mixture_weights(ds, *, source_col: str = "source",
+                           text_col: str = "text"):
+    """Temperature-scaled source sampling weights (alpha = 0.5) — the
+    data-mixing step that decides how much of each source a training
+    run draws: w_s = sqrt(tokens_s) / sum_s sqrt(tokens_s), the
+    sqrt-temperature rule that upsamples small high-quality sources.
+
+    One pass of per-block integer partials (source, docs, words) folded
+    on the driver (source cardinality is dozens at any corpus scale),
+    then pure driver math: sqrt is CORRECTLY-ROUNDED IEEE (unlike pow,
+    which is why alpha is spelled as sqrt), and the normalizer is a
+    sequential sum over sources in sorted-name order — mirroring
+    DuckDB's ``list_sum(list_transform(list(... ORDER BY source)))``
+    fold, so the r6-rounded weights are bit-exact."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        la = pc.split_pattern(texts, pattern=" ")
+        counts = np.diff(la.offsets.to_numpy(zero_copy_only=False)
+                         .astype(np.int64))
+        g = (pd.DataFrame({
+            "source": t[source_col].to_numpy(zero_copy_only=False),
+            "n_docs": 1, "n_words": counts})
+            .groupby("source", as_index=False).sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    folded = (pd.DataFrame(parts).groupby("source", as_index=False)
+              .sum().sort_values("source").reset_index(drop=True))
+    sq = np.sqrt(folded["n_words"].to_numpy(dtype=np.float64))
+    z = np.float64(0.0)
+    for v in sq:                      # sequential: DuckDB list_sum order
+        z = z + v
+    return pd.DataFrame({
+        "source": folded["source"],
+        "n_docs": folded["n_docs"].astype(np.int64),
+        "n_words": folded["n_words"].astype(np.int64),
+        "weight": np.round(sq / z, 6)})

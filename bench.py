@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "phash_dedup_clusters_images",
     "gopher_quality_docs",
     "unigram_logprob_docs",
+    "bigram_repetition_docs",
+    "source_mixture_weights",
 ]
 
 IMG_PARTITIONS = 32

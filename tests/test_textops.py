@@ -327,3 +327,67 @@ def test_unigram_logprob_matches_pure_python():
         assert abs(got.loc[i, "logprob"] - round(s / len(w), 6)) < 1e-9, i
     # rare-word doc scores lower than common-word doc
     assert got["logprob"].between(-15, 0).all()
+
+
+def test_ngram_repetition_matches_pure_python():
+    from autoprepad_ray.stages.text import ngram_repetition
+
+    texts = TEXTS + ["one", "a b a b a b a b"]
+    docs = _mkdocs(texts)
+    for n in (2, 3):
+        got = (ngram_repetition(docs, n=n).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        for i, txt in enumerate(texts):
+            w = txt.split(" ")
+            grams = [" ".join(w[j:j + n]) for j in range(len(w) - n + 1)]
+            exp_n, exp_d = len(grams), len(set(grams))
+            row = got.loc[i]
+            assert (row["n_grams"], row["n_distinct"]) == (exp_n, exp_d), \
+                (n, i, txt)
+            exp_ratio = (exp_n - exp_d) / max(exp_n, 1)
+            assert row["dup_ratio"] == exp_ratio
+    # the pure-repeat doc is caught hard at n=2: 7 grams, 2 distinct
+    rep = got.iloc[-1]  # n=3 loop state: 6 grams, 2 distinct
+    assert rep["n_grams"] == 6 and rep["n_distinct"] == 2
+
+
+def test_ngram_repetition_rejects_unigram():
+    import pytest as _pytest
+
+    from autoprepad_ray.stages.text import ngram_repetition
+
+    with _pytest.raises(ValueError):
+        ngram_repetition(_mkdocs(TEXTS), n=1)
+
+
+def test_source_mixture_weights_matches_pure_python():
+    import math
+
+    import pyarrow as _pa
+    import ray.data as _rd
+
+    from autoprepad_ray.stages.text import source_mixture_weights
+
+    texts = ["a b c", "d e", "f", "g h i j", "k l"]
+    srcs = ["web", "web", "books", "books", "code"]
+    ds = _rd.from_arrow(_pa.table({
+        "text": _pa.array(texts), "source": _pa.array(srcs)})) \
+        .repartition(3)
+    got = source_mixture_weights(ds).sort_values("source") \
+        .reset_index(drop=True)
+
+    words = {}
+    docs = {}
+    for t, s in zip(texts, srcs):
+        words[s] = words.get(s, 0) + len(t.split(" "))
+        docs[s] = docs.get(s, 0) + 1
+    order = sorted(words)
+    z = 0.0
+    for s in order:
+        z += math.sqrt(words[s])
+    for i, s in enumerate(order):
+        row = got.loc[i]
+        assert row["source"] == s
+        assert row["n_docs"] == docs[s] and row["n_words"] == words[s]
+        assert row["weight"] == round(math.sqrt(words[s]) / z, 6)
+    assert abs(got["weight"].sum() - 1.0) < 1e-5
