@@ -3609,3 +3609,35 @@ def source_mixture_weights_q(sf_dir: str):
 
     return source_mixture_weights(
         _t(sf_dir, "documents", ["text", "source"]))
+
+
+@query("token_drift_sources", sql="""
+WITH d AS (SELECT source, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+sc AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c FROM d
+       GROUP BY source, term),
+st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM sc
+       GROUP BY source),
+gc AS (SELECT term, CAST(SUM(c) AS BIGINT) AS c FROM sc GROUP BY term),
+gt AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM gc),
+grid AS (SELECT st.source, gc.term, COALESCE(sc.c, 0) AS sc_c,
+                st.tot AS s_tot, gc.c AS g_c, gt.tot AS g_tot
+         FROM st CROSS JOIN gc CROSS JOIN gt
+         LEFT JOIN sc ON sc.source = st.source AND sc.term = gc.term),
+lists AS (SELECT source,
+                 list(abs(CAST(sc_c AS DOUBLE) / CAST(s_tot AS DOUBLE)
+                          - CAST(g_c AS DOUBLE) / CAST(g_tot AS DOUBLE))
+                      ORDER BY term) AS al
+          FROM grid GROUP BY source)
+SELECT source, ROUND(0.5 * list_sum(al), 6) AS tvd FROM lists""")
+def token_drift_sources(sf_dir: str):
+    """Per-source unigram-distribution drift (total-variation distance
+    vs the corpus) — the text-side drift check beside PSI/KS.  Integer
+    partials + driver fold; per-term doubles are exact divisions and
+    the term-sorted sequential sum mirrors the oracle's list_sum fold
+    (bit-exact at sf 0.001/0.01/0.1).  See
+    stages/text.token_drift_by_source."""
+    from ..stages.text import token_drift_by_source
+
+    return token_drift_by_source(
+        _t(sf_dir, "documents", ["text", "source"]))

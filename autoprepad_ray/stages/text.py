@@ -603,3 +603,56 @@ def source_mixture_weights(ds, *, source_col: str = "source",
         "n_docs": folded["n_docs"].astype(np.int64),
         "n_words": folded["n_words"].astype(np.int64),
         "weight": np.round(sq / z, 6)})
+
+
+def token_drift_by_source(ds, *, source_col: str = "source",
+                          text_col: str = "text"):
+    """Token-distribution drift per source: total-variation distance
+    between each source's unigram distribution and the whole corpus's —
+    the text-side sibling of the PSI/KS numeric drift checks (a source
+    whose vocabulary usage diverges is a candidate for re-weighting or
+    exclusion in the mixing step).
+
+    One pass of per-block (source, term, count) integer partials folded
+    on the driver (sources x vocab is KBs under Heaps' law at any
+    corpus scale); per-source math is two exact int divisions, an abs,
+    and a SEQUENTIAL sum over terms in sorted order — mirroring the
+    oracle's ``list_sum(list(... ORDER BY term))`` fold, so the
+    r6-rounded TVD is bit-exact."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        la = pc.split_pattern(texts, pattern=" ")
+        counts = np.diff(la.offsets.to_numpy(zero_copy_only=False)
+                         .astype(np.int64))
+        src = np.repeat(t[source_col].to_numpy(zero_copy_only=False),
+                        counts)
+        words = la.values.to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({"source": src, "term": words})
+             .groupby(["source", "term"]).size().rename("c")
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    scd = (pd.DataFrame(parts).groupby(["source", "term"],
+                                       as_index=False)["c"].sum())
+    terms = np.sort(scd["term"].unique())
+    gterm = (scd.groupby("term")["c"].sum().reindex(terms)
+             .to_numpy(dtype=np.int64))
+    gq = gterm.astype(np.float64) / np.float64(gterm.sum())
+    out_src, out_tvd = [], []
+    for s, grp in scd.groupby("source"):
+        v = (grp.set_index("term")["c"].reindex(terms, fill_value=0)
+             .to_numpy(dtype=np.int64))
+        ad = np.abs(v.astype(np.float64) / np.float64(v.sum()) - gq)
+        z = np.float64(0.0)
+        for x in ad:                  # sequential: DuckDB list_sum order
+            z = z + x
+        out_src.append(s)
+        out_tvd.append(np.round(np.float64(0.5) * z, 6))
+    return pd.DataFrame({"source": out_src,
+                         "tvd": np.array(out_tvd, dtype=np.float64)})

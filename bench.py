@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "unigram_logprob_docs",
     "bigram_repetition_docs",
     "source_mixture_weights",
+    "token_drift_sources",
 ]
 
 IMG_PARTITIONS = 32

@@ -391,3 +391,33 @@ def test_source_mixture_weights_matches_pure_python():
         assert row["n_docs"] == docs[s] and row["n_words"] == words[s]
         assert row["weight"] == round(math.sqrt(words[s]) / z, 6)
     assert abs(got["weight"].sum() - 1.0) < 1e-5
+
+
+def test_token_drift_matches_pure_python():
+    import pyarrow as _pa
+    import ray.data as _rd
+
+    from autoprepad_ray.stages.text import token_drift_by_source
+
+    texts = ["a a a b", "a b c", "c c c c", "a b", "b b c"]
+    srcs = ["s1", "s1", "s2", "s2", "s3"]
+    ds = _rd.from_arrow(_pa.table({
+        "text": _pa.array(texts), "source": _pa.array(srcs)})) \
+        .repartition(2)
+    got = (token_drift_by_source(ds).sort_values("source")
+           .reset_index(drop=True))
+
+    from collections import Counter
+    allw = Counter(w for t in texts for w in t.split(" "))
+    terms = sorted(allw)
+    gtot = sum(allw.values())
+    per = {}
+    for t, s in zip(texts, srcs):
+        per.setdefault(s, Counter()).update(t.split(" "))
+    for i, s in enumerate(sorted(per)):
+        stot = sum(per[s].values())
+        tvd = 0.5 * sum(abs(per[s][x] / stot - allw[x] / gtot)
+                        for x in terms)
+        assert got.loc[i, "source"] == s
+        assert abs(got.loc[i, "tvd"] - round(tvd, 6)) < 1e-9, s
+    assert got["tvd"].between(0.0, 1.0).all()
