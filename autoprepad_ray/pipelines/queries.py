@@ -3641,3 +3641,54 @@ def token_drift_sources(sf_dir: str):
 
     return token_drift_by_source(
         _t(sf_dir, "documents", ["text", "source"]))
+
+
+@query("dup_doc_ratio_by_source", sql="""
+WITH f AS (SELECT source, md5(text) AS fp FROM documents),
+c AS (SELECT fp, COUNT(*) AS n FROM f GROUP BY fp)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_docs,
+       CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS dup_ratio
+FROM f JOIN c USING (fp) GROUP BY source""")
+def dup_doc_ratio_by_source_q(sf_dir: str):
+    """Exact-duplicate document share per source (dedup-audit rollup) —
+    census-pruned candidate collection + exact md5 verification, int
+    counts + one division.  See stages/text.dup_doc_ratio_by_source."""
+    from ..stages.text import dup_doc_ratio_by_source
+
+    return dup_doc_ratio_by_source(
+        _t(sf_dir, "documents", ["text", "source"]))
+
+
+@query("vocab_jaccard_source_pairs", sql="""
+WITH d AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM d
+          GROUP BY source),
+inter AS (SELECT da.source AS sa, db.source AS sb,
+                 CAST(COUNT(*) AS BIGINT) AS i
+          FROM d da JOIN d db
+            ON da.term = db.term AND da.source < db.source
+          GROUP BY sa, sb),
+pairs AS (SELECT a.source AS source_a, b.source AS source_b
+          FROM sizes a, sizes b WHERE a.source < b.source)
+SELECT p.source_a, p.source_b,
+       CAST(COALESCE(i.i, 0) AS BIGINT) AS n_inter,
+       CAST(za.v + zb.v - COALESCE(i.i, 0) AS BIGINT) AS n_union,
+       CAST(COALESCE(i.i, 0) AS DOUBLE)
+           / (za.v + zb.v - COALESCE(i.i, 0)) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.sa = p.source_a AND i.sb = p.source_b
+JOIN sizes za ON za.source = p.source_a
+JOIN sizes zb ON zb.source = p.source_b""")
+def vocab_jaccard_source_pairs_q(sf_dir: str):
+    """Pairwise source vocabulary Jaccard (corpus-composition
+    diagnostic) — distinct (source, term) partials + driver boolean
+    matmul; exact ints, one division.  See
+    stages/text.vocab_jaccard_source_pairs."""
+    from ..stages.text import vocab_jaccard_source_pairs
+
+    return vocab_jaccard_source_pairs(
+        _t(sf_dir, "documents", ["text", "source"]))

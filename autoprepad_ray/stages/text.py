@@ -656,3 +656,130 @@ def token_drift_by_source(ds, *, source_col: str = "source",
         out_tvd.append(np.round(np.float64(0.5) * z, 6))
     return pd.DataFrame({"source": out_src,
                          "tvd": np.array(out_tvd, dtype=np.float64)})
+
+
+def dup_doc_ratio_by_source(ds, *, source_col: str = "source",
+                            text_col: str = "text"):
+    """Exact-duplicate telemetry per source: how many of a source's
+    documents are byte-identical to SOME other document in the corpus
+    (the dedup-audit rollup a pipeline reports before/after exact
+    dedup; sources dominated by dup docs are mirror/scrape artifacts).
+
+    Duplicates are RARE at uniqueness-check scale, so this is the
+    census-prune shape (validators/uniqueness.py): pass 1 folds
+    per-block 64-bit text-hash counts through the tree merge, pass 2
+    broadcasts the (few) candidate hashes and collects only candidate
+    (md5, source) rows, and the driver verifies candidates on the EXACT
+    md5 strings — a 64-bit collision only adds a candidate row, never a
+    wrong count.  Per-source totals ride pass 2 as integer partials.
+    dup_ratio is one int division (bit-stable)."""
+    import ray
+
+    from ..sketches import hash64
+    from ..validators.near_dup import _pickled, _tree_counts
+    from ..functions.strings import md5_fingerprint
+
+    def census(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t[text_col], "").to_pandas()
+        vals, cnts = np.unique(hash64(texts.to_numpy(dtype=object)),
+                               return_counts=True)
+        return _pickled((vals, cnts))
+
+    vals, cnts = _tree_counts(ds.map_batches(
+        census, batch_format="pyarrow", zero_copy_batch=True))
+    cand = np.sort(vals[cnts >= 2].astype(np.uint64))
+    cand_ref = ray.put(cand)
+
+    def collect(t: pa.Table) -> pa.Table:
+        cand_b = ray.get(cand_ref)
+        src = pd.Series(t[source_col].to_numpy(zero_copy_only=False))
+        texts = pc.fill_null(t[text_col], "").to_pandas()
+        h = hash64(texts.to_numpy(dtype=object))
+        pos = np.searchsorted(cand_b, h)
+        hit = (pos < len(cand_b)) & (cand_b[np.minimum(
+            pos, max(len(cand_b) - 1, 0))] == h) if len(cand_b) else \
+            np.zeros(len(h), bool)
+        tot = src.groupby(src).size()
+        fps = md5_fingerprint(texts[hit]) if hit.any() else pd.Series(
+            [], dtype=object)
+        return _pickled((tot.index.to_numpy(dtype=object),
+                         tot.to_numpy(dtype=np.int64),
+                         fps.to_numpy(dtype=object),
+                         src[hit].to_numpy(dtype=object)))
+
+    import pickle
+
+    parts = ds.map_batches(collect, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    totals: dict[str, int] = {}
+    fp_all, src_all = [], []
+    for r in parts:
+        s_keys, s_cnts, fps, srcs = pickle.loads(r["payload"])
+        for k, c in zip(s_keys, s_cnts):
+            totals[k] = totals.get(k, 0) + int(c)
+        fp_all.append(fps)
+        src_all.append(srcs)
+    fp_all = np.concatenate(fp_all) if fp_all else np.empty(0, object)
+    src_all = np.concatenate(src_all) if src_all else np.empty(0, object)
+    # exact verification on the md5 strings: true dups have count >= 2
+    uniq, inv, ucnt = np.unique(fp_all, return_inverse=True,
+                                return_counts=True)
+    is_dup = ucnt[inv] >= 2 if len(fp_all) else np.empty(0, bool)
+    dups: dict[str, int] = {}
+    for s in src_all[is_dup]:
+        dups[s] = dups.get(s, 0) + 1
+    srcs_sorted = sorted(totals)
+    n_docs = np.array([totals[s] for s in srcs_sorted], dtype=np.int64)
+    n_dup = np.array([dups.get(s, 0) for s in srcs_sorted],
+                     dtype=np.int64)
+    return pd.DataFrame({
+        "source": srcs_sorted,
+        "n_docs": n_docs,
+        "n_dup_docs": n_dup,
+        "dup_ratio": n_dup.astype(np.float64) / n_docs})
+
+
+def vocab_jaccard_source_pairs(ds, *, source_col: str = "source",
+                               text_col: str = "text"):
+    """Pairwise vocabulary overlap between sources (Jaccard of distinct
+    word sets) — the corpus-composition diagnostic that spots mirror
+    sources (Jaccard ~1) and domain outliers (Jaccard ~0) before
+    mixing.
+
+    Per-block distinct (source, term) partials fold on the driver
+    (sources x vocab is KBs); the pairwise intersection is one boolean
+    matmul.  n_inter/n_union are exact ints, jaccard one int division
+    (bit-stable) — SQL-exact against the term-join oracle."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        la = pc.split_pattern(texts, pattern=" ")
+        counts = np.diff(la.offsets.to_numpy(zero_copy_only=False)
+                         .astype(np.int64))
+        src = np.repeat(t[source_col].to_numpy(zero_copy_only=False),
+                        counts)
+        words = la.values.to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({"source": src, "term": words})
+             .drop_duplicates())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    d = pd.DataFrame(parts).drop_duplicates()
+    srcs = np.sort(d["source"].unique())
+    terms = np.sort(d["term"].unique())
+    m = np.zeros((len(srcs), len(terms)), dtype=bool)
+    m[np.searchsorted(srcs, d["source"].to_numpy(dtype=object)),
+      np.searchsorted(terms, d["term"].to_numpy(dtype=object))] = True
+    inter = (m.astype(np.int64) @ m.astype(np.int64).T)
+    sizes = m.sum(axis=1).astype(np.int64)
+    ia, ib = np.triu_indices(len(srcs), k=1)
+    n_inter = inter[ia, ib]
+    n_union = sizes[ia] + sizes[ib] - n_inter
+    return pd.DataFrame({
+        "source_a": srcs[ia], "source_b": srcs[ib],
+        "n_inter": n_inter, "n_union": n_union,
+        "jaccard": n_inter.astype(np.float64) / n_union})

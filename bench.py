@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "bigram_repetition_docs",
     "source_mixture_weights",
     "token_drift_sources",
+    "dup_doc_ratio_by_source",
+    "vocab_jaccard_source_pairs",
 ]
 
 IMG_PARTITIONS = 32

@@ -421,3 +421,66 @@ def test_token_drift_matches_pure_python():
         assert got.loc[i, "source"] == s
         assert abs(got.loc[i, "tvd"] - round(tvd, 6)) < 1e-9, s
     assert got["tvd"].between(0.0, 1.0).all()
+
+
+def test_dup_doc_ratio_planted_duplicates():
+    import pyarrow as _pa
+    import ray.data as _rd
+
+    from autoprepad_ray.stages.text import dup_doc_ratio_by_source
+
+    texts = ["same doc", "same doc", "unique one", "same doc",
+             "other dup", "other dup", "solo"]
+    srcs = ["s1", "s1", "s1", "s2", "s2", "s3", "s3"]
+    ds = _rd.from_arrow(_pa.table({
+        "text": _pa.array(texts), "source": _pa.array(srcs)})) \
+        .repartition(3)
+    got = (dup_doc_ratio_by_source(ds).sort_values("source")
+           .reset_index(drop=True))
+    # s1: 2/3 dup ("same doc" x2); s2: both rows dup (one cross-source
+    # "same doc", one "other dup"); s3: 1/2 dup
+    assert got["n_docs"].tolist() == [3, 2, 2]
+    assert got["n_dup_docs"].tolist() == [2, 2, 1]
+    assert got["dup_ratio"].tolist() == [2 / 3, 1.0, 0.5]
+
+
+def test_dup_doc_ratio_no_duplicates():
+    import pyarrow as _pa
+    import ray.data as _rd
+
+    from autoprepad_ray.stages.text import dup_doc_ratio_by_source
+
+    ds = _rd.from_arrow(_pa.table({
+        "text": _pa.array([f"doc number {i}" for i in range(10)]),
+        "source": _pa.array(["a", "b"] * 5)})).repartition(4)
+    got = dup_doc_ratio_by_source(ds)
+    assert got["n_dup_docs"].tolist() == [0, 0]
+    assert got["dup_ratio"].tolist() == [0.0, 0.0]
+
+
+def test_vocab_jaccard_matches_pure_python():
+    import pyarrow as _pa
+    import ray.data as _rd
+
+    from autoprepad_ray.stages.text import vocab_jaccard_source_pairs
+
+    texts = ["a b c", "b c d", "c d e f", "x y", "a b c d e"]
+    srcs = ["s1", "s1", "s2", "s2", "s3"]
+    ds = _rd.from_arrow(_pa.table({
+        "text": _pa.array(texts), "source": _pa.array(srcs)})) \
+        .repartition(2)
+    got = (vocab_jaccard_source_pairs(ds)
+           .sort_values(["source_a", "source_b"]).reset_index(drop=True))
+
+    vocab = {}
+    for t, s in zip(texts, srcs):
+        vocab.setdefault(s, set()).update(t.split(" "))
+    keys = sorted(vocab)
+    rows = [(a, b, len(vocab[a] & vocab[b]), len(vocab[a] | vocab[b]))
+            for i, a in enumerate(keys) for b in keys[i + 1:]]
+    assert len(got) == len(rows)
+    for i, (a, b, ni, nu) in enumerate(rows):
+        r = got.loc[i]
+        assert (r["source_a"], r["source_b"]) == (a, b)
+        assert (r["n_inter"], r["n_union"]) == (ni, nu)
+        assert r["jaccard"] == ni / nu
