@@ -3692,3 +3692,34 @@ def vocab_jaccard_source_pairs_q(sf_dir: str):
 
     return vocab_jaccard_source_pairs(
         _t(sf_dir, "documents", ["text", "source"]))
+
+
+@query("token_budget_resample_sources", sql="""
+WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                      AS n_words
+           FROM documents GROUP BY source),
+t AS (SELECT CAST(SUM(n_words) AS BIGINT) AS tw,
+             CAST(COUNT(*) AS BIGINT) AS ns FROM s),
+r AS (SELECT source, n_docs, n_words,
+             LEAST(1000, (t.tw * 1000) // (2 * t.ns * n_words)) AS cut
+      FROM s, t),
+k AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT)
+                 AS words_kept
+      FROM documents d JOIN r USING (source)
+      WHERE ((d.doc_id % 1000003) * 2654435761) % 1000 < r.cut
+      GROUP BY d.source)
+SELECT r.source, r.n_docs, r.n_words, CAST(r.cut AS BIGINT) AS cut,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(k.words_kept, 0) AS BIGINT) AS words_kept
+FROM r LEFT JOIN k USING (source)""")
+def token_budget_resample_sources(sf_dir: str):
+    """Token-budgeted corpus resampling rollup (thin each source toward
+    half the mean source's tokens): integer floor-division bucket cuts
+    + the stateless split hash — all-integer, SQL-exact.  See
+    stages/text.token_budget_resample."""
+    from ..stages.text import token_budget_resample
+
+    return token_budget_resample(
+        _t(sf_dir, "documents", ["doc_id", "text", "source"]))

@@ -783,3 +783,103 @@ def vocab_jaccard_source_pairs(ds, *, source_col: str = "source",
         "source_a": srcs[ia], "source_b": srcs[ib],
         "n_inter": n_inter, "n_union": n_union,
         "jaccard": n_inter.astype(np.float64) / n_union})
+
+
+def token_budget_resample(ds, *, id_col: str = "doc_id",
+                          source_col: str = "source",
+                          text_col: str = "text",
+                          budget_num: int = 1, budget_den: int = 2,
+                          buckets: int = 1000, output: str = "summary"):
+    """Token-budgeted corpus resampling: deterministically thin each
+    source toward a per-source token budget of ``num/den`` times the
+    mean source's tokens — the "apply the mixture" step after
+    ``source_mixture_weights`` decides shares (a source over budget is
+    hash-thinned; one at/under budget keeps everything).
+
+    Per-source keep rates quantize to INTEGER bucket cuts with floor
+    division (``min(buckets, tw*buckets*num // (den*ns*w_s))`` — no
+    float rounding rule to mirror), and the row decision is the repo's
+    stateless split hash (functions/sampling.split_code arithmetic:
+    pure int64, retry/partition/cluster-size invariant, ids >= 0 for
+    SQL parity).  Two passes, no shuffle: integer partials fold
+    driver-side, cuts broadcast into a pure filter map.
+
+    ``output='rows'`` returns the filtered Dataset (the pipeline step);
+    ``'summary'`` returns per-source (n_docs, n_words, cut, n_kept,
+    words_kept) — all-integer, SQL-exact."""
+    from ..functions.sampling import split_code
+
+    def counts(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        la = pc.split_pattern(texts, pattern=" ")
+        wc = np.diff(la.offsets.to_numpy(zero_copy_only=False)
+                     .astype(np.int64))
+        g = (pd.DataFrame({
+            "source": t[source_col].to_numpy(zero_copy_only=False),
+            "n_docs": 1, "n_words": wc})
+            .groupby("source", as_index=False).sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(counts, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    g = (pd.DataFrame(parts).groupby("source", as_index=False).sum()
+         .sort_values("source").reset_index(drop=True))
+    tw = np.int64(g["n_words"].sum())
+    ns = np.int64(len(g))
+    w_s = g["n_words"].to_numpy(dtype=np.int64)
+    cut = np.minimum(np.int64(buckets),
+                     (tw * buckets * budget_num)
+                     // (budget_den * ns * w_s))
+    srcs = g["source"].to_numpy(dtype=object)
+    order = np.argsort(srcs)
+
+    import ray
+    cut_ref = ray.put((srcs[order], cut[order]))
+
+    def keep_mask(t: pa.Table) -> np.ndarray:
+        srcs_b, cut_b = ray.get(cut_ref)
+        code = split_code(t[id_col].to_numpy(zero_copy_only=False),
+                          buckets=buckets)
+        row_src = np.asarray(t[source_col].to_numpy(
+            zero_copy_only=False), dtype=object)
+        return code < cut_b[np.searchsorted(srcs_b, row_src)]
+
+    if output == "rows":
+        def filt(t: pa.Table) -> pa.Table:
+            return t.filter(pa.array(keep_mask(t)))
+
+        return ds.map_batches(filt, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def kept_counts(t: pa.Table) -> pa.Table:
+        keep = keep_mask(t)
+        texts = pc.fill_null(
+            t[text_col].combine_chunks()
+            if isinstance(t[text_col], pa.ChunkedArray)
+            else t[text_col], "")
+        la = pc.split_pattern(texts, pattern=" ")
+        wc = np.diff(la.offsets.to_numpy(zero_copy_only=False)
+                     .astype(np.int64))
+        src = np.asarray(t[source_col].to_numpy(zero_copy_only=False),
+                         dtype=object)
+        k = (pd.DataFrame({"source": src[keep], "n_kept": 1,
+                           "words_kept": wc[keep]})
+             .groupby("source", as_index=False).sum())
+        return pa.Table.from_pandas(k, preserve_index=False)
+
+    kparts = ds.map_batches(kept_counts, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    kf = (pd.DataFrame(kparts).groupby("source").sum()
+          if kparts else pd.DataFrame(
+              columns=["n_kept", "words_kept"]))
+    kf = kf.reindex(g["source"], fill_value=0)
+    return pd.DataFrame({
+        "source": g["source"],
+        "n_docs": g["n_docs"].to_numpy(dtype=np.int64),
+        "n_words": w_s,
+        "cut": cut,
+        "n_kept": kf["n_kept"].to_numpy(dtype=np.int64),
+        "words_kept": kf["words_kept"].to_numpy(dtype=np.int64)})

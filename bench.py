@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "token_drift_sources",
     "dup_doc_ratio_by_source",
     "vocab_jaccard_source_pairs",
+    "token_budget_resample_sources",
 ]
 
 IMG_PARTITIONS = 32

@@ -484,3 +484,40 @@ def test_vocab_jaccard_matches_pure_python():
         assert (r["source_a"], r["source_b"]) == (a, b)
         assert (r["n_inter"], r["n_union"]) == (ni, nu)
         assert r["jaccard"] == ni / nu
+
+
+def test_token_budget_resample_invariants():
+    import pyarrow as _pa
+    import ray.data as _rd
+
+    from autoprepad_ray.functions.sampling import split_code
+    from autoprepad_ray.stages.text import token_budget_resample
+
+    # big source (many tokens) vs small source (few): only big thins
+    texts = (["w " * 19 + "w"] * 8          # 20 words x 8 docs = 160
+             + ["x y"] * 4)                 # 2 words x 4 docs = 8
+    srcs = ["big"] * 8 + ["small"] * 4
+    ids = list(range(12))
+    ds = _rd.from_arrow(_pa.table({
+        "doc_id": _pa.array(ids, _pa.int64()),
+        "text": _pa.array(texts),
+        "source": _pa.array(srcs)})).repartition(3)
+    got = (token_budget_resample(ds).sort_values("source")
+           .reset_index(drop=True))
+
+    tw, ns = 168, 2
+    cut_big = min(1000, tw * 1000 // (2 * ns * 160))   # 525
+    cut_small = min(1000, tw * 1000 // (2 * ns * 8))   # 1000: keep all
+    assert got["cut"].tolist() == [cut_big, cut_small]
+    assert got.loc[1, "n_kept"] == 4                   # small keeps all
+    # big keeps exactly the ids whose split hash clears its cut
+    exp_big = sum(int(split_code(__import__("numpy").array([i]))[0]
+                      < cut_big) for i in range(8))
+    assert got.loc[0, "n_kept"] == exp_big
+    assert got.loc[0, "words_kept"] == 20 * exp_big
+    # rows mode agrees with the summary
+    rows = token_budget_resample(ds, output="rows").to_pandas()
+    assert len(rows) == got["n_kept"].sum()
+    # deterministic: a rerun keeps the identical id set
+    rows2 = token_budget_resample(ds, output="rows").to_pandas()
+    assert sorted(rows["doc_id"]) == sorted(rows2["doc_id"])
