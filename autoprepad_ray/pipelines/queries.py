@@ -3723,3 +3723,53 @@ def token_budget_resample_sources(sf_dir: str):
 
     return token_budget_resample(
         _t(sf_dir, "documents", ["doc_id", "text", "source"]))
+
+
+@query("corpus_assembly_funnel", sql="""
+WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w,
+                  md5(text) AS fp FROM documents),
+q AS (SELECT doc_id, source, fp, CAST(len(w) AS BIGINT) AS nw,
+        CASE WHEN len(w) BETWEEN 10 AND 100000
+              AND list_sum(list_transform(w, x -> len(x)))
+                  BETWEEN 3 * len(w) AND 10 * len(w)
+              AND 10 * len(list_filter(w,
+                      x -> regexp_matches(x, '[A-Za-z]'))) >= 8 * len(w)
+              AND len(list_filter(w,
+                      x -> x IN ('the','a','of','and','to'))) >= 2
+        THEN 1 ELSE 0 END AS keep
+      FROM d),
+raw AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw FROM q
+        GROUP BY source),
+qs AS (SELECT * FROM q WHERE keep = 1),
+qq AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_quality FROM qs
+       GROUP BY source),
+ds2 AS (SELECT * FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY fp)
+                              AS mid FROM qs)
+        WHERE doc_id = mid),
+dd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dedup,
+              CAST(SUM(nw) AS BIGINT) AS w_dedup FROM ds2
+       GROUP BY source),
+t AS (SELECT CAST(SUM(w_dedup) AS BIGINT) AS tw,
+             CAST(COUNT(*) AS BIGINT) AS ns FROM dd),
+r AS (SELECT dd.source,
+             LEAST(1000, (t.tw * 1000) // (2 * t.ns * dd.w_dedup)) AS cut
+      FROM dd, t),
+fin AS (SELECT d2.source, CAST(COUNT(*) AS BIGINT) AS n_final
+        FROM ds2 d2 JOIN r USING (source)
+        WHERE ((d2.doc_id % 1000003) * 2654435761) % 1000 < r.cut
+        GROUP BY d2.source)
+SELECT raw.source, raw.n_raw,
+       CAST(COALESCE(qq.n_quality, 0) AS BIGINT) AS n_quality,
+       CAST(COALESCE(dd.n_dedup, 0) AS BIGINT) AS n_dedup,
+       CAST(COALESCE(r.cut, 0) AS BIGINT) AS cut,
+       CAST(COALESCE(fin.n_final, 0) AS BIGINT) AS n_final
+FROM raw LEFT JOIN qq USING (source) LEFT JOIN dd USING (source)
+LEFT JOIN r USING (source) LEFT JOIN fin USING (source)""")
+def corpus_assembly_funnel_q(sf_dir: str):
+    """Corpus-assembly funnel (quality gate -> exact dedup -> token
+    budget) with per-source survivor counts at every stage — all
+    integers, SQL-exact.  See stages/text.corpus_assembly_funnel."""
+    from ..stages.text import corpus_assembly_funnel
+
+    return corpus_assembly_funnel(
+        _t(sf_dir, "documents", ["doc_id", "text", "source"]))

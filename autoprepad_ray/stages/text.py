@@ -389,6 +389,36 @@ def bm25_scores(ds, query_terms: list[str], *, text_col: str = "text",
                           zero_copy_batch=True)
 
 
+def _quality_parts(texts, stop_arr: pa.Array):
+    """Per-doc integer quality components from one Arrow split:
+    (word count, summed word length, alphabetic-word count, stopword
+    hits).  Word lengths / alpha matches / stopword hits are C kernels
+    over the flat word values segment-summed per doc; counts are tiny
+    per doc, so float64 bincount accumulators are exact well past 2^53
+    and the int64 casts are lossless."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    la = pc.split_pattern(texts, pattern=" ")
+    vals = la.values
+    counts = np.diff(la.offsets.to_numpy(zero_copy_only=False)
+                     .astype(np.int64))
+    n = len(counts)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    wl = pc.utf8_length(vals).to_numpy(zero_copy_only=False)
+    alpha = pc.match_substring_regex(vals, "[A-Za-z]") \
+        .to_numpy(zero_copy_only=False)
+    stopm = pc.is_in(vals, value_set=stop_arr) \
+        .to_numpy(zero_copy_only=False)
+    sum_len = np.bincount(doc_idx, weights=wl,
+                          minlength=n).astype(np.int64)
+    alpha_w = np.bincount(doc_idx, weights=alpha,
+                          minlength=n).astype(np.int64)
+    stop_h = np.bincount(doc_idx, weights=stopm,
+                         minlength=n).astype(np.int64)
+    return counts, sum_len, alpha_w, stop_h
+
+
 def gopher_quality(ds, *, text_col: str = "text", id_col: str = "doc_id",
                    min_words: int = 10, max_words: int = 100_000,
                    min_mean_len: int = 3, max_mean_len: int = 10,
@@ -412,29 +442,8 @@ def gopher_quality(ds, *, text_col: str = "text", id_col: str = "doc_id",
     stop_arr = pa.array(sorted(set(stopwords)))
 
     def fn(t: pa.Table) -> pa.Table:
-        texts = t[text_col]
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        texts = pc.fill_null(texts, "")
-        la = pc.split_pattern(texts, pattern=" ")
-        vals = la.values
-        counts = np.diff(la.offsets.to_numpy(zero_copy_only=False)
-                         .astype(np.int64))
-        n = len(counts)
-        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
-        wl = pc.utf8_length(vals).to_numpy(zero_copy_only=False)
-        alpha = pc.match_substring_regex(vals, "[A-Za-z]") \
-            .to_numpy(zero_copy_only=False)
-        stopm = pc.is_in(vals, value_set=stop_arr) \
-            .to_numpy(zero_copy_only=False)
-        # counts are tiny per doc: float64 bincount accumulators are
-        # exact well past 2^53, so the int64 casts are lossless
-        sum_len = np.bincount(doc_idx, weights=wl,
-                              minlength=n).astype(np.int64)
-        alpha_w = np.bincount(doc_idx, weights=alpha,
-                              minlength=n).astype(np.int64)
-        stop_h = np.bincount(doc_idx, weights=stopm,
-                             minlength=n).astype(np.int64)
+        counts, sum_len, alpha_w, stop_h = _quality_parts(
+            t[text_col], stop_arr)
         keep = ((counts >= min_words) & (counts <= max_words)
                 & (sum_len >= min_mean_len * counts)
                 & (sum_len <= max_mean_len * counts)
@@ -883,3 +892,146 @@ def token_budget_resample(ds, *, id_col: str = "doc_id",
         "cut": cut,
         "n_kept": kf["n_kept"].to_numpy(dtype=np.int64),
         "words_kept": kf["words_kept"].to_numpy(dtype=np.int64)})
+
+
+def corpus_assembly_funnel(ds, *, id_col: str = "doc_id",
+                           source_col: str = "source",
+                           text_col: str = "text",
+                           buckets: int = 1000):
+    """End-to-end corpus-assembly funnel: Gopher quality gate -> exact
+    dedup (min-id canonical per identical text) -> token-budget
+    thinning, reporting per-source survivor counts at every stage —
+    the acceptance dashboard a training-data pipeline publishes per
+    ingest batch.
+
+    Three pruned passes, no shuffle (all state that crosses passes is
+    KB-scale and broadcast): pass A folds per-source raw/quality
+    integer partials plus a 64-bit text-hash census of the quality
+    survivors (dup-rare uniqueness regime — heavy-dup corpora should
+    run stages/dedup.exact_dedup first); pass B collects only
+    candidate-hash survivor rows and resolves exact md5 groups
+    driver-side (min doc_id wins, cross-source groups resolve to the
+    winner's source; a 64-bit collision only adds a candidate row);
+    pass C broadcasts the removed-id array + integer bucket cuts
+    (token_budget_resample's floor-division rule over the DEDUPED word
+    totals) and folds final keep counts.  Every number is an exact
+    integer — SQL-exact end to end."""
+    import pickle
+
+    import ray
+
+    from ..functions.sampling import split_code
+    from ..sketches import hash64
+    from ..functions.strings import md5_fingerprint
+    from ..validators.near_dup import _pickled, _merge_count_arrays
+
+    stop_arr = pa.array(sorted({"the", "a", "of", "and", "to"}))
+
+    def _keep(t: pa.Table) -> np.ndarray:
+        counts, sum_len, alpha_w, stop_h = _quality_parts(
+            t[text_col], stop_arr)
+        return ((counts >= 10) & (counts <= 100_000)
+                & (sum_len >= 3 * counts) & (sum_len <= 10 * counts)
+                & (10 * alpha_w >= 8 * counts) & (stop_h >= 2)), counts
+
+    def pass_a(t: pa.Table) -> pa.Table:
+        keep, counts = _keep(t)
+        src = np.asarray(t[source_col].to_numpy(zero_copy_only=False),
+                         dtype=object)
+        g = (pd.DataFrame({"source": src, "n_raw": 1,
+                           "n_quality": keep.astype(np.int64),
+                           "w_quality": counts * keep})
+             .groupby("source", as_index=False).sum())
+        texts = pd.Series(pc.fill_null(t[text_col], "").to_pandas())
+        vals, cnts = np.unique(
+            hash64(texts[keep].to_numpy(dtype=object)),
+            return_counts=True)
+        return _pickled((g, vals, cnts))
+
+    parts = ds.map_batches(pass_a, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    gs, censuses = [], []
+    for r in parts:
+        g, vals, cnts = pickle.loads(r["payload"])
+        gs.append(g)
+        censuses.append((vals, cnts))
+    agg = (pd.concat(gs).groupby("source", as_index=False).sum()
+           .sort_values("source").reset_index(drop=True))
+    vals, cnts = _merge_count_arrays(censuses)
+    cand = np.sort(vals[cnts >= 2].astype(np.uint64))
+
+    removed_ids = np.empty(0, dtype=np.int64)
+    rem_adjust = pd.DataFrame({"source": [], "n_rm": [], "w_rm": []})
+    if cand.size:
+        cand_ref = ray.put(cand)
+
+        def pass_b(t: pa.Table) -> pa.Table:
+            keep, counts = _keep(t)
+            texts = pd.Series(pc.fill_null(t[text_col], "").to_pandas())
+            h = hash64(texts.to_numpy(dtype=object))
+            cb = ray.get(cand_ref)
+            pos = np.searchsorted(cb, h)
+            hit = keep & (pos < len(cb)) & (
+                cb[np.minimum(pos, len(cb) - 1)] == h)
+            return _pickled((
+                t[id_col].to_numpy(zero_copy_only=False)[hit],
+                np.asarray(t[source_col].to_numpy(
+                    zero_copy_only=False), dtype=object)[hit],
+                counts[hit],
+                md5_fingerprint(texts[hit]).to_numpy(dtype=object)))
+
+        rows = ds.map_batches(pass_b, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+        loaded = [pickle.loads(r["payload"]) for r in rows]
+        ids = np.concatenate([x[0] for x in loaded]).astype(np.int64)
+        srcs = np.concatenate([x[1] for x in loaded])
+        nws = np.concatenate([x[2] for x in loaded]).astype(np.int64)
+        fps = np.concatenate([x[3] for x in loaded])
+        # exact per-md5 min-id: lexsort by (fp, id), first of each run wins
+        order = np.lexsort((ids, fps))
+        fps_s, ids_s = fps[order], ids[order]
+        first = np.r_[True, fps_s[1:] != fps_s[:-1]]
+        rm = ~first
+        removed_ids = np.sort(ids_s[rm])
+        rem_adjust = (pd.DataFrame({"source": srcs[order][rm],
+                                    "n_rm": 1, "w_rm": nws[order][rm]})
+                      .groupby("source", as_index=False).sum())
+
+    agg = agg.merge(rem_adjust, on="source", how="left").fillna(0)
+    n_dedup = (agg["n_quality"] - agg["n_rm"]).to_numpy(dtype=np.int64)
+    w_dedup = (agg["w_quality"] - agg["w_rm"]).to_numpy(dtype=np.int64)
+    live = w_dedup > 0
+    tw = np.int64(w_dedup[live].sum())
+    ns = np.int64(int(live.sum()))
+    cut = np.zeros(len(agg), dtype=np.int64)
+    if ns:
+        cut[live] = np.minimum(np.int64(buckets),
+                               (tw * buckets) // (2 * ns * w_dedup[live]))
+    srcs_sorted = agg["source"].to_numpy(dtype=object)
+    state_ref = ray.put((srcs_sorted, cut, np.sort(removed_ids)))
+
+    def pass_c(t: pa.Table) -> pa.Table:
+        srcs_b, cut_b, rm_b = ray.get(state_ref)
+        keep, _ = _keep(t)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        canon = keep & ~np.isin(ids, rm_b, assume_unique=False)
+        src = np.asarray(t[source_col].to_numpy(zero_copy_only=False),
+                         dtype=object)
+        code = split_code(ids, buckets=1000)
+        fin = canon & (code < cut_b[np.searchsorted(srcs_b, src)])
+        g = (pd.DataFrame({"source": src[fin], "n_final": 1})
+             .groupby("source", as_index=False).sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fparts = ds.map_batches(pass_c, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    ff = (pd.DataFrame(fparts).groupby("source").sum()
+          if fparts else pd.DataFrame(columns=["n_final"]))
+    ff = ff.reindex(agg["source"], fill_value=0)
+    return pd.DataFrame({
+        "source": agg["source"],
+        "n_raw": agg["n_raw"].to_numpy(dtype=np.int64),
+        "n_quality": agg["n_quality"].to_numpy(dtype=np.int64),
+        "n_dedup": n_dedup,
+        "cut": cut,
+        "n_final": ff["n_final"].to_numpy(dtype=np.int64)})

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "dup_doc_ratio_by_source",
     "vocab_jaccard_source_pairs",
     "token_budget_resample_sources",
+    "corpus_assembly_funnel",
 ]
 
 IMG_PARTITIONS = 32

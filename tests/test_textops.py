@@ -521,3 +521,41 @@ def test_token_budget_resample_invariants():
     # deterministic: a rerun keeps the identical id set
     rows2 = token_budget_resample(ds, output="rows").to_pandas()
     assert sorted(rows["doc_id"]) == sorted(rows2["doc_id"])
+
+
+def test_corpus_assembly_funnel_planted():
+    import pyarrow as _pa
+    import ray.data as _rd
+
+    from autoprepad_ray.functions.sampling import split_code
+    from autoprepad_ray.stages.text import corpus_assembly_funnel
+
+    good = ("the cat sat of the mat and the dog ran to the big house "
+            "with many windows")                        # passes quality
+    ds_rows = [
+        (0, "s1", good),                                # canonical dup
+        (1, "s1", good),                                # removed (same text)
+        (2, "s2", good),                                # removed cross-source
+        (3, "s2", "too short"),                         # fails quality
+        (4, "s2", good + " extra word here now ok"),    # unique survivor
+        (5, "s3", "a b c d e f g h i j k l"),           # mean len 1: fails
+    ]
+    ds = _rd.from_arrow(_pa.table({
+        "doc_id": _pa.array([r[0] for r in ds_rows], _pa.int64()),
+        "source": _pa.array([r[1] for r in ds_rows]),
+        "text": _pa.array([r[2] for r in ds_rows])})).repartition(3)
+    got = (corpus_assembly_funnel(ds).sort_values("source")
+           .reset_index(drop=True))
+
+    assert got["n_raw"].tolist() == [2, 3, 1]
+    assert got["n_quality"].tolist() == [2, 2, 0]
+    # dup group {0,1,2}: min id 0 (s1) wins; s1 loses 1, s2 loses 1
+    assert got["n_dedup"].tolist() == [1, 1, 0]
+    # budget: w_dedup = [17, 22]; tw=39, ns=2 live sources
+    cut_s1 = min(1000, 39 * 1000 // (2 * 2 * 17))
+    cut_s2 = min(1000, 39 * 1000 // (2 * 2 * 22))
+    assert got["cut"].tolist() == [cut_s1, cut_s2, 0]
+    import numpy as _np
+    exp_final = [int(split_code(_np.array([0]))[0] < cut_s1),
+                 int(split_code(_np.array([4]))[0] < cut_s2), 0]
+    assert got["n_final"].tolist() == exp_final
