@@ -419,6 +419,25 @@ def _quality_parts(texts, stop_arr: pa.Array):
     return counts, sum_len, alpha_w, stop_h
 
 
+
+def _typed_partial(df: pd.DataFrame, str_cols: tuple,
+                   int_cols: tuple) -> pa.Table:
+    """Explicitly typed Arrow partial table.  ``from_pandas`` infers
+    types from DATA, so an empty partial (a block where the mask kept
+    nothing) comes back null/float-typed and breaks Ray's block schema
+    unification — every per-block counts partial must come through
+    here instead."""
+    cols = {}
+    for c in df.columns:
+        if c in str_cols:
+            cols[c] = pa.array(np.asarray(df[c].to_numpy(),
+                                          dtype=object), pa.string())
+        else:
+            assert c in int_cols, c
+            cols[c] = pa.array(df[c].to_numpy(dtype=np.int64))
+    return pa.table(cols)
+
+
 def gopher_quality(ds, *, text_col: str = "text", id_col: str = "doc_id",
                    min_words: int = 10, max_words: int = 100_000,
                    min_mean_len: int = 3, max_mean_len: int = 10,
@@ -597,7 +616,7 @@ def source_mixture_weights(ds, *, source_col: str = "source",
             "source": t[source_col].to_numpy(zero_copy_only=False),
             "n_docs": 1, "n_words": counts})
             .groupby("source", as_index=False).sum())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _typed_partial(g, ("source",), ("n_docs", "n_words"))
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True).take_all()
@@ -643,7 +662,7 @@ def token_drift_by_source(ds, *, source_col: str = "source",
         g = (pd.DataFrame({"source": src, "term": words})
              .groupby(["source", "term"]).size().rename("c")
              .reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _typed_partial(g, ("source", "term"), ("c",))
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True).take_all()
@@ -755,10 +774,15 @@ def vocab_jaccard_source_pairs(ds, *, source_col: str = "source",
     sources (Jaccard ~1) and domain outliers (Jaccard ~0) before
     mixing.
 
-    Per-block distinct (source, term) partials fold on the driver
-    (sources x vocab is KBs); the pairwise intersection is one boolean
-    matmul.  n_inter/n_union are exact ints, jaccard one int division
-    (bit-stable) — SQL-exact against the term-join oracle."""
+    Per-block distinct (source, term) partials fold on the driver; the
+    pairwise intersection is one boolean matmul.  Scale note: the fold
+    is dozens-of-sources x vocab — at web scale (vocab ~10M under
+    Heaps' law) that is a few hundred MB of driver memory, still a
+    fold, never a shuffle; past that, hash terms to uint64 and fold
+    the hash sets (a 64-bit collision under-counts the union by ~0 at
+    any realistic vocab).  n_inter/n_union are exact ints, jaccard one
+    int division (bit-stable) — SQL-exact against the term-join
+    oracle."""
 
     def partial(t: pa.Table) -> pa.Table:
         texts = t[text_col]
@@ -773,7 +797,7 @@ def vocab_jaccard_source_pairs(ds, *, source_col: str = "source",
         words = la.values.to_numpy(zero_copy_only=False)
         g = (pd.DataFrame({"source": src, "term": words})
              .drop_duplicates())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _typed_partial(g, ("source", "term"), ())
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True).take_all()
@@ -830,7 +854,7 @@ def token_budget_resample(ds, *, id_col: str = "doc_id",
             "source": t[source_col].to_numpy(zero_copy_only=False),
             "n_docs": 1, "n_words": wc})
             .groupby("source", as_index=False).sum())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _typed_partial(g, ("source",), ("n_docs", "n_words"))
 
     parts = ds.map_batches(counts, batch_format="pyarrow",
                            zero_copy_batch=True).take_all()
@@ -877,7 +901,7 @@ def token_budget_resample(ds, *, id_col: str = "doc_id",
         k = (pd.DataFrame({"source": src[keep], "n_kept": 1,
                            "words_kept": wc[keep]})
              .groupby("source", as_index=False).sum())
-        return pa.Table.from_pandas(k, preserve_index=False)
+        return _typed_partial(k, ("source",), ("n_kept", "words_kept"))
 
     kparts = ds.map_batches(kept_counts, batch_format="pyarrow",
                             zero_copy_batch=True).take_all()
@@ -1021,7 +1045,7 @@ def corpus_assembly_funnel(ds, *, id_col: str = "doc_id",
         fin = canon & (code < cut_b[np.searchsorted(srcs_b, src)])
         g = (pd.DataFrame({"source": src[fin], "n_final": 1})
              .groupby("source", as_index=False).sum())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _typed_partial(g, ("source",), ("n_final",))
 
     fparts = ds.map_batches(pass_c, batch_format="pyarrow",
                             zero_copy_batch=True).take_all()

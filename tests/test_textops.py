@@ -559,3 +559,76 @@ def test_corpus_assembly_funnel_planted():
     exp_final = [int(split_code(_np.array([0]))[0] < cut_s1),
                  int(split_code(_np.array([4]))[0] < cut_s2), 0]
     assert got["n_final"].tolist() == exp_final
+
+
+def test_quality_parts_property_vs_python():
+    """Property: the batched Arrow quality kernel equals a per-doc pure
+    Python computation on arbitrary word soups (incl. empty strings,
+    stopwords, non-alpha tokens)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from autoprepad_ray.stages.text import _quality_parts
+
+    word = st.text(alphabet="ab9#.", min_size=0, max_size=4)
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+    stop_arr = pa.array(["a", "ab"])
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def inner(texts):
+        counts, sum_len, alpha_w, stop_h = _quality_parts(
+            pa.array(texts), stop_arr)
+        for i, t in enumerate(texts):
+            w = t.split(" ")
+            assert counts[i] == len(w)
+            assert sum_len[i] == sum(len(x) for x in w)
+            assert alpha_w[i] == sum(
+                any(c.isalpha() and c.isascii() for c in x) for x in w)
+            assert stop_h[i] == sum(x in ("a", "ab") for x in w)
+
+    inner()
+
+
+def test_ngram_repetition_property_vs_python():
+    """Property: the sliced-join bigram kernel equals per-doc Python
+    n-gramming for arbitrary docs (boundary safety, single-word docs,
+    repeated words)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from autoprepad_ray.stages.text import ngram_repetition
+
+    word = st.text(alphabet="xyz", min_size=1, max_size=2)
+    doc = st.lists(word, min_size=1, max_size=7).map(" ".join)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=5), st.integers(2, 3))
+    def inner(texts, n):
+        ds = _mkdocs(texts)
+        got = (ngram_repetition(ds, n=n).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        for i, t in enumerate(texts):
+            w = t.split(" ")
+            grams = [" ".join(w[j:j + n]) for j in range(len(w) - n + 1)]
+            assert got.loc[i, "n_grams"] == len(grams)
+            assert got.loc[i, "n_distinct"] == len(set(grams))
+
+    inner()
+
+
+def test_typed_partial_empty_keeps_schema():
+    """Empty per-block partials must stay (string, int64)-typed —
+    from_pandas would infer null/double and break Ray's block schema
+    unification when one block's mask keeps nothing."""
+    from autoprepad_ray.stages.text import _typed_partial
+
+    empty = pd.DataFrame({"source": pd.Series([], dtype=object),
+                          "n_kept": pd.Series([], dtype=object)})
+    t = _typed_partial(empty, ("source",), ("n_kept",))
+    assert t.schema.field("source").type == pa.string()
+    assert t.schema.field("n_kept").type == pa.int64()
+    full = pd.DataFrame({"source": ["a"], "n_kept": [3]})
+    t2 = _typed_partial(full, ("source",), ("n_kept",))
+    assert t.schema == t2.schema
+    assert pa.concat_tables([t, t2]).num_rows == 1
