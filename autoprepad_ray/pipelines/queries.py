@@ -3773,3 +3773,126 @@ def corpus_assembly_funnel_q(sf_dir: str):
 
     return corpus_assembly_funnel(
         _t(sf_dir, "documents", ["doc_id", "text", "source"]))
+
+
+@query("normalize_text_docs", sql="""
+WITH n AS (SELECT doc_id,
+                  trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))
+                      AS norm_text
+           FROM documents)
+SELECT doc_id, norm_text,
+       CAST(len(norm_text) AS BIGINT) AS n_norm_chars
+FROM n""")
+def normalize_text_docs(sf_dir: str):
+    """Dedup-canonicalization normalization (lowercase, strip
+    non-alphanumerics, collapse spaces, trim): normalized STRINGS are
+    exactly SQL-checkable because pyarrow and DuckDB regexp_replace
+    both compile RE2 (the pii_mask parity trick).  See
+    stages/text.normalize_text."""
+    from ..stages.text import normalize_text
+
+    return normalize_text(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+
+@query("length_quantile_filter_docs", sql="""
+WITH d AS (SELECT doc_id, source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+           FROM documents),
+q AS (SELECT source, ROUND(quantile_cont(n_words, 0.9), 6) AS cutoff
+      FROM d GROUP BY source)
+SELECT d.doc_id, d.source, d.n_words, q.cutoff,
+       CAST(CASE WHEN CAST(d.n_words AS DOUBLE) <= q.cutoff
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+FROM d JOIN q USING (source)""")
+def length_quantile_filter_docs(sf_dir: str):
+    """Per-source adaptive length gate (keep iff word count <= that
+    source's p90): bounded (source, n_words) count partials tree-merge
+    into per-source ValueCounts, whose linear-interpolation quantile ==
+    DuckDB quantile_cont (the profile query's proven parity path); the
+    flag compares against the r6-ROUNDED cutoff on BOTH sides so
+    last-ulp quantile noise can never flip it.  See
+    stages/text.length_quantile_filter."""
+    from ..stages.text import length_quantile_filter
+
+    return length_quantile_filter(
+        _t(sf_dir, "documents", ["doc_id", "text", "source"]), q=0.9)
+
+
+@query("dense_rank_orders_price", sql="""
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC) AS drank
+FROM orders""")
+def dense_rank_orders_price(sf_dir: str):
+    """Per-priority DENSE_RANK over price (the remaining SQL window
+    rank after ntile/percent_rank/top-k): one global sort + a
+    metadata-only per-block summary prefix-fold — rank is a pure
+    function of the values, so no tie-break column is needed and the
+    result is layout-independent.  o_totalprice passes through
+    unmodified (no float math => no parity rules).  See
+    stages/rank.dense_rank."""
+    from ..stages.rank import dense_rank
+
+    return dense_rank(
+        _t(sf_dir, "orders",
+           ["o_orderkey", "o_orderpriority", "o_totalprice"]),
+        ["o_orderpriority", "o_totalprice"],
+        partition_col="o_orderpriority",
+        keep_cols=["o_orderkey", "o_orderpriority", "o_totalprice"],
+        descending=[False, True])
+
+
+@query("sliding_distinct_users_7d", sql="""
+WITH du AS (SELECT DISTINCT
+                CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP))
+                     AS BIGINT) // 86400 AS day_num,
+                user_id
+            FROM events),
+days AS (SELECT DISTINCT day_num FROM du)
+SELECT d.day_num,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS users_7d
+FROM days d JOIN du e
+  ON e.day_num BETWEEN d.day_num - 6 AND d.day_num
+GROUP BY d.day_num""")
+def sliding_distinct_users_7d(sf_dir: str):
+    """Trailing-7-day distinct active users per day — the sliding
+    COUNT(DISTINCT) window SQL cannot express as a window function
+    (no DISTINCT over frames), via the window-expansion technique:
+    dedupe (day, user) pairs FIRST (per-block np.unique over packed
+    day<<32|user composites, 32-way tree merge — the near-dup census
+    shape), then expand each surviving pair to its <= 7 target days
+    and count.  The deduped pair set is bounded by |user base| x
+    horizon days — KBs per million users — independent of event row
+    count, so the driver fold is scale-safe; the expansion factor is
+    the window length, never the data size."""
+    ds = _t(sf_dir, "events", ["ts", "user_id"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        day = ts // 86_400_000_000
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        packed = np.unique((day << 32) | uid.astype(np.int64))
+        return pa.table({"p": pa.array(packed)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        return pa.table({"p": pa.array(
+            np.unique(t["p"].to_numpy(zero_copy_only=False)))})
+
+    rows = (ds.map_batches(pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(merge, batch_size=32, batch_format="pyarrow")
+            ).take_all()
+    packed = np.unique(np.array([r["p"] for r in rows], dtype=np.int64))
+    day = packed >> 32
+    uid = packed & 0xFFFFFFFF
+    obs_days = np.unique(day)
+    # expand each (day, user) to target days day..day+6, re-dedupe
+    tgt = (day[:, None] + np.arange(7, dtype=np.int64)[None, :]).ravel()
+    tu = np.repeat(uid, 7)
+    keep = np.isin(tgt, obs_days)
+    expanded = np.unique((tgt[keep] << 32) | tu[keep])
+    tday, cnt = np.unique(expanded >> 32, return_counts=True)
+    return pd.DataFrame({"day_num": tday.astype(np.int64),
+                         "users_7d": cnt.astype(np.int64)})

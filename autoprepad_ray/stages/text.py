@@ -1059,3 +1059,109 @@ def corpus_assembly_funnel(ds, *, id_col: str = "doc_id",
         "n_dedup": n_dedup,
         "cut": cut,
         "n_final": ff["n_final"].to_numpy(dtype=np.int64)})
+
+
+def normalize_text(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Dedup-canonicalization text normalization (the CCNet-style
+    pre-hash pass: lowercase, strip non-alphanumerics, collapse runs of
+    spaces, trim) — the transform that turns "near"-exact duplicates
+    differing only in case/punct/whitespace into EXACT hash duplicates
+    (reference string cleanup analogue: MissingValues.py NaN-token
+    canonicalization, generalized to full-text canonical form).
+
+    Four vectorized Arrow C kernels per batch (utf8_lower + two RE2
+    replace_substring_regex + utf8_trim), pure map, no shuffle; the
+    normalized STRING is exactly SQL-checkable because pyarrow and
+    DuckDB regexp_replace both compile RE2 (the pii_mask parity
+    trick).  Nulls stay null on both sides."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(t[text_col])
+        x = pc.replace_substring_regex(x, pattern="[^a-z0-9 ]",
+                                       replacement="")
+        x = pc.replace_substring_regex(x, pattern=" +", replacement=" ")
+        x = pc.utf8_trim(x, characters=" ")
+        return pa.table({id_col: t[id_col],
+                         "norm_text": x,
+                         "n_norm_chars": pc.cast(pc.utf8_length(x),
+                                                 pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def length_quantile_filter(ds, *, q: float = 0.9,
+                           source_col: str = "source",
+                           text_col: str = "text",
+                           id_col: str = "doc_id", round_digits: int = 6):
+    """Per-source length-outlier gate: keep a doc iff its word count is
+    <= the source's q-quantile (the adaptive-length cut a mixed-source
+    corpus uses instead of one global max — transcript sources run
+    long, social sources short).
+
+    Two passes, no shuffle: pass 1 folds per-block (source, n_words)
+    count partials (word counts are bounded small ints, so the partial
+    is bounded by sources x distinct lengths, not rows) through a
+    32-way Arrow tree level into per-source :class:`ValueCounts`; the
+    driver takes each source's quantile (linear interpolation ==
+    DuckDB ``quantile_cont``, the profile query's proven parity path)
+    and broadcasts the tiny source->cutoff map; pass 2 flags each row.
+    The flag compares against the r6-ROUNDED cutoff on both sides so
+    last-ulp quantile noise can never flip it."""
+    from ..sketches import ValueCounts
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        la = pc.split_pattern(texts, pattern=" ")
+        nw = np.diff(la.offsets.to_numpy(zero_copy_only=False)
+                     .astype(np.int64))
+        g = pa.table({source_col: t[source_col],
+                      "n_words": pa.array(nw),
+                      "cnt": pa.array(np.ones(len(nw), np.int64))}) \
+            .group_by([source_col, "n_words"]).aggregate([("cnt", "sum")])
+        return pa.table({source_col: g[source_col],
+                         "n_words": g["n_words"], "cnt": g["cnt_sum"]})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by([source_col, "n_words"]).aggregate([("cnt", "sum")])
+        return pa.table({source_col: g[source_col],
+                         "n_words": g["n_words"], "cnt": g["cnt_sum"]})
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(merge, batch_size=32, batch_format="pyarrow")
+            ).take_all()
+    df = (pd.DataFrame(rows)
+          .groupby([source_col, "n_words"], as_index=False)["cnt"].sum())
+    cuts = {}
+    for s, grp in df.groupby(source_col):
+        vc = ValueCounts.from_items(grp["n_words"].to_numpy(),
+                                    grp["cnt"].to_numpy())
+        cuts[s] = round(vc.quantile(q), round_digits)
+    import ray
+    keys = np.array(sorted(cuts), dtype=object)
+    vals = np.array([cuts[k] for k in keys], dtype=np.float64)
+    state = ray.put((keys, vals))
+
+    def flag(t: pa.Table) -> pa.Table:
+        keys_b, vals_b = ray.get(state)
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        la = pc.split_pattern(texts, pattern=" ")
+        nw = np.diff(la.offsets.to_numpy(zero_copy_only=False)
+                     .astype(np.int64))
+        src = t[source_col].to_numpy(zero_copy_only=False)
+        cut = vals_b[np.searchsorted(keys_b, src.astype(object))]
+        return pa.table({id_col: t[id_col], source_col: t[source_col],
+                         "n_words": pa.array(nw),
+                         "cutoff": pa.array(cut),
+                         "keep_flag": pa.array(
+                             (nw.astype(np.float64) <= cut)
+                             .astype(np.int64))})
+
+    return ds.map_batches(flag, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -91,6 +91,10 @@ BENCH_QUERIES = [
     "vocab_jaccard_source_pairs",
     "token_budget_resample_sources",
     "corpus_assembly_funnel",
+    "normalize_text_docs",
+    "length_quantile_filter_docs",
+    "dense_rank_orders_price",
+    "sliding_distinct_users_7d",
 ]
 
 IMG_PARTITIONS = 32

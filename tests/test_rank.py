@@ -54,3 +54,45 @@ def test_ntile_bucket_sizes_balanced():
     got = ntile(ds, ["v", "id"], k, keep_cols=["id"]).to_pandas()
     sizes = got["bucket"].value_counts().sort_index()
     assert list(sizes) == [11, 11, 11] + [10] * 7
+
+
+from autoprepad_ray.stages.rank import dense_rank
+
+
+def _drank_oracle(df: pd.DataFrame) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("t", df)
+    return con.execute(
+        "SELECT id, DENSE_RANK() OVER (PARTITION BY p ORDER BY v DESC)"
+        " AS drank FROM t ORDER BY id").df()
+
+
+@pytest.mark.parametrize("n,vals,parts,blocks", [
+    (200, 5, 3, 7),     # heavy ties: many runs span block boundaries
+    (200, 200, 3, 7),   # near-unique values
+    (50, 1, 2, 9),      # ONE value per partition: a single run spans
+                        # every block of the partition
+    (1, 1, 1, 1),
+    (64, 4, 1, 4),      # single partition
+])
+def test_dense_rank_matches_duckdb(n, vals, parts, blocks):
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "p": rng.integers(0, parts, n).astype(str),
+        "v": rng.integers(0, vals, n).astype(np.int64)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(blocks)
+    got = (dense_rank(ds, ["p", "v"], partition_col="p",
+                      keep_cols=["id"], descending=[False, True])
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    exp = _drank_oracle(df)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_dense_rank_empty():
+    ds = rd.from_arrow(pa.table({"id": pa.array([], pa.int64()),
+                                 "p": pa.array([], pa.string()),
+                                 "v": pa.array([], pa.int64())}))
+    out = dense_rank(ds, ["p", "v"], partition_col="p", keep_cols=["id"])
+    assert out.count() == 0
+    assert out.schema().names == ["id", "drank"]

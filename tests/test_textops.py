@@ -632,3 +632,48 @@ def test_typed_partial_empty_keeps_schema():
     t2 = _typed_partial(full, ("source",), ("n_kept",))
     assert t.schema == t2.schema
     assert pa.concat_tables([t, t2]).num_rows == 1
+
+
+# ---------------------------------------------------------------------------
+# normalize_text + length_quantile_filter (r5 session-5)
+
+
+def test_normalize_text_rules():
+    from autoprepad_ray.stages.text import normalize_text
+    texts = ["  Hello,   WORLD!! 123  ", "a-b_c", "", "ALL CAPS",
+             None, "already clean"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(2)
+    got = normalize_text(ds).to_pandas().sort_values("doc_id")
+    assert list(got["norm_text"]) == [
+        "hello world 123", "abc", "", "all caps", None, "already clean"]
+    # n_norm_chars matches the normalized string, null stays null
+    assert got["n_norm_chars"].tolist()[:4] == [15, 3, 0, 8]
+    assert pd.isna(got["n_norm_chars"].iloc[4])
+
+
+def test_length_quantile_filter_vs_numpy():
+    from autoprepad_ray.stages.text import length_quantile_filter
+    rng = np.random.default_rng(5)
+    srcs, texts = [], []
+    for s, lo, hi in [("a", 3, 40), ("b", 1, 8)]:
+        for i in range(60):
+            k = int(rng.integers(lo, hi))
+            srcs.append(s)
+            texts.append(" ".join(["w"] * k))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "source": pa.array(srcs), "text": pa.array(texts)})) \
+        .repartition(5)
+    got = length_quantile_filter(ds, q=0.9).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    nw = np.array([len(t.split(" ")) for t in texts], dtype=np.int64)
+    for s in ("a", "b"):
+        m = np.array(srcs) == s
+        cut = round(float(np.percentile(nw[m], 90)), 6)
+        sub = got[got["source"] == s]
+        assert (sub["cutoff"] == cut).all()
+        np.testing.assert_array_equal(
+            sub["keep_flag"].to_numpy(),
+            (nw[m].astype(np.float64) <= cut).astype(np.int64))
