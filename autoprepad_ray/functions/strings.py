@@ -189,3 +189,42 @@ def word_ngrams(text: str, n: int = 3) -> np.ndarray:
         return np.array([" ".join(toks)], dtype=object) if toks else np.array([], dtype=object)
     return np.array([" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)],
                     dtype=object)
+
+
+def elementwise_starts_with(prefixes: np.ndarray,
+                            strings: np.ndarray) -> np.ndarray:
+    """Vectorized per-pair ``strings[i].startswith(prefixes[i])`` over
+    object arrays — Arrow's ``starts_with`` only takes a SCALAR
+    pattern, so pairwise prefix tests (sorted-successor dedup) need
+    this flat-buffer form: gather both sides' bytes with one
+    repeat/cumsum index build (the gram-kernel idiom) and segment-count
+    byte equality.  Byte-prefix == character-prefix for valid UTF-8, so
+    this is exact for any input, not just ASCII."""
+    import pyarrow as pa
+
+    k = len(prefixes)
+    if k == 0:
+        return np.zeros(0, dtype=bool)
+    pa_p = pa.array(prefixes, pa.string())
+    pa_s = pa.array(strings, pa.string())
+    # freshly-built arrays: offset 0, offsets buffer is [1], data is [2]
+    po = np.frombuffer(pa_p.buffers()[1], dtype=np.int32)[:k + 1] \
+        .astype(np.int64)
+    so = np.frombuffer(pa_s.buffers()[1], dtype=np.int32)[:k + 1] \
+        .astype(np.int64)
+    pb = np.frombuffer(pa_p.buffers()[2] or b"", dtype=np.uint8)
+    sb = np.frombuffer(pa_s.buffers()[2] or b"", dtype=np.uint8)
+    plen = np.diff(po)
+    slen = np.diff(so)
+    ok_len = slen >= plen
+    cmp_len = np.minimum(plen, slen)
+    total = int(cmp_len.sum())
+    if total == 0:
+        return ok_len & True
+    # per-pair byte index ramps: start offset repeated + intra position
+    seg = np.repeat(np.arange(k, dtype=np.int64), cmp_len)
+    intra = np.arange(total, dtype=np.int64) - \
+        np.repeat(np.concatenate([[0], np.cumsum(cmp_len)[:-1]]), cmp_len)
+    eq = pb[po[:-1][seg] + intra] == sb[so[:-1][seg] + intra]
+    eq_cnt = np.bincount(seg, weights=eq, minlength=k).astype(np.int64)
+    return ok_len & (eq_cnt == cmp_len)

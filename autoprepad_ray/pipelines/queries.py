@@ -3896,3 +3896,23 @@ def sliding_distinct_users_7d(sf_dir: str):
     tday, cnt = np.unique(expanded >> 32, return_counts=True)
     return pd.DataFrame({"day_num": tday.astype(np.int64),
                          "users_7d": cnt.astype(np.int64)})
+
+
+@query("prefix_dup_docs", sql="""
+WITH d AS (SELECT DISTINCT text FROM documents),
+s AS (SELECT text, LEAD(text) OVER (ORDER BY text) AS nxt FROM d),
+p AS (SELECT text,
+             CAST(CASE WHEN nxt IS NOT NULL AND len(nxt) > len(text)
+                        AND left(nxt, len(text)) = text
+                   THEN 1 ELSE 0 END AS BIGINT) AS prefix_dup
+      FROM s)
+SELECT doc_id, prefix_dup FROM documents JOIN p USING (text)""")
+def prefix_dup_docs(sf_dir: str):
+    """Truncation-duplicate flags (doc text is a strict prefix of
+    another doc) via the sorted-successor property — one sort plus
+    metadata-only boundary probes; the SQL oracle is the same property
+    as a LEAD window over distinct texts.  See
+    stages/dedup.prefix_dup_flags."""
+    from ..stages.dedup import prefix_dup_flags
+
+    return prefix_dup_flags(_t(sf_dir, "documents", ["doc_id", "text"]))

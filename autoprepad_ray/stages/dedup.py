@@ -623,3 +623,103 @@ def exact_dedup(ds, key_cols: list[str], *, order_col: str):
     return (ds.groupby(key_cols)
             .aggregate(Min(order_col, alias_name="keep"),
                        Count(alias_name="n")))
+
+
+@ray.remote
+def _prefix_block_meta(t: pa.Table, text_col: str):
+    a = t[text_col].to_numpy(zero_copy_only=False)
+    return a[0], a[-1]
+
+
+@ray.remote
+def _prefix_succ_probe(t: pa.Table, text_col: str, last: str):
+    """Smallest text in this (sorted) block strictly greater than
+    ``last`` — the global successor lives here by construction."""
+    a = t[text_col].to_numpy(zero_copy_only=False)
+    i = np.searchsorted(a, last, side="right")
+    return a[i] if i < len(a) else None
+
+
+@ray.remote
+def _prefix_emit(t: pa.Table, text_col: str, id_col: str,
+                 boundary_succ) -> pa.Table:
+    from ..functions.strings import elementwise_starts_with
+
+    a = t[text_col].to_numpy(zero_copy_only=False)
+    n = len(a)
+    new = np.ones(n, dtype=bool)
+    if n > 1:
+        new[1:] = a[1:] != a[:-1]
+    starts = np.flatnonzero(new)                  # first index of each run
+    runs = a[starts]                              # distinct texts, sorted
+    succ = np.empty(len(runs), dtype=object)
+    succ[:-1] = runs[1:]
+    succ[-1] = boundary_succ
+    have = np.array([s is not None for s in succ])
+    flag_runs = np.zeros(len(runs), dtype=np.int64)
+    if have.any():
+        import pyarrow.compute as pc
+        p, s = runs[have], succ[have]
+        longer = (pc.binary_length(pa.array(s, pa.string()))
+                  .to_numpy(zero_copy_only=False)
+                  > pc.binary_length(pa.array(p, pa.string()))
+                  .to_numpy(zero_copy_only=False))
+        flag_runs[have] = (elementwise_starts_with(p, s)
+                           & longer).astype(np.int64)
+    lens = np.diff(np.concatenate([starts, [n]]))
+    return pa.table({id_col: t[id_col],
+                     "prefix_dup": pa.array(np.repeat(flag_runs, lens))})
+
+
+def prefix_dup_flags(ds, *, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Truncation-duplicate detection: flag every document whose text
+    is a strict PREFIX of some other document's text (the partial-
+    fetch / cut-off page duplicates exact hashing misses — the
+    RefinedWeb-style dedup family's third member next to exact and
+    near-dup).
+
+    Sorted-successor property: in lexicographic order, t is a strict
+    prefix of SOME text iff its immediate DISTINCT successor starts
+    with t (any string between t and an extension of t must itself
+    extend t).  So: one global sort by text (the unavoidable exchange),
+    then per-block runs check against the next run in-block, and each
+    block's LAST run checks the boundary successor — found by a
+    metadata pass (first/last text per block, O(blocks) strings on the
+    driver) plus at most one tiny probe task per block (blocks whose
+    texts all equal the predecessor's last text are skipped by the
+    driver's scan, so a mega-run of one duplicated text costs zero
+    probes).  Row data never reaches the driver; the prefix tests are
+    the vectorized flat-buffer byte kernel, byte-prefix == char-prefix
+    for valid UTF-8."""
+    import ray.data as rd
+
+    s = ds.sort([text_col]).materialize()
+    all_refs = s.to_arrow_refs()
+    counts = ray.get([_nrows_block.remote(r) for r in all_refs])
+    refs = [r for r, c in zip(all_refs, counts) if c]
+    if not refs:
+        sch = s.schema()
+        types = dict(zip(sch.names, sch.types)) if sch is not None else {}
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], types.get(id_col, pa.int64())),
+            "prefix_dup": pa.array([], pa.int64())}))
+    meta = ray.get([_prefix_block_meta.remote(r, text_col) for r in refs])
+    succs = []
+    for i in range(len(refs)):
+        last = meta[i][1]
+        probe = None
+        for k in range(i + 1, len(refs)):
+            if meta[k][1] > last:                 # successor is inside k
+                probe = _prefix_succ_probe.remote(refs[k], text_col, last)
+                break
+        succs.append(probe)
+    succs = [ray.get(p) if p is not None else None for p in succs]
+    out = [_prefix_emit.remote(r, text_col, id_col, succs[i])
+           for i, r in enumerate(refs)]
+    return rd.from_arrow_refs(out)
+
+
+@ray.remote
+def _nrows_block(t: pa.Table) -> int:
+    return t.num_rows

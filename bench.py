@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "length_quantile_filter_docs",
     "dense_rank_orders_price",
     "sliding_distinct_users_7d",
+    "prefix_dup_docs",
 ]
 
 IMG_PARTITIONS = 32

@@ -677,3 +677,35 @@ def test_length_quantile_filter_vs_numpy():
         np.testing.assert_array_equal(
             sub["keep_flag"].to_numpy(),
             (nw[m].astype(np.float64) <= cut).astype(np.int64))
+
+
+def test_prefix_dup_flags_bruteforce():
+    from autoprepad_ray.stages.dedup import prefix_dup_flags
+    rng = np.random.default_rng(3)
+    base = ["a b c d e", "a b c", "a b", "x y z", "x y z w",
+            "q", "q r s", "zz", "a b c d e", "a b c"]  # dups of dups
+    # add random texts, some prefix pairs spanning shuffle boundaries
+    vocab = list("abcdef")
+    for _ in range(40):
+        k = int(rng.integers(1, 8))
+        base.append(" ".join(rng.choice(vocab, k)))
+    rng.shuffle(base)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(base)), pa.int64()),
+        "text": pa.array(base)})).repartition(7)
+    got = prefix_dup_flags(ds).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    exp = np.array([int(any(s != t and s.startswith(t) and len(s) > len(t)
+                            for s in base)) for t in base], dtype=np.int64)
+    np.testing.assert_array_equal(got["prefix_dup"].to_numpy(), exp)
+
+
+def test_prefix_dup_single_run_spanning_blocks():
+    from autoprepad_ray.stages.dedup import prefix_dup_flags
+    texts = ["same text"] * 30 + ["same text plus more"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)})).repartition(6)
+    got = prefix_dup_flags(ds).to_pandas().sort_values("doc_id")
+    # every "same text" is a strict prefix of the longer one
+    assert got["prefix_dup"].tolist() == [1] * 30 + [0]
