@@ -3916,3 +3916,57 @@ def prefix_dup_docs(sf_dir: str):
     from ..stages.dedup import prefix_dup_flags
 
     return prefix_dup_flags(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+
+@query("label_centroid_cosine_pairs", sql="""
+WITH c AS (SELECT CAST(label AS BIGINT) AS label, dim,
+                  ROUND(SUM(CAST(e AS DOUBLE)), 2) / COUNT(*) AS v
+           FROM (SELECT label, unnest(embedding) AS e,
+                        CAST(generate_subscripts(embedding, 1) - 1
+                             AS BIGINT) AS dim
+                 FROM embeddings)
+           GROUP BY label, dim),
+a AS (SELECT label, list(v ORDER BY dim) AS vec FROM c GROUP BY label)
+SELECT a1.label AS label_a, a2.label AS label_b,
+       ROUND(list_sum(list_transform(range(1, len(a1.vec) + 1),
+                                     i -> a1.vec[i] * a2.vec[i]))
+             / (sqrt(list_sum(list_transform(a1.vec, x -> x * x)))
+                * sqrt(list_sum(list_transform(a2.vec, x -> x * x)))),
+             6) AS cos_sim
+FROM a a1 JOIN a a2 ON a1.label < a2.label""")
+def label_centroid_cosine_pairs(sf_dir: str):
+    """Inter-class centroid cosine similarity matrix (the class-overlap
+    diagnostic run after centroid fitting: near-1 pairs flag label
+    noise / mergeable classes).  Distributed work is the SAME one-pass
+    centroid partial fold as label_centroids_embeddings; the pairwise
+    cosine is labels^2 driver math over EXACT centroid values
+    (ROUND(SUM,2)/COUNT per dim).  ORDER-exact float parity: dot and
+    norm fold sequentially in dim order via ``np.add.reduceat``,
+    mirroring DuckDB's ``list_sum`` fold over list(v ORDER BY dim);
+    sqrt is correctly rounded and the final divide is one IEEE op, r6
+    absorbs the residue.  Verified bit-exact at sf 0.001/0.01/0.1."""
+    from ..stages.embed import label_centroids
+
+    wide = label_centroids(_t(sf_dir, "embeddings",
+                              ["embedding", "label"]))
+    labs = wide["label"].to_numpy()
+    ns = wide["n"].to_numpy().astype(np.float64)
+    order = np.argsort(labs, kind="stable")
+    labs = labs[order].astype(np.int64)
+    sums = np.asarray(wide["vec_sum"].to_pylist(),
+                      dtype=np.float64)[order]
+    if len(labs) == 0:
+        return pd.DataFrame({"label_a": pd.Series([], dtype=np.int64),
+                             "label_b": pd.Series([], dtype=np.int64),
+                             "cos_sim": pd.Series([], dtype=np.float64)})
+    V = np.round(sums, 2) / ns[order][:, None]
+    k, d = V.shape
+    seg = np.arange(k, dtype=np.int64) * d
+    nrm = np.sqrt(np.add.reduceat((V * V).ravel(), seg))
+    ia, ib = np.triu_indices(k, 1)
+    prods = (V[ia] * V[ib]).ravel()
+    dots = (np.add.reduceat(prods, np.arange(len(ia), dtype=np.int64) * d)
+            if len(ia) else np.array([], dtype=np.float64))
+    return pd.DataFrame({
+        "label_a": labs[ia], "label_b": labs[ib],
+        "cos_sim": np.round(dots / (nrm[ia] * nrm[ib]), 6)})

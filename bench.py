@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "dense_rank_orders_price",
     "sliding_distinct_users_7d",
     "prefix_dup_docs",
+    "label_centroid_cosine_pairs",
 ]
 
 IMG_PARTITIONS = 32
