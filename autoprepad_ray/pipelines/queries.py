@@ -3970,3 +3970,126 @@ def label_centroid_cosine_pairs(sf_dir: str):
     return pd.DataFrame({
         "label_a": labs[ia], "label_b": labs[ib],
         "cos_sim": np.round(dots / (nrm[ia] * nrm[ib]), 6)})
+
+
+@query("oov_rate_docs", sql="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+v AS (SELECT term FROM tok WHERE term <> ''
+      GROUP BY term ORDER BY COUNT(*) DESC, term LIMIT 10)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS oov_rate
+FROM tok t LEFT JOIN v ON t.term = v.term
+GROUP BY t.doc_id""")
+def oov_rate_docs(sf_dir: str):
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-K vocabulary (the rare-word filter a quality pipeline pairs
+    with the unigram-LM score; ties broken count desc, term asc so the
+    vocab is deterministic).  Pass 1 folds the bounded term census on
+    the driver (Heaps' law) and broadcasts the K-term sorted array;
+    pass 2 is one is_in + bincount per block.  n_oov/n_words is ONE
+    exact int division — no float rules needed."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def term_counts(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        la = pc.split_pattern(pc.fill_null(texts, ""), pattern=" ")
+        words = la.values.to_numpy(zero_copy_only=False)
+        terms, cnts = np.unique(words, return_counts=True)
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "c": pa.array(cnts.astype(np.int64))})
+
+    parts = ds.map_batches(term_counts, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    folded = (pd.DataFrame(parts).groupby("term", as_index=False)["c"]
+              .sum())
+    folded = folded[folded["term"] != ""]
+    folded = folded.sort_values(["c", "term"],
+                                ascending=[False, True]).head(10)
+    vocab = pa.array(sorted(folded["term"]), pa.string())
+
+    def score(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        la = pc.split_pattern(pc.fill_null(texts, ""), pattern=" ")
+        off = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(off)
+        n = len(counts)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        inv = pc.is_in(la.values, value_set=vocab) \
+            .to_numpy(zero_copy_only=False)
+        n_in = np.bincount(doc_idx, weights=inv, minlength=n) \
+            .astype(np.int64)
+        n_oov = counts - n_in
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(counts),
+            "n_oov": pa.array(n_oov),
+            "oov_rate": pa.array(n_oov.astype(np.float64)
+                                 / np.maximum(counts, 1))})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+@query("entropy_docs", sql="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok
+      GROUP BY doc_id),
+c AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+      GROUP BY doc_id, term)
+SELECT c.doc_id,
+       ROUND(-list_sum(list_transform(
+                 list(CAST(c.c AS DOUBLE) / n.n ORDER BY c.term),
+                 p -> p * ln(p))), 6) AS entropy
+FROM c JOIN n USING (doc_id)
+GROUP BY c.doc_id""")
+def entropy_docs(sf_dir: str):
+    """Per-document Shannon entropy of the word distribution (low
+    entropy = keyword-stuffed / repetitive boilerplate; the
+    information-theoretic cousin of the duplicate-n-gram rules).
+    Each ROW is a doc, so the whole computation is one block-local
+    map: per-block (doc, term) counts sorted by (doc, term), p = c/n
+    (exact int division), and a SEQUENTIAL per-doc reduceat fold of
+    p*ln(p) in term order — mirroring DuckDB's list_sum over
+    list(... ORDER BY term), with ln ulp-identical on these inputs
+    and r6 absorbing the residue (the unigram_logprob parity family;
+    verified bit-exact at sf 0.001/0.01/0.1)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def ent(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        la = pc.split_pattern(pc.fill_null(texts, ""), pattern=" ")
+        off = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(off)
+        n = len(counts)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        words = la.values.to_numpy(zero_copy_only=False)
+        # (doc, term) counts in (doc, term-sorted) order
+        order = np.lexsort((words, doc_idx))
+        dw, ww = doc_idx[order], words[order]
+        new = np.ones(len(dw), dtype=bool)
+        if len(dw) > 1:
+            new[1:] = (dw[1:] != dw[:-1]) | (ww[1:] != ww[:-1])
+        starts = np.flatnonzero(new)
+        c = np.diff(np.concatenate([starts, [len(dw)]]))
+        gd = dw[starts]                       # doc index per group
+        p = c.astype(np.float64) / counts[gd].astype(np.float64)
+        terms_pl = p * np.log(p)
+        doc_starts = np.flatnonzero(
+            np.concatenate([[True], gd[1:] != gd[:-1]]))
+        s = np.add.reduceat(terms_pl, doc_starts)
+        return pa.table({"doc_id": t["doc_id"],
+                         "entropy": pa.array(np.round(-s, 6))})
+
+    return ds.map_batches(ent, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "sliding_distinct_users_7d",
     "prefix_dup_docs",
     "label_centroid_cosine_pairs",
+    "oov_rate_docs",
+    "entropy_docs",
 ]
 
 IMG_PARTITIONS = 32
