@@ -3872,8 +3872,13 @@ def sliding_distinct_users_7d(sf_dir: str):
         ts = t["ts"].to_numpy(zero_copy_only=False) \
             .astype("datetime64[us]").astype(np.int64)
         day = ts // 86_400_000_000
-        uid = t["user_id"].to_numpy(zero_copy_only=False)
-        packed = np.unique((day << 32) | uid.astype(np.int64))
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # pack (day, user) into one int64: user must fit 32 unsigned
+        # bits or the dedup key silently collides — fail loudly instead
+        if len(uid) and (uid.min() < 0 or uid.max() >= 1 << 32):
+            raise ValueError("user_id outside [0, 2^32) breaks the "
+                             "(day << 32 | user) pair packing")
+        packed = np.unique((day << 32) | uid)
         return pa.table({"p": pa.array(packed)})
 
     def merge(t: pa.Table) -> pa.Table:
@@ -3992,14 +3997,12 @@ def oov_rate_docs(sf_dir: str):
     the driver (Heaps' law) and broadcasts the K-term sorted array;
     pass 2 is one is_in + bincount per block.  n_oov/n_words is ONE
     exact int division — no float rules needed."""
+    from ..stages.text import _flat_words
+
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
 
     def term_counts(t: pa.Table) -> pa.Table:
-        texts = t["text"]
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        la = pc.split_pattern(pc.fill_null(texts, ""), pattern=" ")
-        words = la.values.to_numpy(zero_copy_only=False)
+        words, _ = _flat_words(t["text"])
         terms, cnts = np.unique(words, return_counts=True)
         return pa.table({"term": pa.array(terms, pa.string()),
                          "c": pa.array(cnts.astype(np.int64))})
@@ -4011,19 +4014,13 @@ def oov_rate_docs(sf_dir: str):
     folded = folded[folded["term"] != ""]
     folded = folded.sort_values(["c", "term"],
                                 ascending=[False, True]).head(10)
-    vocab = pa.array(sorted(folded["term"]), pa.string())
+    vocab_np = np.array(sorted(folded["term"]), dtype=object)
 
     def score(t: pa.Table) -> pa.Table:
-        texts = t["text"]
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        la = pc.split_pattern(pc.fill_null(texts, ""), pattern=" ")
-        off = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        counts = np.diff(off)
+        words, counts = _flat_words(t["text"])
         n = len(counts)
         doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
-        inv = pc.is_in(la.values, value_set=vocab) \
-            .to_numpy(zero_copy_only=False)
+        inv = np.isin(words, vocab_np)
         n_in = np.bincount(doc_idx, weights=inv, minlength=n) \
             .astype(np.int64)
         n_oov = counts - n_in
@@ -4064,16 +4061,15 @@ def entropy_docs(sf_dir: str):
     verified bit-exact at sf 0.001/0.01/0.1)."""
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
 
+    from ..stages.text import _flat_words
+
     def ent(t: pa.Table) -> pa.Table:
-        texts = t["text"]
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        la = pc.split_pattern(pc.fill_null(texts, ""), pattern=" ")
-        off = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        counts = np.diff(off)
+        words, counts = _flat_words(t["text"])
         n = len(counts)
+        if n == 0:          # dynamic block splits can emit empties
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "entropy": pa.array([], pa.float64())})
         doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
-        words = la.values.to_numpy(zero_copy_only=False)
         # (doc, term) counts in (doc, term-sorted) order
         order = np.lexsort((words, doc_idx))
         dw, ww = doc_idx[order], words[order]

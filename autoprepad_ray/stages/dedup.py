@@ -627,8 +627,9 @@ def exact_dedup(ds, key_cols: list[str], *, order_col: str):
 
 @ray.remote
 def _prefix_block_meta(t: pa.Table, text_col: str):
-    a = t[text_col].to_numpy(zero_copy_only=False)
-    return a[0], a[-1]
+    """Last text of a sorted block — all the driver's boundary scan
+    needs (O(blocks) strings total)."""
+    return t[text_col].to_numpy(zero_copy_only=False)[-1]
 
 
 @ray.remote
@@ -691,12 +692,23 @@ def prefix_dup_flags(ds, *, text_col: str = "text",
     driver's scan, so a mega-run of one duplicated text costs zero
     probes).  Row data never reaches the driver; the prefix tests are
     the vectorized flat-buffer byte kernel, byte-prefix == char-prefix
-    for valid UTF-8."""
+    for valid UTF-8.  Null texts are canonicalized to "" (the empty
+    string is a strict prefix of any non-empty text) so the sort and
+    boundary comparisons never see None."""
+    import pyarrow.compute as pc
     import ray.data as rd
 
-    s = ds.sort([text_col]).materialize()
+    from .rank import _nrows
+
+    def _denull(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index(text_col)
+        return t.set_column(i, text_col, pc.fill_null(t[text_col], ""))
+
+    s = ds.map_batches(_denull, batch_format="pyarrow",
+                       zero_copy_batch=True) \
+        .sort([text_col]).materialize()
     all_refs = s.to_arrow_refs()
-    counts = ray.get([_nrows_block.remote(r) for r in all_refs])
+    counts = ray.get([_nrows.remote(r) for r in all_refs])
     refs = [r for r, c in zip(all_refs, counts) if c]
     if not refs:
         sch = s.schema()
@@ -704,13 +716,14 @@ def prefix_dup_flags(ds, *, text_col: str = "text",
         return rd.from_arrow(pa.table({
             id_col: pa.array([], types.get(id_col, pa.int64())),
             "prefix_dup": pa.array([], pa.int64())}))
-    meta = ray.get([_prefix_block_meta.remote(r, text_col) for r in refs])
+    lasts = ray.get([_prefix_block_meta.remote(r, text_col)
+                     for r in refs])
     succs = []
     for i in range(len(refs)):
-        last = meta[i][1]
+        last = lasts[i]
         probe = None
         for k in range(i + 1, len(refs)):
-            if meta[k][1] > last:                 # successor is inside k
+            if lasts[k] > last:                   # successor is inside k
                 probe = _prefix_succ_probe.remote(refs[k], text_col, last)
                 break
         succs.append(probe)
@@ -718,8 +731,3 @@ def prefix_dup_flags(ds, *, text_col: str = "text",
     out = [_prefix_emit.remote(r, text_col, id_col, succs[i])
            for i, r in enumerate(refs)]
     return rd.from_arrow_refs(out)
-
-
-@ray.remote
-def _nrows_block(t: pa.Table) -> int:
-    return t.num_rows

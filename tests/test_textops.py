@@ -709,3 +709,14 @@ def test_prefix_dup_single_run_spanning_blocks():
     got = prefix_dup_flags(ds).to_pandas().sort_values("doc_id")
     # every "same text" is a strict prefix of the longer one
     assert got["prefix_dup"].tolist() == [1] * 30 + [0]
+
+
+def test_prefix_dup_null_and_empty_texts():
+    from autoprepad_ray.stages.dedup import prefix_dup_flags
+    texts = [None, "", "a b", "a b c", "zz"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(3)
+    got = prefix_dup_flags(ds).to_pandas().sort_values("doc_id")
+    # null -> "" which is a strict prefix of any non-empty text
+    assert got["prefix_dup"].tolist() == [1, 1, 1, 0, 0]
