@@ -4089,3 +4089,69 @@ def entropy_docs(sf_dir: str):
 
     return ds.map_batches(ent, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+@query("asof_forward_next_purchase", sql="""
+SELECT event_id, next_purchase_id, gap_us
+FROM (
+  SELECT e.event_id,
+         p.event_id AS next_purchase_id,
+         CAST(epoch_us(p.ts) - epoch_us(e.ts) AS BIGINT) AS gap_us,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY p.ts ASC, p.event_id ASC) AS rn
+  FROM events e
+  JOIN events p
+    ON p.user_id = e.user_id AND p.event_type = 'purchase'
+   AND p.ts >= e.ts)
+WHERE rn = 1""")
+def asof_forward_next_purchase(sf_dir: str):
+    """FORWARD as-of join (time-to-next-conversion): each event picks
+    the same user's EARLIEST purchase at or after it (ties by min
+    event id) plus the exact integer-microsecond gap.  Runs on the
+    UNCHANGED backward as-of machinery via order reversal — negate the
+    int64 timestamps and the tie column, and largest(-ts') <= -ts with
+    max(-tie) becomes smallest ts' >= ts with min(tie).  Same
+    one-shuffle co-partition + composite-rank searchsorted merge;
+    every comparison and the gap are exact ints."""
+    from ..stages.join import asof_join
+
+    ev_raw = _t(sf_dir, "events", ["event_id", "user_id", "ts",
+                                   "event_type"])
+
+    def neg_left(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "neg_ts": pa.array(-ts)})
+
+    def neg_right(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        pid = t["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": t["user_id"],
+                         "event_id": t["event_id"],
+                         "neg_pid": pa.array(-pid),
+                         "neg_ts_r": pa.array(-ts)})
+
+    left = ev_raw.map_batches(neg_left, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    right = ev_raw.map_batches(neg_right, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    lsch = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                      ("neg_ts", pa.int64())])
+    rsch = pa.schema([("user_id", pa.int64()), ("event_id", pa.int64()),
+                      ("neg_pid", pa.int64()), ("neg_ts_r", pa.int64())])
+    out = asof_join(left, right, on="user_id", left_ts="neg_ts",
+                    right_ts="neg_ts_r",
+                    left_cols=["event_id", "neg_ts"],
+                    right_cols=["event_id"],
+                    tie_col="neg_pid",
+                    schema_hint=(lsch, rsch))
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "event_id": df["event_id"],
+            "next_purchase_id": df["event_id_asof"].astype("int64"),
+            "gap_us": (df["neg_ts"] - df["neg_ts_r"]).astype("int64")}),
+        batch_format="pandas")

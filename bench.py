@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "label_centroid_cosine_pairs",
     "oov_rate_docs",
     "entropy_docs",
+    "asof_forward_next_purchase",
 ]
 
 IMG_PARTITIONS = 32
