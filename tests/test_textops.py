@@ -720,3 +720,22 @@ def test_prefix_dup_null_and_empty_texts():
     got = prefix_dup_flags(ds).to_pandas().sort_values("doc_id")
     # null -> "" which is a strict prefix of any non-empty text
     assert got["prefix_dup"].tolist() == [1, 1, 1, 0, 0]
+
+
+def test_elementwise_starts_with_hypothesis():
+    from hypothesis import given, settings, strategies as st
+
+    from autoprepad_ray.functions.strings import elementwise_starts_with
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.tuples(
+        st.text(alphabet="abé中 ", max_size=8),
+        st.text(alphabet="abé中 ", max_size=8)), max_size=20))
+    def check(pairs):
+        p = np.array([a for a, _ in pairs], dtype=object)
+        s = np.array([b for _, b in pairs], dtype=object)
+        got = elementwise_starts_with(p, s)
+        exp = np.array([b.startswith(a) for a, b in pairs], dtype=bool)
+        np.testing.assert_array_equal(got, exp)
+
+    check()
