@@ -4155,3 +4155,73 @@ def asof_forward_next_purchase(sf_dir: str):
             "next_purchase_id": df["event_id_asof"].astype("int64"),
             "gap_us": (df["neg_ts"] - df["neg_ts_r"]).astype("int64")}),
         batch_format="pandas")
+
+
+@query("shard_layout_docs", sql="""
+WITH h AS (SELECT doc_id,
+                  ((doc_id % 1000003) * 2654435761) % 4294967296 AS hv
+           FROM documents),
+r AS (SELECT doc_id, hv,
+             ROW_NUMBER() OVER (ORDER BY hv, doc_id) AS rn,
+             CAST(NTILE(8) OVER (ORDER BY hv, doc_id) AS BIGINT)
+                 AS shard
+      FROM h)
+SELECT doc_id, shard,
+       CAST(rn - MIN(rn) OVER (PARTITION BY shard) + 1 AS BIGINT)
+           AS pos
+FROM r""")
+def shard_layout_docs(sf_dir: str):
+    """Deterministic training-data shard layout: pseudo-shuffle every
+    doc by a stateless integer hash, cut the shuffled order into 8
+    equal-frequency shards (NTILE semantics) and assign each doc its
+    1-based position WITHIN its shard — the reproducible
+    global-shuffle + shard + order step a training job consumes
+    (identical on retry, no RNG state).  One sort by (hash, id) — the
+    unavoidable exchange — then everything else is metadata: per-block
+    row counts give global row numbers, and shard boundaries/positions
+    are pure integer formulas from (n, k), computed independently per
+    block (the ntile/dense_rank pattern; row data never reaches the
+    driver)."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.rank import _nrows
+
+    k = 8
+
+    def hashed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        hv = ((ids % 1000003) * 2654435761) % (1 << 32)
+        return pa.table({"doc_id": t["doc_id"], "hv": pa.array(hv)})
+
+    s = (_t(sf_dir, "documents", ["doc_id"])
+         .map_batches(hashed, batch_format="pyarrow",
+                      zero_copy_batch=True)
+         .sort(["hv", "doc_id"]).materialize())
+    refs = s.to_arrow_refs()
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    n = int(offsets[-1])
+    if n == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "shard": pd.Series([], dtype=np.int64),
+                             "pos": pd.Series([], dtype=np.int64)})
+
+    @ray.remote
+    def emit(t: pa.Table, off: int) -> pa.Table:
+        rn = off + np.arange(1, t.num_rows + 1, dtype=np.int64)
+        q, r = divmod(n, k)
+        big = r * (q + 1)
+        small_b = r + (rn - 1 - big) // max(q, 1) + 1
+        shard = np.where(rn <= big, (rn - 1) // (q + 1) + 1, small_b) \
+            .astype(np.int64)
+        # first global rn of each shard, the same integer formula
+        start = np.where(shard <= r, (shard - 1) * (q + 1) + 1,
+                         big + (shard - r - 1) * max(q, 1) + 1)
+        return pa.table({"doc_id": t["doc_id"],
+                         "shard": pa.array(shard),
+                         "pos": pa.array(rn - start + 1)})
+
+    out = [emit.remote(rf, int(offsets[i]))
+           for i, rf in enumerate(refs) if counts[i]]
+    return rd.from_arrow_refs(out)

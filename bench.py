@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "oov_rate_docs",
     "entropy_docs",
     "asof_forward_next_purchase",
+    "shard_layout_docs",
 ]
 
 IMG_PARTITIONS = 32
