@@ -4225,3 +4225,114 @@ def shard_layout_docs(sf_dir: str):
     out = [emit.remote(rf, int(offsets[i]))
            for i, rf in enumerate(refs) if counts[i]]
     return rd.from_arrow_refs(out)
+
+
+@query("trimmed_mean_events", sql="""
+WITH q AS (SELECT event_type,
+                  ROUND(quantile_cont(value, 0.05), 6) AS lo,
+                  ROUND(quantile_cont(value, 0.95), 6) AS hi
+           FROM events GROUP BY event_type),
+k AS (SELECT e.event_type, e.value
+      FROM events e JOIN q USING (event_type)
+      WHERE e.value >= q.lo AND e.value <= q.hi)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       ROUND(SUM(value), 2) / COUNT(*) AS trimmed_mean
+FROM k GROUP BY event_type""")
+def trimmed_mean_events(sf_dir: str):
+    """Per-group 5/95 trimmed mean (the robust location estimate next
+    to the reference's median/MAD family — outliers drop instead of
+    winsorizing, so every kept value stays on the data's 2-decimal
+    grid and the ROUND(SUM,2)/COUNT mean trick applies).  Pass 1 is
+    the bounded (group, value) count-partial census -> per-group
+    ValueCounts quantiles (proven quantile_cont parity), r6-rounded
+    cutoffs broadcast; pass 2 filters and folds per-group (sum, count)
+    partials — the rounded sum snaps both engines to the same grid
+    point, then one IEEE division."""
+    from ..sketches import ValueCounts
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"event_type": t["event_type"], "value": t["value"],
+                      "cnt": pa.array(np.ones(t.num_rows, np.int64))}) \
+            .group_by(["event_type", "value"]).aggregate([("cnt", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "value": g["value"], "cnt": g["cnt_sum"]})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "value"]).aggregate([("cnt", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "value": g["value"], "cnt": g["cnt_sum"]})
+
+    rows = (_t(sf_dir, "events", ["event_type", "value"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(merge, batch_size=32, batch_format="pyarrow")
+            ).take_all()
+    df = (pd.DataFrame(rows)
+          .groupby(["event_type", "value"], as_index=False)["cnt"].sum())
+    out = []
+    for et, grp in df.groupby("event_type"):
+        vc = ValueCounts.from_items(grp["value"].to_numpy(),
+                                    grp["cnt"].to_numpy())
+        lo = round(vc.quantile(0.05), 6)
+        hi = round(vc.quantile(0.95), 6)
+        vals = grp["value"].to_numpy(dtype=np.float64)
+        cnts = grp["cnt"].to_numpy(dtype=np.int64)
+        keep = (vals >= lo) & (vals <= hi)
+        n_kept = int(cnts[keep].sum())
+        total = float((vals[keep] * cnts[keep]).sum())
+        out.append({"event_type": et,
+                    "n_kept": np.int64(n_kept),
+                    "trimmed_mean": round(total, 2) / n_kept})
+    return pd.DataFrame(out)
+
+
+@query("top_bigrams_per_source", sql="""
+WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT source, unnest(list_transform(range(1, len(w)),
+                            i -> w[i] || ' ' || w[i + 1])) AS gram
+      FROM d WHERE len(w) >= 2),
+c AS (SELECT source, gram, CAST(COUNT(*) AS BIGINT) AS n
+      FROM g GROUP BY source, gram),
+r AS (SELECT source, gram, n,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n DESC, gram ASC) AS rn
+      FROM c)
+SELECT source, gram, n, CAST(rn AS BIGINT) AS rn FROM r
+WHERE rn <= 5""")
+def top_bigrams_per_source(sf_dir: str):
+    """Top-5 word bigrams per source (corpus reporting: the phrase
+    census a mixture dashboard publishes per ingest source; ties
+    broken count desc, gram asc so the listing is deterministic).
+    Bigram STRINGS come from the shared shifted-zero-copy-slice +
+    binary_join_element_wise kernel; per-block (source, gram) count
+    partials tree-merge and the driver folds a vocabulary-bounded
+    table (Heaps' law) and heads 5 per source — no shuffle."""
+    from ..stages.text import _ngram_strings
+
+    def partial(t: pa.Table) -> pa.Table:
+        grams, doc_idx = _ngram_strings(t["text"], 2)
+        src = t["source"].to_numpy(zero_copy_only=False)[doc_idx]
+        g = pa.table({"source": pa.array(src, pa.string()),
+                      "gram": grams,
+                      "n": pa.array(np.ones(len(doc_idx), np.int64))}) \
+            .group_by(["source", "gram"]).aggregate([("n", "sum")])
+        return pa.table({"source": g["source"], "gram": g["gram"],
+                         "n": g["n_sum"]})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "gram"]).aggregate([("n", "sum")])
+        return pa.table({"source": g["source"], "gram": g["gram"],
+                         "n": g["n_sum"]})
+
+    rows = (_t(sf_dir, "documents", ["source", "text"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(merge, batch_size=32, batch_format="pyarrow")
+            ).take_all()
+    df = (pd.DataFrame(rows)
+          .groupby(["source", "gram"], as_index=False)["n"].sum())
+    df = df.sort_values(["source", "n", "gram"],
+                        ascending=[True, False, True])
+    df["rn"] = df.groupby("source").cumcount() + 1
+    return df[df["rn"] <= 5].reset_index(drop=True) \
+        .astype({"n": np.int64, "rn": np.int64})

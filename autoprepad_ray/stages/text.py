@@ -533,6 +533,31 @@ def unigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id"):
                           zero_copy_batch=True)
 
 
+def _ngram_strings(texts, n: int):
+    """Word n-gram STRINGS for a whole batch (the shared shifted
+    zero-copy-slice + ``binary_join_element_wise`` kernel): returns
+    (grams Arrow string array, owning-doc index np array) with
+    boundary-crossing starts masked by doc-position arithmetic.  Docs
+    with fewer than n words contribute no grams."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    la = pc.split_pattern(texts, pattern=" ")
+    vals = la.values
+    off = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(off)
+    nv = len(vals)
+    n_starts = max(nv - (n - 1), 0)
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    if not n_starts:
+        return pa.array([], pa.string()), np.empty(0, np.int64)
+    slices = [vals.slice(k, n_starts) for k in range(n)]
+    grams = pc.binary_join_element_wise(*slices, " ")
+    in_pos = np.arange(nv, dtype=np.int64) - np.repeat(off[:-1], counts)
+    valid = in_pos[:n_starts] <= counts[doc_idx[:n_starts]] - n
+    return grams.filter(pa.array(valid)), doc_idx[:n_starts][valid]
+
+
 def ngram_repetition(ds, *, n: int = 2, text_col: str = "text",
                      id_col: str = "doc_id"):
     """Gopher's duplicate n-gram fraction (the n >= 2 generalization of

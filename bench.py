@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "entropy_docs",
     "asof_forward_next_purchase",
     "shard_layout_docs",
+    "trimmed_mean_events",
+    "top_bigrams_per_source",
 ]
 
 IMG_PARTITIONS = 32
