@@ -1905,7 +1905,7 @@ def tumbling_window_counts(sf_dir: str):
     rows = (_t(sf_dir, "events", ["ts", "event_type", "value"])
             .map_batches(partial, batch_format="pyarrow",
                          zero_copy_batch=True)
-            .map_batches(merge, batch_size=32, batch_format="pyarrow")
+            .map_batches(merge, batch_size=65536, batch_format="pyarrow")
             ).take_all()
     df = (pd.DataFrame(rows)
           .groupby(["window_start", "event_type"], as_index=False)
@@ -1948,7 +1948,7 @@ def group_quantiles_events(sf_dir: str):
     rows = (_t(sf_dir, "events", ["event_type", "value"])
             .map_batches(partial, batch_format="pyarrow",
                          zero_copy_batch=True)
-            .map_batches(merge, batch_size=32, batch_format="pyarrow")
+            .map_batches(merge, batch_size=65536, batch_format="pyarrow")
             ).take_all()
     df = (pd.DataFrame(rows)
           .groupby(["event_type", "value"], as_index=False)["cnt"].sum())
@@ -2136,7 +2136,7 @@ def vocab_top_terms_docs(sf_dir: str):
     rows = (_t(sf_dir, "documents", ["text"])
             .map_batches(partial, batch_format="pyarrow",
                          zero_copy_batch=True)
-            .map_batches(merge, batch_size=32, batch_format="pyarrow")
+            .map_batches(merge, batch_size=65536, batch_format="pyarrow")
             ).take_all()
     df = (pd.DataFrame(rows).groupby("term", as_index=False)
           .agg(n=("n", "sum")))
@@ -2173,7 +2173,7 @@ def percent_rank_events(sf_dir: str):
     rows = (_t(sf_dir, "events", ["value"])
             .map_batches(partial, batch_format="pyarrow",
                          zero_copy_batch=True)
-            .map_batches(merge, batch_size=32, batch_format="pyarrow")
+            .map_batches(merge, batch_size=65536, batch_format="pyarrow")
             ).take_all()
     vc = (pd.DataFrame(rows).groupby("value", as_index=False)
           .agg(n=("n", "sum")).sort_values("value"))
@@ -2312,7 +2312,7 @@ def rollup_pricing_levels(sf_dir: str):
                 "l_extendedprice"])
             .map_batches(partial, batch_format="pyarrow",
                          zero_copy_batch=True)
-            .map_batches(merge, batch_size=32, batch_format="pyarrow")
+            .map_batches(merge, batch_size=65536, batch_format="pyarrow")
             ).take_all()
     fine = (pd.DataFrame(rows)
             .groupby(["l_returnflag", "l_linestatus"], as_index=False)
@@ -2393,7 +2393,7 @@ def hopping_window_counts(sf_dir: str):
     rows = (_t(sf_dir, "events", ["ts", "event_type"])
             .map_batches(partial, batch_format="pyarrow",
                          zero_copy_batch=True)
-            .map_batches(merge, batch_size=32, batch_format="pyarrow")
+            .map_batches(merge, batch_size=65536, batch_format="pyarrow")
             ).take_all()
     df = (pd.DataFrame(rows)
           .groupby(["window_start", "event_type"], as_index=False)
@@ -2451,7 +2451,7 @@ def top_term_per_doc(sf_dir: str):
     rows = (_t(sf_dir, "documents", ["doc_id", "text"])
             .map_batches(df_partial, batch_format="pyarrow",
                          zero_copy_batch=True)
-            .map_batches(df_merge, batch_size=32, batch_format="pyarrow")
+            .map_batches(df_merge, batch_size=65536, batch_format="pyarrow")
             ).take_all()
     census = (pd.DataFrame(rows).groupby("term", as_index=False)
               .agg(df=("df", "sum")).sort_values("term"))
@@ -2520,7 +2520,7 @@ def group_distinct_users_events(sf_dir: str):
     rows = (_t(sf_dir, "events", ["event_type", "user_id"])
             .map_batches(partial, batch_format="pyarrow",
                          zero_copy_batch=True)
-            .map_batches(merge, batch_size=32, batch_format="pyarrow")
+            .map_batches(merge, batch_size=65536, batch_format="pyarrow")
             ).take_all()
     parts = [pickle.loads(r["payload"]) for r in rows]
     comp = np.unique(np.concatenate([p[0] for p in parts]))
@@ -2698,7 +2698,7 @@ def cube_pricing_levels(sf_dir: str):
                 "l_extendedprice"])
             .map_batches(partial, batch_format="pyarrow",
                          zero_copy_batch=True)
-            .map_batches(merge, batch_size=32, batch_format="pyarrow")
+            .map_batches(merge, batch_size=65536, batch_format="pyarrow")
             ).take_all()
     fine = (pd.DataFrame(rows)
             .groupby(["l_returnflag", "l_linestatus"], as_index=False)
@@ -3887,7 +3887,7 @@ def sliding_distinct_users_7d(sf_dir: str):
 
     rows = (ds.map_batches(pairs, batch_format="pyarrow",
                            zero_copy_batch=True)
-            .map_batches(merge, batch_size=32, batch_format="pyarrow")
+            .map_batches(merge, batch_size=65536, batch_format="pyarrow")
             ).take_all()
     packed = np.unique(np.array([r["p"] for r in rows], dtype=np.int64))
     day = packed >> 32
@@ -4265,7 +4265,7 @@ def trimmed_mean_events(sf_dir: str):
     rows = (_t(sf_dir, "events", ["event_type", "value"])
             .map_batches(partial, batch_format="pyarrow",
                          zero_copy_batch=True)
-            .map_batches(merge, batch_size=32, batch_format="pyarrow")
+            .map_batches(merge, batch_size=65536, batch_format="pyarrow")
             ).take_all()
     df = (pd.DataFrame(rows)
           .groupby(["event_type", "value"], as_index=False)["cnt"].sum())
@@ -4311,9 +4311,11 @@ def top_bigrams_per_source(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         grams, doc_idx = _ngram_strings(t["text"], 2)
-        src = t["source"].to_numpy(zero_copy_only=False)[doc_idx]
-        g = pa.table({"source": pa.array(src, pa.string()),
-                      "gram": grams,
+        src_col = t["source"]
+        if isinstance(src_col, pa.ChunkedArray):
+            src_col = src_col.combine_chunks()
+        src = src_col.take(pa.array(doc_idx))     # Arrow gather, no objects
+        g = pa.table({"source": src, "gram": grams,
                       "n": pa.array(np.ones(len(doc_idx), np.int64))}) \
             .group_by(["source", "gram"]).aggregate([("n", "sum")])
         return pa.table({"source": g["source"], "gram": g["gram"],
@@ -4327,7 +4329,7 @@ def top_bigrams_per_source(sf_dir: str):
     rows = (_t(sf_dir, "documents", ["source", "text"])
             .map_batches(partial, batch_format="pyarrow",
                          zero_copy_batch=True)
-            .map_batches(merge, batch_size=32, batch_format="pyarrow")
+            .map_batches(merge, batch_size=65536, batch_format="pyarrow")
             ).take_all()
     df = (pd.DataFrame(rows)
           .groupby(["source", "gram"], as_index=False)["n"].sum())

@@ -1156,7 +1156,7 @@ def length_quantile_filter(ds, *, q: float = 0.9,
 
     rows = (ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True)
-            .map_batches(merge, batch_size=32, batch_format="pyarrow")
+            .map_batches(merge, batch_size=65536, batch_format="pyarrow")
             ).take_all()
     df = (pd.DataFrame(rows)
           .groupby([source_col, "n_words"], as_index=False)["cnt"].sum())
