@@ -96,3 +96,24 @@ def test_dense_rank_empty():
     out = dense_rank(ds, ["p", "v"], partition_col="p", keep_cols=["id"])
     assert out.count() == 0
     assert out.schema().names == ["id", "drank"]
+
+
+def test_shard_layout_matches_duckdb_multiblock():
+    """shard_layout_docs' integer shard/pos formulas vs the NTILE +
+    window oracle on a forced multi-block layout (n % k != 0)."""
+    from autoprepad_ray.pipelines.queries import REGISTRY
+    import tempfile, os
+    n = 103
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64)})
+    with tempfile.TemporaryDirectory() as d:
+        pa.parquet.write_table(
+            pa.Table.from_pandas(df), os.path.join(d, "documents.parquet"),
+            row_group_size=9)            # many tiny blocks
+        got = REGISTRY["shard_layout_docs"].fn(d).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{os.path.join(d, 'documents.parquet')}')")
+        exp = con.execute(REGISTRY["shard_layout_docs"].sql).df() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
