@@ -4338,3 +4338,52 @@ def top_bigrams_per_source(sf_dir: str):
     df["rn"] = df.groupby("source").cumcount() + 1
     return df[df["rn"] <= 5].reset_index(drop=True) \
         .astype({"n": np.int64, "rn": np.int64})
+
+
+@query("interarrival_quantiles_users", sql="""
+WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
+d AS (SELECT user_id,
+             tus - LAG(tus) OVER (PARTITION BY user_id
+                                  ORDER BY tus, event_id) AS gap_us
+      FROM e)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(quantile_disc(gap_us, 0.5) AS BIGINT) AS p50_us,
+       CAST(quantile_disc(gap_us, 0.9) AS BIGINT) AS p90_us
+FROM d WHERE gap_us IS NOT NULL GROUP BY user_id""")
+def interarrival_quantiles_users(sf_dir: str):
+    """Per-user inter-arrival-time quantiles (session-cadence profile:
+    median and p90 gap between consecutive events) — the window + lag
+    machinery composed with exact group quantiles in ONE group visit
+    per user (the ffill shape).  Gaps are exact int64 microsecond
+    diffs of the (ts, event_id)-ordered sequence; quantiles are
+    DISCRETE (DuckDB quantile_disc = the order statistic at 1-based
+    rank ceil(q*n), mirrored with the same IEEE product) — actual
+    int64 gap values, so parity needs no float rules at all.
+    Continuous interpolation at 1e11-microsecond magnitudes leaves
+    sub-ulp residue that r6 rounding cannot absorb — discrete
+    quantiles are the right emission for big-integer metrics."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        tus = g["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        gaps = np.diff(tus)
+        if len(gaps) == 0:
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "n_gaps": pd.Series([], dtype=np.int64),
+                                 "p50_us": pd.Series([], dtype=np.int64),
+                                 "p90_us": pd.Series([], dtype=np.int64)})
+        gaps = np.sort(gaps)
+        n = len(gaps)
+
+        def disc(q: float) -> np.int64:
+            return gaps[int(np.ceil(q * n)) - 1]
+
+        return pd.DataFrame({
+            "user_id": [np.int64(g["user_id"].iloc[0])],
+            "n_gaps": [np.int64(n)],
+            "p50_us": [disc(0.5)],
+            "p90_us": [disc(0.9)]})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "shard_layout_docs",
     "trimmed_mean_events",
     "top_bigrams_per_source",
+    "interarrival_quantiles_users",
 ]
 
 IMG_PARTITIONS = 32
