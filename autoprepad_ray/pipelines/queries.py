@@ -4115,8 +4115,10 @@ def asof_forward_next_purchase(sf_dir: str):
     every comparison and the gap are exact ints."""
     from ..stages.join import asof_join
 
+    # both join sides derive from the same scan — materialize once so
+    # the union's two branches don't each re-execute the parquet read
     ev_raw = _t(sf_dir, "events", ["event_id", "user_id", "ts",
-                                   "event_type"])
+                                   "event_type"]).materialize()
 
     def neg_left(t: pa.Table) -> pa.Table:
         ts = t["ts"].to_numpy(zero_copy_only=False) \
@@ -4268,9 +4270,10 @@ def trimmed_mean_events(sf_dir: str):
             .map_batches(merge, batch_size=65536, batch_format="pyarrow")
             ).take_all()
     df = (pd.DataFrame(rows)
-          .groupby(["event_type", "value"], as_index=False)["cnt"].sum())
+          .groupby(["event_type", "value"], as_index=False,
+                   dropna=False)["cnt"].sum())
     out = []
-    for et, grp in df.groupby("event_type"):
+    for et, grp in df.groupby("event_type", dropna=False):
         vc = ValueCounts.from_items(grp["value"].to_numpy(),
                                     grp["cnt"].to_numpy())
         lo = round(vc.quantile(0.05), 6)
@@ -4310,7 +4313,7 @@ def top_bigrams_per_source(sf_dir: str):
     from ..stages.text import _ngram_strings
 
     def partial(t: pa.Table) -> pa.Table:
-        grams, doc_idx = _ngram_strings(t["text"], 2)
+        grams, doc_idx, _ = _ngram_strings(t["text"], 2)
         src_col = t["source"]
         if isinstance(src_col, pa.ChunkedArray):
             src_col = src_col.combine_chunks()
@@ -4332,10 +4335,11 @@ def top_bigrams_per_source(sf_dir: str):
             .map_batches(merge, batch_size=65536, batch_format="pyarrow")
             ).take_all()
     df = (pd.DataFrame(rows)
-          .groupby(["source", "gram"], as_index=False)["n"].sum())
+          .groupby(["source", "gram"], as_index=False,
+                   dropna=False)["n"].sum())
     df = df.sort_values(["source", "n", "gram"],
                         ascending=[True, False, True])
-    df["rn"] = df.groupby("source").cumcount() + 1
+    df["rn"] = df.groupby("source", dropna=False).cumcount() + 1
     return df[df["rn"] <= 5].reset_index(drop=True) \
         .astype({"n": np.int64, "rn": np.int64})
 

@@ -536,9 +536,9 @@ def unigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id"):
 def _ngram_strings(texts, n: int):
     """Word n-gram STRINGS for a whole batch (the shared shifted
     zero-copy-slice + ``binary_join_element_wise`` kernel): returns
-    (grams Arrow string array, owning-doc index np array) with
-    boundary-crossing starts masked by doc-position arithmetic.  Docs
-    with fewer than n words contribute no grams."""
+    (grams Arrow string array, owning-doc index np array, grams per
+    doc) with boundary-crossing starts masked by doc-position
+    arithmetic.  Docs with fewer than n words contribute no grams."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     texts = pc.fill_null(texts, "")
@@ -548,14 +548,16 @@ def _ngram_strings(texts, n: int):
     counts = np.diff(off)
     nv = len(vals)
     n_starts = max(nv - (n - 1), 0)
+    g_per_doc = np.maximum(counts - (n - 1), 0)
     doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
     if not n_starts:
-        return pa.array([], pa.string()), np.empty(0, np.int64)
+        return pa.array([], pa.string()), np.empty(0, np.int64), g_per_doc
     slices = [vals.slice(k, n_starts) for k in range(n)]
     grams = pc.binary_join_element_wise(*slices, " ")
     in_pos = np.arange(nv, dtype=np.int64) - np.repeat(off[:-1], counts)
     valid = in_pos[:n_starts] <= counts[doc_idx[:n_starts]] - n
-    return grams.filter(pa.array(valid)), doc_idx[:n_starts][valid]
+    return (grams.filter(pa.array(valid)), doc_idx[:n_starts][valid],
+            g_per_doc)
 
 
 def ngram_repetition(ds, *, n: int = 2, text_col: str = "text",
@@ -576,29 +578,9 @@ def ngram_repetition(ds, *, n: int = 2, text_col: str = "text",
         raise ValueError("use word_repetition for n=1")
 
     def rep(t: pa.Table) -> pa.Table:
-        texts = t[text_col]
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        texts = pc.fill_null(texts, "")
-        la = pc.split_pattern(texts, pattern=" ")
-        vals = la.values
-        off = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        counts = np.diff(off)
-        nd = len(counts)
-        nv = len(vals)
-        n_starts = max(nv - (n - 1), 0)
-        slices = [vals.slice(k, n_starts) for k in range(n)]
-        grams = (pc.binary_join_element_wise(*slices, " ")
-                 if n_starts else pa.array([], pa.string()))
-        doc_idx = np.repeat(np.arange(nd, dtype=np.int64), counts)
-        in_pos = np.arange(nv, dtype=np.int64) - np.repeat(off[:-1], counts)
-        valid = (in_pos[:n_starts]
-                 <= counts[doc_idx[:n_starts]] - n) if n_starts else \
-            np.empty(0, bool)
-        g_per_doc = np.maximum(counts - (n - 1), 0)
-        pairs = pa.table({
-            "d": pa.array(doc_idx[:n_starts][valid]),
-            "g": grams.filter(pa.array(valid))})
+        grams, gram_doc, g_per_doc = _ngram_strings(t[text_col], n)
+        nd = len(g_per_doc)
+        pairs = pa.table({"d": pa.array(gram_doc), "g": grams})
         dist = (pairs.group_by(["d", "g"]).aggregate([([], "count_all")])
                 .group_by("d").aggregate([([], "count_all")]))
         n_dist = np.zeros(nd, dtype=np.int64)
