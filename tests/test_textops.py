@@ -739,3 +739,31 @@ def test_elementwise_starts_with_hypothesis():
         np.testing.assert_array_equal(got, exp)
 
     check()
+
+
+def test_ngram_strings_hypothesis():
+    """The shared gram-string kernel vs a per-doc Python reference:
+    doc-boundary safety, short docs, empty docs, any n."""
+    from hypothesis import given, settings, strategies as st
+
+    from autoprepad_ray.stages.text import _ngram_strings
+
+    word = st.text(alphabet="abc", min_size=1, max_size=3)
+    doc = st.lists(word, max_size=6).map(" ".join)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(doc, max_size=8), st.integers(min_value=2, max_value=4))
+    def check(docs, n):
+        grams, doc_idx, gpd = _ngram_strings(pa.array(docs, pa.string()), n)
+        exp_grams, exp_idx, exp_gpd = [], [], []
+        for i, d in enumerate(docs):
+            w = d.split(" ")
+            g = [" ".join(w[j:j + n]) for j in range(len(w) - n + 1)]
+            exp_grams += g
+            exp_idx += [i] * len(g)
+            exp_gpd.append(max(len(w) - (n - 1), 0))
+        assert grams.to_pylist() == exp_grams
+        np.testing.assert_array_equal(doc_idx, np.array(exp_idx, np.int64))
+        np.testing.assert_array_equal(gpd, np.array(exp_gpd, np.int64))
+
+    check()
