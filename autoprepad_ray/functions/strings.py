@@ -192,14 +192,18 @@ def word_ngrams(text: str, n: int = 3) -> np.ndarray:
 
 
 def elementwise_starts_with(prefixes: np.ndarray,
-                            strings: np.ndarray) -> np.ndarray:
+                            strings: np.ndarray, *,
+                            strict: bool = False) -> np.ndarray:
     """Vectorized per-pair ``strings[i].startswith(prefixes[i])`` over
     object arrays — Arrow's ``starts_with`` only takes a SCALAR
     pattern, so pairwise prefix tests (sorted-successor dedup) need
     this flat-buffer form: gather both sides' bytes with one
     repeat/cumsum index build (the gram-kernel idiom) and segment-count
     byte equality.  Byte-prefix == character-prefix for valid UTF-8, so
-    this is exact for any input, not just ASCII."""
+    this is exact for any input, not just ASCII.  ``strict=True``
+    additionally requires the string to be LONGER than its prefix
+    (strict-prefix semantics, computed from the lengths the kernel
+    already has — callers need no second length pass)."""
     import pyarrow as pa
 
     k = len(prefixes)
@@ -216,7 +220,7 @@ def elementwise_starts_with(prefixes: np.ndarray,
     sb = np.frombuffer(pa_s.buffers()[2] or b"", dtype=np.uint8)
     plen = np.diff(po)
     slen = np.diff(so)
-    ok_len = slen >= plen
+    ok_len = (slen > plen) if strict else (slen >= plen)
     cmp_len = np.minimum(plen, slen)
     total = int(cmp_len.sum())
     if total == 0:

@@ -3868,6 +3868,8 @@ def sliding_distinct_users_7d(sf_dir: str):
     the window length, never the data size."""
     ds = _t(sf_dir, "events", ["ts", "user_id"])
 
+    import pickle
+
     def pairs(t: pa.Table) -> pa.Table:
         ts = t["ts"].to_numpy(zero_copy_only=False) \
             .astype("datetime64[us]").astype(np.int64)
@@ -3879,17 +3881,25 @@ def sliding_distinct_users_7d(sf_dir: str):
             raise ValueError("user_id outside [0, 2^32) breaks the "
                              "(day << 32 | user) pair packing")
         packed = np.unique((day << 32) | uid)
-        return pa.table({"p": pa.array(packed)})
+        return pa.table({"payload": pa.array([pickle.dumps(packed)],
+                                             pa.large_binary())})
 
     def merge(t: pa.Table) -> pa.Table:
-        return pa.table({"p": pa.array(
-            np.unique(t["p"].to_numpy(zero_copy_only=False)))})
+        u = np.unique(np.concatenate(
+            [pickle.loads(p) for p in t["payload"].to_pylist()]))
+        return pa.table({"payload": pa.array([pickle.dumps(u)],
+                                             pa.large_binary())})
 
+    # payload rows (one pickled array per block, 32-block fan-in) — the
+    # deduped pair stream reaches the driver as a few arrays, never as
+    # per-pair Python rows
     rows = (ds.map_batches(pairs, batch_format="pyarrow",
                            zero_copy_batch=True)
-            .map_batches(merge, batch_size=65536, batch_format="pyarrow")
+            .map_batches(merge, batch_size=32, batch_format="pyarrow")
             ).take_all()
-    packed = np.unique(np.array([r["p"] for r in rows], dtype=np.int64))
+    packed = np.unique(np.concatenate(
+        [pickle.loads(r["payload"]) for r in rows])) if rows else \
+        np.empty(0, dtype=np.int64)
     day = packed >> 32
     uid = packed & 0xFFFFFFFF
     obs_days = np.unique(day)
@@ -3904,14 +3914,15 @@ def sliding_distinct_users_7d(sf_dir: str):
 
 
 @query("prefix_dup_docs", sql="""
-WITH d AS (SELECT DISTINCT text FROM documents),
-s AS (SELECT text, LEAD(text) OVER (ORDER BY text) AS nxt FROM d),
-p AS (SELECT text,
-             CAST(CASE WHEN nxt IS NOT NULL AND len(nxt) > len(text)
-                        AND left(nxt, len(text)) = text
+WITH d AS (SELECT DISTINCT COALESCE(text, '') AS t FROM documents),
+s AS (SELECT t, LEAD(t) OVER (ORDER BY t) AS nxt FROM d),
+p AS (SELECT t,
+             CAST(CASE WHEN nxt IS NOT NULL AND len(nxt) > len(t)
+                        AND left(nxt, len(t)) = t
                    THEN 1 ELSE 0 END AS BIGINT) AS prefix_dup
       FROM s)
-SELECT doc_id, prefix_dup FROM documents JOIN p USING (text)""")
+SELECT doc_id, prefix_dup
+FROM documents JOIN p ON COALESCE(documents.text, '') = p.t""")
 def prefix_dup_docs(sf_dir: str):
     """Truncation-duplicate flags (doc text is a strict prefix of
     another doc) via the sorted-successor property — one sort plus
@@ -4187,7 +4198,7 @@ def shard_layout_docs(sf_dir: str):
     import ray
     import ray.data as rd
 
-    from ..stages.rank import _nrows
+    from ..stages.rank import sorted_blocks
 
     k = 8
 
@@ -4196,12 +4207,10 @@ def shard_layout_docs(sf_dir: str):
         hv = ((ids % 1000003) * 2654435761) % (1 << 32)
         return pa.table({"doc_id": t["doc_id"], "hv": pa.array(hv)})
 
-    s = (_t(sf_dir, "documents", ["doc_id"])
-         .map_batches(hashed, batch_format="pyarrow",
-                      zero_copy_batch=True)
-         .sort(["hv", "doc_id"]).materialize())
-    refs = s.to_arrow_refs()
-    counts = ray.get([_nrows.remote(r) for r in refs])
+    s, refs, counts = sorted_blocks(
+        _t(sf_dir, "documents", ["doc_id"])
+        .map_batches(hashed, batch_format="pyarrow",
+                     zero_copy_batch=True), ["hv", "doc_id"])
     offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
     n = int(offsets[-1])
     if n == 0:
@@ -4225,7 +4234,7 @@ def shard_layout_docs(sf_dir: str):
                          "pos": pa.array(rn - start + 1)})
 
     out = [emit.remote(rf, int(offsets[i]))
-           for i, rf in enumerate(refs) if counts[i]]
+           for i, rf in enumerate(refs)]
     return rd.from_arrow_refs(out)
 
 
@@ -4282,6 +4291,8 @@ def trimmed_mean_events(sf_dir: str):
         cnts = grp["cnt"].to_numpy(dtype=np.int64)
         keep = (vals >= lo) & (vals <= hi)
         n_kept = int(cnts[keep].sum())
+        if n_kept == 0:      # SQL's inner join simply omits the group
+            continue
         total = float((vals[keep] * cnts[keep]).sum())
         out.append({"event_type": et,
                     "n_kept": np.int64(n_kept),

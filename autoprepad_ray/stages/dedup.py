@@ -659,14 +659,8 @@ def _prefix_emit(t: pa.Table, text_col: str, id_col: str,
     have = np.array([s is not None for s in succ])
     flag_runs = np.zeros(len(runs), dtype=np.int64)
     if have.any():
-        import pyarrow.compute as pc
-        p, s = runs[have], succ[have]
-        longer = (pc.binary_length(pa.array(s, pa.string()))
-                  .to_numpy(zero_copy_only=False)
-                  > pc.binary_length(pa.array(p, pa.string()))
-                  .to_numpy(zero_copy_only=False))
-        flag_runs[have] = (elementwise_starts_with(p, s)
-                           & longer).astype(np.int64)
+        flag_runs[have] = elementwise_starts_with(
+            runs[have], succ[have], strict=True).astype(np.int64)
     lens = np.diff(np.concatenate([starts, [n]]))
     return pa.table({id_col: t[id_col],
                      "prefix_dup": pa.array(np.repeat(flag_runs, lens))})
@@ -698,24 +692,17 @@ def prefix_dup_flags(ds, *, text_col: str = "text",
     import pyarrow.compute as pc
     import ray.data as rd
 
-    from .rank import _nrows
+    from .rank import sorted_blocks, typed_empty
 
     def _denull(t: pa.Table) -> pa.Table:
         i = t.schema.get_field_index(text_col)
         return t.set_column(i, text_col, pc.fill_null(t[text_col], ""))
 
-    s = ds.map_batches(_denull, batch_format="pyarrow",
-                       zero_copy_batch=True) \
-        .sort([text_col]).materialize()
-    all_refs = s.to_arrow_refs()
-    counts = ray.get([_nrows.remote(r) for r in all_refs])
-    refs = [r for r, c in zip(all_refs, counts) if c]
+    s, refs, _ = sorted_blocks(
+        ds.map_batches(_denull, batch_format="pyarrow",
+                       zero_copy_batch=True), [text_col])
     if not refs:
-        sch = s.schema()
-        types = dict(zip(sch.names, sch.types)) if sch is not None else {}
-        return rd.from_arrow(pa.table({
-            id_col: pa.array([], types.get(id_col, pa.int64())),
-            "prefix_dup": pa.array([], pa.int64())}))
+        return typed_empty(s, [id_col], {"prefix_dup": pa.int64()})
     lasts = ray.get([_prefix_block_meta.remote(r, text_col)
                      for r in refs])
     succs = []

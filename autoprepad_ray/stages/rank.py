@@ -32,6 +32,31 @@ def _nrows(t: pa.Table) -> int:
     return t.num_rows
 
 
+def sorted_blocks(ds, keys: list[str], *,
+                  descending: list[bool] | None = None):
+    """Shared sort -> materialize -> block-ref preamble for the
+    metadata-prefix rank family (ntile / dense_rank / prefix dedup /
+    shard layout): returns (materialized dataset, NON-EMPTY arrow block
+    refs in global order, their row counts).  The driver sees O(blocks)
+    integers; row data stays in the object store."""
+    s = ds.sort(keys, descending=descending or [False] * len(keys)) \
+        .materialize()
+    all_refs = s.to_arrow_refs()
+    counts = ray.get([_nrows.remote(r) for r in all_refs])
+    refs = [r for r, c in zip(all_refs, counts) if c]
+    return s, refs, [c for c in counts if c]
+
+
+def typed_empty(s, keep_cols: list[str], out_cols: dict):
+    """Typed empty result table: keep_cols typed from the source
+    schema, out_cols from the given {name: pa type} map."""
+    sch = s.schema()
+    types = dict(zip(sch.names, sch.types)) if sch is not None else {}
+    return rd.from_arrow(pa.table({
+        **{c: pa.array([], types.get(c, pa.int64())) for c in keep_cols},
+        **{c: pa.array([], t) for c, t in out_cols.items()}}))
+
+
 @ray.remote
 def _bucketize(t: pa.Table, offset: int, n: int, k: int,
                keep_cols: list[str], out_col: str) -> pa.Table:
@@ -57,20 +82,13 @@ def ntile(ds, keys: list[str], k: int, *, keep_cols: list[str],
     one independent bucketize task per block — the driver holds
     O(blocks) integers, never rows.  Returns a Dataset built from the
     per-block output refs (bytes stay in the object store)."""
-    s = ds.sort(keys).materialize()
-    refs = s.to_arrow_refs()
-    counts = ray.get([_nrows.remote(r) for r in refs])
+    s, refs, counts = sorted_blocks(ds, keys)
+    if not refs:
+        return typed_empty(s, keep_cols, {out_col: pa.int64()})
     offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
     n = int(offsets[-1])
-    if n == 0:
-        sch = s.schema()
-        types = dict(zip(sch.names, sch.types)) if sch is not None else {}
-        empty = pa.table({**{c: pa.array([], types.get(c, pa.int64()))
-                             for c in keep_cols},
-                          out_col: pa.array([], pa.int64())})
-        return rd.from_arrow(empty)
     out = [_bucketize.remote(r, int(offsets[i]), n, k, keep_cols, out_col)
-           for i, r in enumerate(refs) if counts[i]]
+           for i, r in enumerate(refs)]
     return rd.from_arrow_refs(out)
 
 
@@ -132,20 +150,16 @@ def dense_rank(ds, keys: list[str], *, partition_col: str,
 
     Rank is a pure function of the VALUES (ties share a rank), so the
     result is deterministic under any block layout with no tie-break
-    column needed — unlike ntile, which requires a unique composite."""
+    column needed — unlike ntile, which requires a unique composite.
+
+    Caveat: rank keys must not contain NaN — the run detection and the
+    boundary-collapse equality both treat NaN as unequal to itself, so
+    equal-NaN rows would get distinct, layout-dependent ranks where SQL
+    DENSE_RANK groups them.  Fill or drop NaN keys first."""
     assert keys[0] == partition_col
-    s = ds.sort(keys, descending=descending or [False] * len(keys)) \
-        .materialize()
-    all_refs = s.to_arrow_refs()
-    counts = ray.get([_nrows.remote(r) for r in all_refs])
-    refs = [r for r, c in zip(all_refs, counts) if c]
+    s, refs, _ = sorted_blocks(ds, keys, descending=descending)
     if not refs:
-        sch = s.schema()
-        types = dict(zip(sch.names, sch.types)) if sch is not None else {}
-        empty = pa.table({**{c: pa.array([], types.get(c, pa.int64()))
-                             for c in keep_cols},
-                          out_col: pa.array([], pa.int64())})
-        return rd.from_arrow(empty)
+        return typed_empty(s, keep_cols, {out_col: pa.int64()})
     sums = ray.get([_rank_summary.remote(r, keys, partition_col)
                     for r in refs])
     d_off, prev_last, bases = [], None, {}

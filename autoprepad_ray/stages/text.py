@@ -82,6 +82,18 @@ def _flat_words(texts: pa.ChunkedArray | pa.Array):
     return words, counts
 
 
+def _word_counts(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Per-doc word counts WITHOUT materializing the word objects —
+    the zero-copy offsets-diff view of :func:`_flat_words` for callers
+    that only need lengths (keep both passes of a stage on this one
+    path so tokenization rules can never diverge between them)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    la = pc.split_pattern(pc.fill_null(texts, ""), pattern=" ")
+    return np.diff(la.offsets.to_numpy(zero_copy_only=False)) \
+        .astype(np.int64)
+
+
 def _gram_hashes(words: np.ndarray, counts: np.ndarray, n: int, *,
                  short_doc_gram: bool = False):
     """64-bit hashes of all word n-grams, doc boundaries respected.
@@ -1117,13 +1129,7 @@ def length_quantile_filter(ds, *, q: float = 0.9,
     from ..sketches import ValueCounts
 
     def partial(t: pa.Table) -> pa.Table:
-        texts = t[text_col]
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        texts = pc.fill_null(texts, "")
-        la = pc.split_pattern(texts, pattern=" ")
-        nw = np.diff(la.offsets.to_numpy(zero_copy_only=False)
-                     .astype(np.int64))
+        nw = _word_counts(t[text_col])
         g = pa.table({source_col: t[source_col],
                       "n_words": pa.array(nw),
                       "cnt": pa.array(np.ones(len(nw), np.int64))}) \
@@ -1154,13 +1160,7 @@ def length_quantile_filter(ds, *, q: float = 0.9,
 
     def flag(t: pa.Table) -> pa.Table:
         keys_b, vals_b = ray.get(state)
-        texts = t[text_col]
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        texts = pc.fill_null(texts, "")
-        la = pc.split_pattern(texts, pattern=" ")
-        nw = np.diff(la.offsets.to_numpy(zero_copy_only=False)
-                     .astype(np.int64))
+        nw = _word_counts(t[text_col])
         src = t[source_col].to_numpy(zero_copy_only=False)
         cut = vals_b[np.searchsorted(keys_b, src.astype(object))]
         return pa.table({id_col: t[id_col], source_col: t[source_col],
