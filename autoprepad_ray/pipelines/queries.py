@@ -4008,24 +4008,16 @@ def oov_rate_docs(sf_dir: str):
     the driver (Heaps' law) and broadcasts the K-term sorted array;
     pass 2 is one is_in + bincount per block.  n_oov/n_words is ONE
     exact int division — no float rules needed."""
-    from ..stages.text import _flat_words
+    from ..stages.text import _flat_words, term_census
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
 
-    def term_counts(t: pa.Table) -> pa.Table:
-        words, _ = _flat_words(t["text"])
-        terms, cnts = np.unique(words, return_counts=True)
-        return pa.table({"term": pa.array(terms, pa.string()),
-                         "c": pa.array(cnts.astype(np.int64))})
-
-    parts = ds.map_batches(term_counts, batch_format="pyarrow",
-                           zero_copy_batch=True).take_all()
-    folded = (pd.DataFrame(parts).groupby("term", as_index=False)["c"]
-              .sum())
-    folded = folded[folded["term"] != ""]
-    folded = folded.sort_values(["c", "term"],
-                                ascending=[False, True]).head(10)
-    vocab_np = np.array(sorted(folded["term"]), dtype=object)
+    terms, cnts = term_census(ds, text_col="text")
+    keep = terms != ""
+    terms, cnts = terms[keep], cnts[keep]
+    # top-10 by (count desc, term asc): lexsort on (term asc, -count)
+    order = np.lexsort((terms, -cnts))[:10]
+    vocab_np = np.sort(terms[order])
 
     def score(t: pa.Table) -> pa.Table:
         words, counts = _flat_words(t["text"])

@@ -94,6 +94,49 @@ def _word_counts(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
         .astype(np.int64)
 
 
+def term_census(ds, *, text_col: str = "text"):
+    """Corpus term-count census as (sorted terms object-array, int64
+    counts): per-block ``np.unique`` partials ride as ONE pickled
+    payload row per block (never per-term Python rows — a web-scale
+    vocabulary is millions of terms), a 32-block payload merge level
+    tree-reduces, and the driver folds the few surviving arrays with
+    one unique + bincount.  The Heaps'-law driver-fold shape shared by
+    unigram_logprob / OOV scoring."""
+    import pickle
+
+    def partial(t: pa.Table) -> pa.Table:
+        words, _ = _flat_words(t[text_col])
+        terms, cnts = np.unique(words, return_counts=True)
+        return pa.table({"payload": pa.array(
+            [pickle.dumps((terms, cnts.astype(np.int64)))],
+            pa.large_binary())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        parts = [pickle.loads(x) for x in t["payload"].to_pylist()]
+        return pa.table({"payload": pa.array(
+            [pickle.dumps(_fold_term_counts(parts))], pa.large_binary())})
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(merge, batch_size=32, batch_format="pyarrow")
+            ).take_all()
+    return _fold_term_counts(
+        [pickle.loads(r["payload"]) for r in rows])
+
+
+def _fold_term_counts(parts):
+    """Sum (terms, counts) partial pairs: one concat + unique-inverse +
+    bincount — vectorized, output sorted by term."""
+    if not parts:
+        return np.empty(0, dtype=object), np.empty(0, dtype=np.int64)
+    terms = np.concatenate([p[0] for p in parts])
+    cnts = np.concatenate([p[1] for p in parts])
+    uniq, inv = np.unique(terms, return_inverse=True)
+    summed = np.bincount(inv, weights=cnts,
+                         minlength=len(uniq)).astype(np.int64)
+    return uniq, summed
+
+
 def _gram_hashes(words: np.ndarray, counts: np.ndarray, n: int, *,
                  short_doc_gram: bool = False):
     """64-bit hashes of all word n-grams, doc boundaries respected.
@@ -509,18 +552,7 @@ def unigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     cannot occur (the LM is trained on the scored corpus itself)."""
     import ray
 
-    def term_counts(t: pa.Table) -> pa.Table:
-        words, _ = _flat_words(t[text_col])
-        terms, cnts = np.unique(words, return_counts=True)
-        return pa.table({"term": pa.array(terms, pa.string()),
-                         "c": pa.array(cnts.astype(np.int64))})
-
-    parts = ds.map_batches(term_counts, batch_format="pyarrow",
-                           zero_copy_batch=True).take_all()
-    folded = (pd.DataFrame(parts).groupby("term", as_index=False)["c"]
-              .sum().sort_values("term"))
-    terms = folded["term"].to_numpy(dtype=object)
-    cnts = folded["c"].to_numpy(dtype=np.int64)
+    terms, cnts = term_census(ds, text_col=text_col)
     total = np.float64(cnts.sum())
     lp = np.log(cnts.astype(np.float64) / total)
     state = ray.put((terms, lp))
