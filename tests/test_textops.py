@@ -767,3 +767,25 @@ def test_ngram_strings_hypothesis():
         np.testing.assert_array_equal(gpd, np.array(exp_gpd, np.int64))
 
     check()
+
+
+def test_term_census_matches_counter():
+    from collections import Counter
+
+    from autoprepad_ray.stages.text import term_census
+    texts = ["a b a", "b c", "", "c c c", "a"]
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(3)
+    terms, cnts = term_census(ds)
+    exp = Counter(w for t in texts for w in t.split(" "))
+    assert dict(zip(terms, cnts)) == dict(exp)
+    assert list(terms) == sorted(terms)
+
+
+def test_elementwise_starts_with_strict():
+    from autoprepad_ray.functions.strings import elementwise_starts_with
+    p = np.array(["ab", "ab", ""], dtype=object)
+    s = np.array(["ab", "abc", ""], dtype=object)
+    np.testing.assert_array_equal(
+        elementwise_starts_with(p, s), [True, True, True])
+    np.testing.assert_array_equal(
+        elementwise_starts_with(p, s, strict=True), [False, True, False])
