@@ -332,9 +332,12 @@ SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n
 FROM lineitem GROUP BY l_returnflag, l_linestatus""")
 def pricing_summary(sf_dir: str):
-    """Grouped aggregate with per-block pre-aggregation before the shuffle."""
-    from ray.data.aggregate import Sum
-
+    """Grouped aggregate over a HANDFUL of groups: per-block Arrow
+    ``group_by`` partials + one tree-merge level + a driver fold — the
+    repo's dozens-of-groups rule (a Ray sort-groupby exchange costs
+    seconds flat for 4 output rows).  ROUND(SUM, 2) snaps the
+    order-sensitive float sums to the data's decimal grid on both
+    sides (file-header trick), so the fold order is free."""
     ds = _t(sf_dir, "lineitem",
             ["l_returnflag", "l_linestatus", "l_quantity",
              "l_extendedprice", "l_discount"])
@@ -349,29 +352,35 @@ def pricing_summary(sf_dir: str):
         return g.rename_columns(["l_returnflag", "l_linestatus",
                                  "s_qty", "s_price", "s_disc", "n"])
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-           .groupby(["l_returnflag", "l_linestatus"])
-           .aggregate(Sum("s_qty", alias_name="s_qty"),
-                      Sum("s_price", alias_name="s_price"),
-                      Sum("s_disc", alias_name="s_disc"),
-                      Sum("n", alias_name="n")))
+    def merge(t: pa.Table) -> pa.Table:
+        g = (t.group_by(["l_returnflag", "l_linestatus"])
+             .aggregate([("s_qty", "sum"), ("s_price", "sum"),
+                         ("s_disc", "sum"), ("n", "sum")]))
+        return g.rename_columns(["l_returnflag", "l_linestatus",
+                                 "s_qty", "s_price", "s_disc", "n"])
 
-    def final(t: pa.Table) -> pa.Table:
-        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-        sq = t["s_qty"].to_numpy(zero_copy_only=False)
-        sp = t["s_price"].to_numpy(zero_copy_only=False)
-        sd = t["s_disc"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "l_returnflag": t["l_returnflag"],
-            "l_linestatus": t["l_linestatus"],
-            "sum_qty": pa.array(np.round(sq, 2)),
-            "sum_base_price": pa.array(np.round(sp, 2)),
-            "sum_disc_price": pa.array(np.round(sd, 2)),
-            "avg_qty": pa.array(np.round(sq, 2) / n),
-            "avg_price": pa.array(np.round(sp, 2) / n),
-            "n": t["n"].cast(pa.int64())})
-
-    return agg.map_batches(final, batch_format="pyarrow")
+    rows = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(merge, batch_size=65536, batch_format="pyarrow")
+            ).take_all()
+    df = (pd.DataFrame(rows)
+          .groupby(["l_returnflag", "l_linestatus"], as_index=False,
+                   dropna=False)
+          .agg(s_qty=("s_qty", "sum"), s_price=("s_price", "sum"),
+               s_disc=("s_disc", "sum"), n=("n", "sum")))
+    n = df["n"].to_numpy(dtype=np.float64)
+    sq = df["s_qty"].to_numpy(dtype=np.float64)
+    sp = df["s_price"].to_numpy(dtype=np.float64)
+    sd = df["s_disc"].to_numpy(dtype=np.float64)
+    return pd.DataFrame({
+        "l_returnflag": df["l_returnflag"],
+        "l_linestatus": df["l_linestatus"],
+        "sum_qty": np.round(sq, 2),
+        "sum_base_price": np.round(sp, 2),
+        "sum_disc_price": np.round(sd, 2),
+        "avg_qty": np.round(sq, 2) / n,
+        "avg_price": np.round(sp, 2) / n,
+        "n": df["n"].astype(np.int64)})
 
 
 @query("top_customers", sql="""
