@@ -4403,3 +4403,58 @@ def interarrival_quantiles_users(sf_dir: str):
 
     return ds.groupby("user_id").map_groups(per_user,
                                             batch_format="pandas")
+
+
+@query("bloom_semi_join_lineitem", sql="""
+SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_orderkey""")
+def bloom_semi_join_lineitem(sf_dir: str):
+    """Bloom-prefiltered semi-join: line items belonging to urgent
+    orders, with per-order item counts.  The 100-TB shape this
+    exercises (stages/bloom.py): the build side folds into a ~12
+    bits/key Bloom bitmap (40x smaller than the raw key broadcast of
+    stages/join.semi_join) in the SAME single pass that collects the
+    exact key array; the probe side drops non-members vectorized
+    BEFORE the exact searchsorted verify, so at scale — where the
+    exact half is replaced by a bucketed join — only the Bloom
+    survivors (true matches + ~1% FPs) ever reach an exchange.
+    Per-key counts fold through the near-unique-key census pattern
+    (np.unique partials + tree merge), never a sort-groupby."""
+    import ray
+
+    from ..stages.bloom import build_bloom_with_keys, probe_bloom
+    from ..validators.near_dup import _pickled, _tree_counts
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    n_hint = int(orders.count())          # parquet-metadata row count
+    urgent = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+                   .select(["o_orderkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    bloom, keys = build_bloom_with_keys(
+        urgent, "o_orderkey", m_bits=max(1 << 12, 12 * n_hint))
+    bloom_ref = ray.put(bloom)
+    keys_ref = ray.put(keys)
+
+    def probe(t: pa.Table) -> pa.Table:
+        bl = ray.get(bloom_ref)
+        ks = ray.get(keys_ref)
+        vals = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        cand = probe_bloom(vals, bl)      # no false negatives
+        sub = vals[cand]
+        if len(ks) and len(sub):
+            pos = np.searchsorted(ks, sub)
+            pos[pos == len(ks)] = 0
+            sub = sub[ks[pos] == sub]     # exact verify of survivors
+        else:
+            sub = sub[:0]
+        u, c = np.unique(sub, return_counts=True)
+        return _pickled((u, c.astype(np.int64)))
+
+    payloads = _t(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True)
+    u, c = _tree_counts(payloads)
+    return pa.table({"l_orderkey": _i64(u), "n_items": _i64(c)})
