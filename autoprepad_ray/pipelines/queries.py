@@ -4458,3 +4458,75 @@ def bloom_semi_join_lineitem(sf_dir: str):
         probe, batch_format="pyarrow", zero_copy_batch=True)
     u, c = _tree_counts(payloads)
     return pa.table({"l_orderkey": _i64(u), "n_items": _i64(c)})
+
+
+@query("winsorize_events_value", sql="""
+WITH q AS (SELECT event_type,
+                  quantile_disc(value, 0.05) AS lo,
+                  quantile_disc(value, 0.95) AS hi,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY event_type)
+SELECT e.event_type, q.n, q.lo, q.hi,
+       CAST(SUM(CASE WHEN e.value < q.lo THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_lo,
+       CAST(SUM(CASE WHEN e.value > q.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hi,
+       ROUND(SUM(CASE WHEN e.value < q.lo THEN q.lo
+                      WHEN e.value > q.hi THEN q.hi
+                      ELSE e.value END), 2) AS sum_winsorized
+FROM events e JOIN q USING (event_type)
+GROUP BY e.event_type, q.n, q.lo, q.hi""")
+def winsorize_events_value(sf_dir: str):
+    """Per-group winsorization audit (clip value at the group's
+    p05/p95, report clip counts and the winsorized sum) — the outlier
+    taming step between profiling and scaling.  EVERYTHING folds off
+    ONE (event_type, value, cnt) census (the group_quantiles shape —
+    bounded by decimal grain, never row count): cutoffs are DISCRETE
+    order statistics replayed with DuckDB's 1-based ceil(q*n) rank
+    (the interarrival_quantiles parity rule — actual member values,
+    no interpolation residue), clip counts are census-count sums over
+    the sorted value axis, and the winsorized sum is sum(clip(v)*cnt)
+    with ROUND(,2) absorbing the product-vs-sequential fold residue
+    on 2-decimal data (the pricing_summary rule).  NO second pass
+    over events."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"event_type": t["event_type"],
+                      "value": t["value"],
+                      "cnt": pa.array(np.ones(t.num_rows, np.int64))}) \
+            .group_by(["event_type", "value"]).aggregate([("cnt", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "value": g["value"], "cnt": g["cnt_sum"]})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "value"]).aggregate([("cnt", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "value": g["value"], "cnt": g["cnt_sum"]})
+
+    rows = (_t(sf_dir, "events", ["event_type", "value"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(merge, batch_size=65536, batch_format="pyarrow")
+            ).take_all()
+    df = (pd.DataFrame(rows)
+          .groupby(["event_type", "value"], as_index=False)["cnt"].sum())
+    out = []
+    for et, grp in df.groupby("event_type"):
+        grp = grp.sort_values("value")
+        v = grp["value"].to_numpy()
+        c = grp["cnt"].to_numpy()
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+
+        def disc(q: float) -> float:
+            rank = int(np.ceil(q * n))       # DuckDB 1-based rank
+            return float(v[np.searchsorted(cum, rank, side="left")])
+
+        lo, hi = disc(0.05), disc(0.95)
+        clipped = np.clip(v, lo, hi)
+        out.append({"event_type": et, "n": np.int64(n),
+                    "lo": lo, "hi": hi,
+                    "n_lo": np.int64(c[v < lo].sum()),
+                    "n_hi": np.int64(c[v > hi].sum()),
+                    "sum_winsorized": round(float((clipped * c).sum()), 2)})
+    return pd.DataFrame(out)
