@@ -4530,3 +4530,30 @@ def winsorize_events_value(sf_dir: str):
                     "n_hi": np.int64(c[v > hi].sum()),
                     "sum_winsorized": round(float((clipped * c).sum()), 2)})
     return pd.DataFrame(out)
+
+
+@query("crossdoc_gram_coverage_docs", sql="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(
+         CASE WHEN len(w) >= 3 THEN
+           list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE [] END)) AS gram
+      FROM d),
+gc AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS nd FROM g GROUP BY gram)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN gc.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared
+FROM g JOIN gc USING (gram)
+GROUP BY g.doc_id""")
+def crossdoc_gram_coverage_docs(sf_dir: str):
+    """Span-level dup telemetry: per document, its distinct word
+    trigrams and how many are shared with at least one other document
+    (stages/text.crossdoc_gram_coverage — census pass + broadcast
+    shared-gram set + score pass, zero shuffle).  All-integer output,
+    no float rules."""
+    from ..stages.text import crossdoc_gram_coverage
+
+    return crossdoc_gram_coverage(
+        _t(sf_dir, "documents", ["doc_id", "text"]), n=3)

@@ -1204,3 +1204,77 @@ def length_quantile_filter(ds, *, q: float = 0.9,
 
     return ds.map_batches(flag, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def crossdoc_gram_coverage(ds, *, n: int = 3, text_col: str = "text",
+                           id_col: str = "doc_id"):
+    """Cross-document n-gram coverage: per document, how many of its
+    DISTINCT word n-grams also occur in at least one OTHER document
+    (the span-level dup telemetry behind substring-dedup decisions —
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better" motivates exactly this measurement).  Boilerplate-heavy
+    docs score n_shared ~= n_distinct.
+
+    Two streaming passes over the corpus, zero shuffle:
+
+    1. census — each block emits (gram-hash, distinct-doc-count)
+       partials (a document lives in exactly one row/block, so
+       per-block doc counts SUM exactly across blocks); the near_dup
+       tree merge folds them and grams with >= 2 docs broadcast once
+       as a sorted uint64 array.  On the test fixture the shared set
+       is vocab-bounded (31^n); an open-vocab corpus would swap the
+       broadcast for a slice-partitioned membership check (the
+       scatter_slices pattern) past object-store size.
+    2. score — each block re-derives its docs' distinct grams
+       (the shared ``_gram_hashes`` kernel both passes ride, so
+       tokenization can never diverge), one searchsorted against the
+       broadcast set, bincount per doc.
+
+    Docs with fewer than n words carry no grams and are dropped
+    (matching the oracle's empty-list unnest).  Hashed grams vs the
+    oracle's strings differ only on 64-bit collisions (~1e-10 here;
+    the decontaminate caveat)."""
+    import ray
+
+    from ..validators.near_dup import _pickled, _tree_counts
+
+    def _distinct_doc_grams(t: pa.Table):
+        words, counts = _flat_words(t[text_col])
+        doc_idx, grams, g_per_doc = _gram_hashes(words, counts, n)
+        order = np.lexsort((grams, doc_idx))
+        d2, g2 = doc_idx[order], grams[order]
+        keep = np.r_[True, (d2[1:] != d2[:-1]) | (g2[1:] != g2[:-1])] \
+            if len(d2) else np.empty(0, bool)
+        return d2[keep], g2[keep], counts
+
+    def census(t: pa.Table) -> pa.Table:
+        _, gg, _ = _distinct_doc_grams(t)
+        vals, cnts = np.unique(gg, return_counts=True)
+        return _pickled((vals, cnts.astype(np.int64)))
+
+    payloads = ds.map_batches(census, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    vals, cnts = _tree_counts(payloads)
+    shared_ref = ray.put(np.asarray(vals, dtype=np.uint64)[cnts >= 2])
+
+    def score(t: pa.Table) -> pa.Table:
+        shared = ray.get(shared_ref)
+        dd, gg, counts = _distinct_doc_grams(t)
+        n_docs = len(counts)
+        n_distinct = np.bincount(dd, minlength=n_docs).astype(np.int64)
+        if len(gg) and len(shared):
+            pos = np.searchsorted(shared, gg)
+            pos[pos == len(shared)] = 0
+            hit = shared[pos] == gg
+            n_shared = np.bincount(dd, weights=hit.astype(np.float64),
+                                   minlength=n_docs).astype(np.int64)
+        else:
+            n_shared = np.zeros(n_docs, dtype=np.int64)
+        keep = counts >= n                   # docs owning >= 1 gram
+        return pa.table({
+            id_col: t[id_col].filter(pa.array(keep)),
+            "n_distinct": pa.array(n_distinct[keep]),
+            "n_shared": pa.array(n_shared[keep])})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
