@@ -4557,3 +4557,23 @@ def crossdoc_gram_coverage_docs(sf_dir: str):
 
     return crossdoc_gram_coverage(
         _t(sf_dir, "documents", ["doc_id", "text"]), n=3)
+
+
+@query("editdist_blocked_pairs_partnames", sql="""
+WITH n AS (SELECT DISTINCT p_name FROM part),
+b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM n)
+SELECT a.p_name AS name_a, c.p_name AS name_b,
+       CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS dist
+FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+WHERE levenshtein(a.p_name, c.p_name) <= 3""")
+def editdist_blocked_pairs_partnames(sf_dir: str):
+    """Entity-resolution fuzzy matching: near-identical part names via
+    last-token blocking + Levenshtein <= 3 verify
+    (stages/fuzzy.blocked_editdist_pairs — distinct-name census, one
+    flat task per block-hash slice, class-batched SIMD edit-distance
+    DP).  All-integer distances, exact SQL parity with DuckDB's
+    levenshtein."""
+    from ..stages.fuzzy import blocked_editdist_pairs
+
+    return blocked_editdist_pairs(_t(sf_dir, "part", ["p_name"]),
+                                  "p_name", max_dist=3)

@@ -104,6 +104,9 @@ BENCH_QUERIES = [
     "trimmed_mean_events",
     "top_bigrams_per_source",
     "interarrival_quantiles_users",
+    "bloom_semi_join_lineitem",
+    "winsorize_events_value",
+    "crossdoc_gram_coverage_docs",
 ]
 
 IMG_PARTITIONS = 32
