@@ -4577,3 +4577,62 @@ def editdist_blocked_pairs_partnames(sf_dir: str):
 
     return blocked_editdist_pairs(_t(sf_dir, "part", ["p_name"]),
                                   "p_name", max_dist=3)
+
+
+@query("above_avg_order_customers", sql="""
+WITH c AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+           FROM orders GROUP BY o_custkey),
+t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS k FROM c)
+SELECT c.o_custkey, c.n_orders
+FROM c, t WHERE c.n_orders * t.k > t.tot""")
+def above_avg_order_customers(sf_dir: str):
+    """HAVING-vs-global-aggregate idiom: customers whose order count
+    exceeds the mean order count per ordering customer.  The mean
+    never materializes as a float — the filter cross-multiplies
+    (n * k > tot, the gopher_quality integer-rule shape), so parity
+    needs no rounding.  Per-customer counts fold through the
+    near-unique-key census (np.unique partials + tree merge, the
+    duplicate_keys pattern); the global (tot, k) is a driver scalar
+    off the same fold — ONE pass, no shuffle."""
+    from ..validators.near_dup import _pickled, _tree_counts
+
+    def part(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["o_custkey"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return _pickled((u, c.astype(np.int64)))
+
+    payloads = _t(sf_dir, "orders", ["o_custkey"]).map_batches(
+        part, batch_format="pyarrow", zero_copy_batch=True)
+    keys, counts = _tree_counts(payloads)
+    tot, k = int(counts.sum()), len(keys)
+    m = counts * k > tot
+    return pa.table({"o_custkey": _i64(keys[m]),
+                     "n_orders": _i64(counts[m])})
+
+
+@query("sq8_topk_embeddings")
+def sq8_topk_embeddings(sf_dir: str):
+    """Scalar-quantized (int8) cosine top-k — the memory-bandwidth
+    scale path for similarity search (uint8 codes are 4-8x smaller
+    than floats; see stages/embed.sq8_topk): min/max census -> approx
+    scores on dequantized codes -> exact float64 rerank of surviving
+    candidates only.  Rows-only (quantization grids are not
+    SQL-expressible); pytest pins recall vs the exact brute-force
+    baseline and exactness when rerank covers the corpus."""
+    from ..stages.embed import sq8_topk
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = (ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 3)), batch_format="pyarrow")
+        .take_all())
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in qrows])
+    base = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["vec_id"], 3)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = sq8_topk(base, "embedding", "vec_id", Q, qids, k=5,
+                   rerank_factor=4).to_pandas()
+    out["cos"] = np.round(out["cos"].astype(float), 6)
+    return out

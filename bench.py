@@ -107,6 +107,9 @@ BENCH_QUERIES = [
     "bloom_semi_join_lineitem",
     "winsorize_events_value",
     "crossdoc_gram_coverage_docs",
+    "editdist_blocked_pairs_partnames",
+    "above_avg_order_customers",
+    "sq8_topk_embeddings",
 ]
 
 IMG_PARTITIONS = 32

@@ -357,3 +357,38 @@ def test_embed_dedup_clusters_planted_components():
                               *[k + 100000 for k in range(10)]])
     assert (singles["cluster_id"] == singles.index).all()
     assert (singles["is_canonical"] == 1).all()
+
+
+def test_sq8_topk_recall_and_exactness(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from autoprepad_ray.stages.embed import cosine_topk, sq8_topk
+
+    rng = np.random.default_rng(11)
+    n, d = 400, 16
+    V = rng.normal(size=(n, d))
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"vec_id": ids,
+                  "embedding": pa.array(V.tolist(),
+                                        type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(5)
+    Q = rng.normal(size=(3, d))
+    qids = np.array([900, 901, 902], dtype=np.int64)
+
+    exact = cosine_topk(ds, "embedding", "vec_id", Q, qids,
+                        k=5).to_pandas()
+    approx = sq8_topk(ds, "embedding", "vec_id", Q, qids, k=5,
+                      rerank_factor=4).to_pandas()
+
+    ex = {q: set(g["vec_id"]) for q, g in exact.groupby("query_id")}
+    ap = {q: set(g["vec_id"]) for q, g in approx.groupby("query_id")}
+    recalls = [len(ex[q] & ap[q]) / 5 for q in ex]
+    assert np.mean(recalls) >= 0.9          # SQ8 + 4x rerank
+
+    # rerank_factor covering the corpus -> exactly brute force
+    full = sq8_topk(ds, "embedding", "vec_id", Q, qids, k=5,
+                    rerank_factor=n).to_pandas()
+    for q in ex:
+        assert set(full[full["query_id"] == q]["vec_id"]) == ex[q]
