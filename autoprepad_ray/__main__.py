@@ -84,6 +84,21 @@ def main(argv: list[str] | None = None) -> int:
                          "(--docs may be a dir or glob); re-running "
                          "skips completed shards")
 
+    cc = sub.add_parser(
+        "corpus-clean",
+        help="write the cleaned corpus: Gopher quality gate + "
+             "decontamination + global exact dedup, per-shard "
+             "checkpointed parquet output")
+    cc.add_argument("--docs", required=True,
+                    help="parquet file, dir, or glob of document shards")
+    cc.add_argument("--eval-docs", default=None,
+                    help="parquet of benchmark docs (n-gram source); "
+                         "default: the doc_id %% 97 == 0 slice of --docs")
+    cc.add_argument("--out", required=True, help="output directory")
+    cc.add_argument("--ngram", type=int, default=8)
+    cc.add_argument("--text-col", default="text")
+    cc.add_argument("--id-col", default="doc_id")
+
     args = p.parse_args(argv)
     _ensure_ray(args.num_cpus)
 
@@ -125,6 +140,18 @@ def main(argv: list[str] | None = None) -> int:
                        "distinct": round(s.distinct())}
                    for c, s in prof.columns.items()}
         print(json.dumps({"n_rows": prof.n_rows, "columns": summary}))
+    elif args.cmd == "corpus-clean":
+        from .pipelines.corpus import run_corpus_clean
+        manifest = run_corpus_clean(args.docs, args.out,
+                                    eval_docs=args.eval_docs,
+                                    ngram=args.ngram,
+                                    text_col=args.text_col,
+                                    id_col=args.id_col)
+        print(json.dumps({
+            "out": args.out, "ngram": args.ngram,
+            "shards": len(manifest["shards"]),
+            "ran": manifest["runs"][-1]["pending"],
+            "total_clean": manifest["runs"][-1]["total_clean"]}))
     elif args.cmd == "text-audit" and args.sharded:
         from .pipelines.corpus import run_text_audit
         manifest = run_text_audit(args.docs, args.out,

@@ -27,7 +27,9 @@ import json
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -191,6 +193,202 @@ def run_text_audit(docs_path: str, out_dir: str, *,
         "pending": pending, "eval_fp": eval_fp,
         "total_contaminated": int(sum(
             v["contaminated_docs"] for v in manifest["shards"].values())),
+    })
+    _atomic_write_json(manifest_path, manifest)
+    return manifest
+
+
+def _load_or_build_dup_losers(out_dir: str, files: list[str], *,
+                              text_col: str, id_col: str
+                              ) -> tuple[np.ndarray, str]:
+    """Global exact-dup loser ids (non-min-id members of identical-text
+    groups among Gopher-quality survivors — the assembly-funnel
+    semantics), cached by shard fingerprint so a resume skips both
+    global passes.  Census-prune shape: 64-bit text-hash counts fold
+    through the tree merge (dup-rare uniqueness regime), only
+    candidate-hash rows ship their md5, exact groups resolve
+    driver-side (a 64-bit collision only adds a candidate row)."""
+    import pickle
+
+    from ..functions.strings import md5_fingerprint
+    from ..sketches import hash64
+    from ..stages.text import gopher_keep_mask
+    from ..validators.near_dup import _pickled, _tree_counts
+
+    fp = _fingerprint(files) + "-dup1"
+    cache = os.path.join(out_dir, f"duplosers_{fp}.npy")
+    if os.path.exists(cache):
+        return np.load(cache), fp
+
+    ds = rd.read_parquet(files, columns=[id_col, text_col])
+
+    def census(t: pa.Table) -> pa.Table:
+        keep, _ = gopher_keep_mask(t[text_col])
+        texts = pd.Series(pc.fill_null(
+            t[text_col].combine_chunks() if isinstance(
+                t[text_col], pa.ChunkedArray) else t[text_col],
+            "").to_pandas())
+        vals, cnts = np.unique(hash64(texts[keep].to_numpy(dtype=object)),
+                               return_counts=True)
+        return _pickled((vals, cnts.astype(np.int64)))
+
+    vals, cnts = _tree_counts(
+        ds.map_batches(census, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    cand = np.sort(np.asarray(vals, dtype=np.uint64)[cnts >= 2])
+    losers = np.empty(0, dtype=np.int64)
+    if cand.size:
+        cand_ref = ray.put(cand)
+
+        def collect(t: pa.Table) -> pa.Table:
+            keep, _ = gopher_keep_mask(t[text_col])
+            texts = pd.Series(pc.fill_null(
+                t[text_col].combine_chunks() if isinstance(
+                    t[text_col], pa.ChunkedArray) else t[text_col],
+                "").to_pandas())
+            h = hash64(texts.to_numpy(dtype=object))
+            cb = ray.get(cand_ref)
+            pos = np.searchsorted(cb, h)
+            hit = keep & (pos < len(cb)) & (
+                cb[np.minimum(pos, len(cb) - 1)] == h)
+            return _pickled((
+                t[id_col].to_numpy(zero_copy_only=False)[hit],
+                md5_fingerprint(texts[hit]).to_numpy(dtype=object)))
+
+        rows = ds.map_batches(collect, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+        loaded = [pickle.loads(r["payload"]) for r in rows]
+        ids = np.concatenate([x[0] for x in loaded]).astype(np.int64)
+        fps = np.concatenate([x[1] for x in loaded])
+        order = np.lexsort((ids, fps))
+        fps_s, ids_s = fps[order], ids[order]
+        first = np.r_[True, fps_s[1:] != fps_s[:-1]]
+        losers = np.sort(ids_s[~first])
+    tmp = cache + ".tmp.npy"
+    np.save(tmp, losers)
+    os.replace(tmp, cache)
+    return losers, fp
+
+
+def run_corpus_clean(docs_path: str, out_dir: str, *,
+                     eval_docs: str | None = None, ngram: int = 8,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     max_parallel_shards: int = 4) -> dict:
+    """Resumable corpus CLEANER — the writer sibling of
+    :func:`run_text_audit`: Gopher quality gate + benchmark
+    decontamination + global exact dedup (min-id canonical), emitting
+    the SURVIVING documents as per-shard parquet
+    (``shards/shard=<name>/clean.parquet`` + ``clean.json`` lineage).
+
+    Same north-rule checkpoint design as the audit/image runners: the
+    output IS the checkpoint — a shard is complete iff its
+    ``clean.json`` exists under the CURRENT eval-set and dup-state
+    fingerprints; global state (eval grams, dup losers) caches beside
+    the manifest keyed by input fingerprints, so a resume re-reads
+    neither; shard outputs land atomically (tmp dir + rename).
+
+    Scale shape: both global artifacts are broadcast-bounded (eval
+    suites are MBs; dup losers are bounded by duplicate count, the
+    dup-rare uniqueness regime) and every per-shard pass is a pure
+    pruned-column map — shards clean independently, in parallel,
+    with no cross-shard exchange."""
+    from ..stages.text import (_flat_words, _gram_hashes,
+                               gopher_keep_mask)
+
+    os.makedirs(os.path.join(out_dir, "shards"), exist_ok=True)
+    shards = discover_shards(docs_path)
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    manifest = {"engine_version": __version__, "docs_path": docs_path,
+                "ngram": ngram, "shards": {}, "runs": []}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+
+    eval_files = sorted(discover_shards(eval_docs).values()) \
+        if eval_docs else sorted(shards.values())
+    evalgrams, eval_fp = _load_or_build_evalgrams(
+        out_dir, eval_files, text_col=text_col, id_col=id_col, n=ngram,
+        self_eval=eval_docs is None)
+    losers, dup_fp = _load_or_build_dup_losers(
+        out_dir, sorted(shards.values()), text_col=text_col,
+        id_col=id_col)
+    state_ref = ray.put((evalgrams, losers))
+
+    def _complete(name: str) -> bool:
+        entry = manifest["shards"].get(name)
+        if entry is None or entry.get("eval_fp") != eval_fp \
+                or entry.get("dup_fp") != dup_fp:
+            return False
+        return os.path.exists(os.path.join(
+            out_dir, "shards", f"shard={name}", "clean.json"))
+
+    pending = [s for s in sorted(shards) if not _complete(s)]
+
+    import shutil
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    mlock = threading.Lock()
+
+    def _clean_shard(name: str) -> None:
+        ds = rd.read_parquet(shards[name])
+
+        def filt(t: pa.Table) -> pa.Table:
+            evalg, rm = ray.get(state_ref)
+            keep, _ = gopher_keep_mask(t[text_col])
+            words, wc = _flat_words(t[text_col])
+            didx, grams, _ = _gram_hashes(words, wc, ngram)
+            if len(grams) and len(evalg):
+                pos = np.searchsorted(evalg, grams)
+                pos[pos == len(evalg)] = 0
+                hits = np.bincount(
+                    didx, weights=(evalg[pos] == grams).astype(
+                        np.float64), minlength=len(wc)).astype(np.int64)
+            else:
+                hits = np.zeros(len(wc), dtype=np.int64)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            if len(rm):
+                p2 = np.searchsorted(rm, ids)
+                p2[p2 == len(rm)] = 0
+                dup = rm[p2] == ids
+            else:
+                dup = np.zeros(len(ids), dtype=bool)
+            return t.filter(pa.array(keep & (hits == 0) & ~dup))
+
+        shard_dir = os.path.join(out_dir, "shards", f"shard={name}")
+        tmp_dir = shard_dir + ".tmp"
+        if os.path.exists(tmp_dir):
+            shutil.rmtree(tmp_dir)
+        os.makedirs(tmp_dir)
+        out = ds.map_batches(filt, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        out.write_parquet(os.path.join(tmp_dir, "clean.parquet"))
+        n_in = pq.read_metadata(shards[name]).num_rows
+        n_out = sum(
+            pq.read_metadata(f).num_rows for f in glob.glob(
+                os.path.join(tmp_dir, "clean.parquet", "*.parquet")))
+        verdict = {"n_docs": int(n_in), "n_clean": int(n_out),
+                   "eval_fp": eval_fp, "dup_fp": dup_fp,
+                   "ngram": ngram, "source": shards[name]}
+        _atomic_write_json(os.path.join(tmp_dir, "clean.json"), verdict)
+        if os.path.exists(shard_dir):
+            shutil.rmtree(shard_dir)
+        os.replace(tmp_dir, shard_dir)
+        with mlock:
+            manifest["shards"][name] = verdict
+            _atomic_write_json(manifest_path, manifest)
+
+    if pending:
+        from ..context import prime_fsspec_http_stub
+        prime_fsspec_http_stub()     # threaded reads race the lazy import
+        with ThreadPoolExecutor(max_workers=max(
+                1, min(max_parallel_shards, len(pending)))) as ex:
+            list(ex.map(_clean_shard, pending))
+
+    manifest["runs"].append({
+        "pending": pending, "eval_fp": eval_fp, "dup_fp": dup_fp,
+        "total_clean": int(sum(
+            v["n_clean"] for v in manifest["shards"].values())),
     })
     _atomic_write_json(manifest_path, manifest)
     return manifest

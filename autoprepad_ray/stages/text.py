@@ -533,6 +533,21 @@ def gopher_quality(ds, *, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_GOPHER_STOPS = pa.array(sorted({"the", "a", "of", "and", "to"}))
+
+
+def gopher_keep_mask(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(keep bool mask, word counts) under the DEFAULT Gopher rules of
+    :func:`gopher_quality` — the single shared gate the assembly funnel
+    and the corpus cleaner both ride, so the two can never drift."""
+    counts, sum_len, alpha_w, stop_h = _quality_parts(texts,
+                                                      _GOPHER_STOPS)
+    keep = ((counts >= 10) & (counts <= 100_000)
+            & (sum_len >= 3 * counts) & (sum_len <= 10 * counts)
+            & (10 * alpha_w >= 8 * counts) & (stop_h >= 2))
+    return keep, counts
+
+
 def unigram_logprob(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     """Per-document mean log-probability under the corpus's own unigram
     LM — the perplexity-style fluency score a CCNet/Gopher pipeline
@@ -1000,14 +1015,8 @@ def corpus_assembly_funnel(ds, *, id_col: str = "doc_id",
     from ..functions.strings import md5_fingerprint
     from ..validators.near_dup import _pickled, _merge_count_arrays
 
-    stop_arr = pa.array(sorted({"the", "a", "of", "and", "to"}))
-
     def _keep(t: pa.Table) -> np.ndarray:
-        counts, sum_len, alpha_w, stop_h = _quality_parts(
-            t[text_col], stop_arr)
-        return ((counts >= 10) & (counts <= 100_000)
-                & (sum_len >= 3 * counts) & (sum_len <= 10 * counts)
-                & (10 * alpha_w >= 8 * counts) & (stop_h >= 2)), counts
+        return gopher_keep_mask(t[text_col])
 
     def pass_a(t: pa.Table) -> pa.Table:
         keep, counts = _keep(t)

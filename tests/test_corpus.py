@@ -92,3 +92,71 @@ def test_explicit_eval_docs(corpus_dir, tmp_path, ray_session):
     ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     # only doc 1 (== the eval doc) is contaminated now
     assert list(shard0["contaminated"]) == [0, 1, 0, 0]
+
+
+def test_run_corpus_clean_oracle_and_resume(tmp_path, ray_session):
+    import glob as _glob
+
+    import pandas as pd
+
+    from autoprepad_ray.pipelines.corpus import run_corpus_clean
+
+    src = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    step = (len(src) + 2) // 3
+    for i in range(3):
+        pq.write_table(
+            pa.Table.from_pandas(src.iloc[i * step:(i + 1) * step],
+                                 preserve_index=False),
+            docs / f"part{i}.parquet")
+
+    out = tmp_path / "clean"
+    m = run_corpus_clean(str(docs), str(out))
+
+    got = pd.concat([
+        pd.read_parquet(f) for f in _glob.glob(
+            str(out / "shards" / "shard=*" / "clean.parquet" /
+                "*.parquet"))])
+    got_ids = np.sort(got["doc_id"].to_numpy())
+
+    # pure-pandas oracle of the three gates
+    w = src["text"].fillna("").str.split(" ")
+    nw = w.str.len().to_numpy()
+    sumlen = w.apply(lambda ws: sum(len(x) for x in ws)).to_numpy()
+    import re
+    alpha = w.apply(lambda ws: sum(bool(re.search("[A-Za-z]", x))
+                                   for x in ws)).to_numpy()
+    stops = w.apply(lambda ws: sum(x in {"the", "a", "of", "and", "to"}
+                                   for x in ws)).to_numpy()
+    quality = ((nw >= 10) & (nw <= 100_000)
+               & (sumlen >= 3 * nw) & (sumlen <= 10 * nw)
+               & (10 * alpha >= 8 * nw) & (stops >= 2))
+
+    def grams(ws):
+        return {tuple(ws[i:i + 8]) for i in range(len(ws) - 7)}
+
+    ev = set()
+    for ws in w[(src["doc_id"] % 97 == 0).to_numpy()]:
+        ev |= grams(ws)
+    contaminated = w.apply(lambda ws: bool(grams(ws) & ev)).to_numpy()
+
+    q = src[quality]
+    losers = set()
+    for _, g in q.groupby("text"):
+        ids = np.sort(g["doc_id"].to_numpy())
+        losers |= set(ids[1:].tolist())
+    want = src["doc_id"][
+        quality & ~contaminated
+        & ~src["doc_id"].isin(sorted(losers)).to_numpy()].to_numpy()
+    assert got_ids.tolist() == np.sort(want).tolist()
+    assert len(got_ids) < len(src)            # gates actually bind
+    assert set(got.columns) == set(src.columns)
+
+    # resume: nothing pending; deleting one shard re-runs exactly it
+    m2 = run_corpus_clean(str(docs), str(out))
+    assert m2["runs"][-1]["pending"] == []
+    shutil.rmtree(out / "shards" / "shard=part1")
+    m3 = run_corpus_clean(str(docs), str(out))
+    assert m3["runs"][-1]["pending"] == ["part1"]
+    assert m3["runs"][-1]["total_clean"] == m["runs"][-1]["total_clean"]
