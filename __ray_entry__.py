@@ -90,36 +90,53 @@ _R04_DRIVER_COVERED = frozenset({
     "hll_distinct_users_per_day",
 })
 
-# implementations that CHANGED in round 5 — re-verify them first even though
-# an earlier gate passed them (near-dup pair/cluster rework, aggregate-driven
-# experiment sweep, vectorized string/encoder kernels, new SQL oracles)
+# implementations that CHANGED in round 5 — re-verify them before the
+# already-green backlog even though an earlier gate passed them (near-dup
+# pair/cluster rework, aggregate-driven experiment sweep, vectorized
+# string/encoder kernels, new SQL oracles)
 _R05_CHANGED = frozenset({
     "phash_dedup_clusters_images", "phash_neardup_pairs",
     "simhash_neardup_docs", "video_frame_neardup_pairs",
     "image_validation_verdicts", "mixed_experiment_metrics",
     "bm25_docs", "label_centroids_embeddings", "text_quality_docs",
     "bit_patterns_partnames", "ordinal_encode_priority",
-    "preprocess_events_matrix", "langid_docs",
-    # session-5: census tree-merge batch-size / fold-shape changes
-    # touched these (percent_rank's change is mechanically identical to
-    # the other eight and yields its slot to the pricing_summary fold
-    # rework — the 50-slot gate covers exactly every new/changed entry)
+    "preprocess_events_matrix", "langid_docs", "pricing_summary",
+})
+
+# session-5 census tree-merge batch-size changes: mechanically identical
+# across these eight (one shared merge helper); they rank BEHIND the
+# distinct-implementation changes above, so when the round's new queries
+# overflow the 50-slot gate it is these interchangeable entries that
+# yield slots, never a never-verified query.
+_R05_CHANGED_MECH = frozenset({
     "tumbling_window_counts", "group_quantiles_events",
     "vocab_top_terms_docs", "top_term_per_doc",
     "rollup_pricing_levels", "hopping_window_counts",
     "group_distinct_users_events", "cube_pricing_levels",
-    "pricing_summary",
 })
 
-_DRIVER_COVERED = (_R03_DRIVER_COVERED | _R04_DRIVER_COVERED) - _R05_CHANGED
+_EVER_GREEN = _R03_DRIVER_COVERED | _R04_DRIVER_COVERED
 
 
 def _ordered_registry():
+    """Gate-priority order: (0) queries no driver gate has ever
+    verified, (1) substantive round-5 changes, (2) the mechanically-
+    identical census-merge family, (3) the green backlog — each tier in
+    registry order.  The driver checks the first 50."""
     from autoprepad_ray.pipelines.queries import REGISTRY
 
-    fresh = {n: q for n, q in REGISTRY.items() if n not in _DRIVER_COVERED}
-    seen = {n: q for n, q in REGISTRY.items() if n in _DRIVER_COVERED}
-    return {**fresh, **seen}
+    def tier(n: str) -> int:
+        if n not in _EVER_GREEN:
+            return 0
+        if n in _R05_CHANGED:
+            return 1
+        if n in _R05_CHANGED_MECH:
+            return 2
+        return 3
+
+    names = sorted(REGISTRY, key=lambda n:
+                   (tier(n), list(REGISTRY).index(n)))
+    return {n: REGISTRY[n] for n in names}
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
