@@ -4,6 +4,7 @@ Python DP, unicode fallback, blocking completeness, the pair cap."""
 import numpy as np
 import pyarrow as pa
 import pytest
+import ray
 import ray.data as rd
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -52,4 +53,11 @@ def test_block_pair_cap_raises(ray_session):
         blocked_editdist_pairs(ds, "p_name", block_pair_cap=10)
 
 
-import ray  # noqa: E402  (used by the cap test's exception type)
+
+def test_null_names_tolerated(ray_session):
+    t = pa.table({"p_name": pa.array(["hot gear", None, "big gear"],
+                                     pa.string())})
+    ds = rd.from_arrow(t).repartition(2)
+    out = blocked_editdist_pairs(ds, "p_name", max_dist=3).to_pandas()
+    assert ("big gear", "hot gear") in set(
+        map(tuple, out[["name_a", "name_b"]].values))
