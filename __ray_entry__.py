@@ -134,8 +134,8 @@ def _ordered_registry():
             return 2
         return 3
 
-    names = sorted(REGISTRY, key=lambda n:
-                   (tier(n), list(REGISTRY).index(n)))
+    # sorted() is stable, so ties keep registry (insertion) order
+    names = sorted(REGISTRY, key=tier)
     return {n: REGISTRY[n] for n in names}
 
 

@@ -1926,6 +1926,34 @@ def tumbling_window_counts(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _value_census(ds, group_col: str, value_col: str) -> pd.DataFrame:
+    """(group, value, cnt) exact census — per-block Arrow group_by
+    partials (bounded by the data's decimal grain, not row count), a
+    64k-row tree-merge level (the census-merge batch-size lesson: 32
+    would shred census streams), and a driver re-group.  The shared
+    fold under group_quantiles_events and winsorize_events_value."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({group_col: t[group_col],
+                      value_col: t[value_col],
+                      "cnt": pa.array(np.ones(t.num_rows, np.int64))}) \
+            .group_by([group_col, value_col]).aggregate([("cnt", "sum")])
+        return pa.table({group_col: g[group_col],
+                         value_col: g[value_col], "cnt": g["cnt_sum"]})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by([group_col, value_col]).aggregate([("cnt", "sum")])
+        return pa.table({group_col: g[group_col],
+                         value_col: g[value_col], "cnt": g["cnt_sum"]})
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(merge, batch_size=65536, batch_format="pyarrow")
+            ).take_all()
+    return (pd.DataFrame(rows)
+            .groupby([group_col, value_col], as_index=False)["cnt"].sum())
+
+
 @query("group_quantiles_events", sql="""
 SELECT event_type,
        ROUND(quantile_cont(value, 0.5), 6) AS p50,
@@ -1941,26 +1969,8 @@ def group_quantiles_events(sf_dir: str):
     parity path).  r6 rounding on both sides per the float header."""
     from ..sketches import ValueCounts
 
-    def partial(t: pa.Table) -> pa.Table:
-        g = pa.table({"event_type": t["event_type"],
-                      "value": t["value"],
-                      "cnt": pa.array(np.ones(t.num_rows, np.int64))}) \
-            .group_by(["event_type", "value"]).aggregate([("cnt", "sum")])
-        return pa.table({"event_type": g["event_type"],
-                         "value": g["value"], "cnt": g["cnt_sum"]})
-
-    def merge(t: pa.Table) -> pa.Table:
-        g = t.group_by(["event_type", "value"]).aggregate([("cnt", "sum")])
-        return pa.table({"event_type": g["event_type"],
-                         "value": g["value"], "cnt": g["cnt_sum"]})
-
-    rows = (_t(sf_dir, "events", ["event_type", "value"])
-            .map_batches(partial, batch_format="pyarrow",
-                         zero_copy_batch=True)
-            .map_batches(merge, batch_size=65536, batch_format="pyarrow")
-            ).take_all()
-    df = (pd.DataFrame(rows)
-          .groupby(["event_type", "value"], as_index=False)["cnt"].sum())
+    df = _value_census(_t(sf_dir, "events", ["event_type", "value"]),
+                       "event_type", "value")
     out = []
     for et, grp in df.groupby("event_type"):
         vc = ValueCounts.from_items(grp["value"].to_numpy(),
@@ -4489,27 +4499,8 @@ def winsorize_events_value(sf_dir: str):
     with ROUND(,2) absorbing the product-vs-sequential fold residue
     on 2-decimal data (the pricing_summary rule).  NO second pass
     over events."""
-
-    def partial(t: pa.Table) -> pa.Table:
-        g = pa.table({"event_type": t["event_type"],
-                      "value": t["value"],
-                      "cnt": pa.array(np.ones(t.num_rows, np.int64))}) \
-            .group_by(["event_type", "value"]).aggregate([("cnt", "sum")])
-        return pa.table({"event_type": g["event_type"],
-                         "value": g["value"], "cnt": g["cnt_sum"]})
-
-    def merge(t: pa.Table) -> pa.Table:
-        g = t.group_by(["event_type", "value"]).aggregate([("cnt", "sum")])
-        return pa.table({"event_type": g["event_type"],
-                         "value": g["value"], "cnt": g["cnt_sum"]})
-
-    rows = (_t(sf_dir, "events", ["event_type", "value"])
-            .map_batches(partial, batch_format="pyarrow",
-                         zero_copy_batch=True)
-            .map_batches(merge, batch_size=65536, batch_format="pyarrow")
-            ).take_all()
-    df = (pd.DataFrame(rows)
-          .groupby(["event_type", "value"], as_index=False)["cnt"].sum())
+    df = _value_census(_t(sf_dir, "events", ["event_type", "value"]),
+                       "event_type", "value")
     out = []
     for et, grp in df.groupby("event_type"):
         grp = grp.sort_values("value")

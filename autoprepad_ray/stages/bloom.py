@@ -23,6 +23,13 @@ O(blocks/32) survivors.  Probe shape: the (bits, m, k) tuple rides the
 object store once via ``ray.put``; each probe block tests all k
 positions vectorized (word-index gather + bit masks), no Python loop
 over rows.
+
+Null semantics match SQL ``IN``: a NULL key is never a member — build
+drops nulls, probe reports them non-member.  Integer keys always hash
+as int64 regardless of the width (or nullability) of the source column
+(pandas' hash is dtype-sensitive — the repo hash-dtype lesson — so an
+int32 probe must hash like the int64 build, and a nullable int column
+must not silently hash as float64).
 """
 
 from __future__ import annotations
@@ -35,6 +42,22 @@ import pyarrow as pa
 from ..sketches import hash64, splitmix64
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _arrow_keys(arr) -> tuple[np.ndarray, np.ndarray | None]:
+    """Arrow array/ChunkedArray -> (numpy keys with nulls removed,
+    valid bool mask or None if no nulls).  Integer columns come back
+    int64 even when nullable (to_numpy on a nullable int column would
+    yield float64 + NaN — which hashes differently and would break the
+    no-false-negative contract)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    valid = None
+    if arr.null_count:
+        valid = np.asarray(arr.is_valid())
+        arr = arr.drop_null()
+    keys = arr.to_numpy(zero_copy_only=False)
+    return keys, valid
 
 
 def _positions(keys, m_bits: int, k: int) -> np.ndarray:
@@ -67,73 +90,32 @@ def _test_bits(words: np.ndarray, pos: np.ndarray) -> np.ndarray:
     return hit.all(axis=1)
 
 
-def build_bloom(ds, col: str, *, m_bits: int, k: int = 7) -> dict:
-    """One-pass distributed build over ``ds[col]``; returns
-    ``{"bits": uint64 words, "m": m_bits, "k": k}`` ready for
-    ``ray.put``.  Size ``m_bits`` ~ 12 bits per expected distinct key
-    for ~1% FP at k=7."""
+def _build(ds, col: str, m_bits: int, k: int, with_keys: bool):
+    """Shared build pass: each block's payload carries its private
+    bitmap (+ its unique keys when ``with_keys``); the merge ORs /
+    uniques respectively, the driver folds the survivors."""
     n_words = (m_bits + 63) // 64
 
     def part(t: pa.Table) -> pa.Table:
         words = np.zeros(n_words, dtype=np.uint64)
-        keys = t[col].to_numpy(zero_copy_only=False)
+        keys, _ = _arrow_keys(t[col])
         if len(keys):
             _set_bits(words, _positions(keys, m_bits, k))
-        return pa.table({"payload": pa.array([pickle.dumps(words)],
+        payload = (words, np.unique(keys)) if with_keys else (words,)
+        return pa.table({"payload": pa.array([pickle.dumps(payload)],
                                              type=pa.large_binary())})
 
     def merge(t: pa.Table) -> pa.Table:
         parts = [pickle.loads(p) for p in t["payload"].to_pylist()]
         if not parts:
-            return pa.table({"payload": pa.array([],
-                                                 type=pa.large_binary())})
-        acc = parts[0].copy()
-        for p in parts[1:]:
-            np.bitwise_or(acc, p, out=acc)
-        return pa.table({"payload": pa.array([pickle.dumps(acc)],
-                                             type=pa.large_binary())})
-
-    rows = (ds.map_batches(part, batch_format="pyarrow",
-                           zero_copy_batch=True)
-              .map_batches(merge, batch_size=32, batch_format="pyarrow")
-              .take_all())
-    acc = np.zeros(n_words, dtype=np.uint64)
-    for r in rows:
-        np.bitwise_or(acc, pickle.loads(r["payload"]), out=acc)
-    return {"bits": acc, "m": m_bits, "k": k}
-
-
-def build_bloom_with_keys(ds, col: str, *, m_bits: int, k: int = 7
-                          ) -> tuple[dict, np.ndarray]:
-    """ONE pass over the key stream producing BOTH the Bloom bitmap
-    and the exact sorted distinct-key array (each block's payload
-    carries its private bitmap + its unique keys; the merge ORs /
-    uniques respectively).  The query shape at test scale: bloom
-    prefilter + exact-broadcast verify without executing the build
-    side twice.  At true 100-TB scale the exact half is dropped
-    (keys won't fit) and the verify becomes a bucketed join on the
-    bloom survivors."""
-    n_words = (m_bits + 63) // 64
-
-    def part(t: pa.Table) -> pa.Table:
-        words = np.zeros(n_words, dtype=np.uint64)
-        keys = t[col].to_numpy(zero_copy_only=False)
-        if len(keys):
-            _set_bits(words, _positions(keys, m_bits, k))
-        return pa.table({"payload": pa.array(
-            [pickle.dumps((words, np.unique(keys)))],
-            type=pa.large_binary())})
-
-    def merge(t: pa.Table) -> pa.Table:
-        parts = [pickle.loads(p) for p in t["payload"].to_pylist()]
-        if not parts:
-            return pa.table({"payload": pa.array([],
-                                                 type=pa.large_binary())})
+            return pa.table({"payload": pa.array(
+                [], type=pa.large_binary())})
         acc = parts[0][0].copy()
-        for w, _ in parts[1:]:
-            np.bitwise_or(acc, w, out=acc)
-        keys = np.unique(np.concatenate([p[1] for p in parts]))
-        return pa.table({"payload": pa.array([pickle.dumps((acc, keys))],
+        for p in parts[1:]:
+            np.bitwise_or(acc, p[0], out=acc)
+        out = (acc, np.unique(np.concatenate([p[1] for p in parts]))) \
+            if with_keys else (acc,)
+        return pa.table({"payload": pa.array([pickle.dumps(out)],
                                              type=pa.large_binary())})
 
     rows = (ds.map_batches(part, batch_format="pyarrow",
@@ -143,18 +125,53 @@ def build_bloom_with_keys(ds, col: str, *, m_bits: int, k: int = 7
     acc = np.zeros(n_words, dtype=np.uint64)
     key_parts = []
     for r in rows:
-        w, u = pickle.loads(r["payload"])
-        np.bitwise_or(acc, w, out=acc)
-        key_parts.append(u)
+        p = pickle.loads(r["payload"])
+        np.bitwise_or(acc, p[0], out=acc)
+        if with_keys:
+            key_parts.append(p[1])
+    bloom = {"bits": acc, "m": m_bits, "k": k}
+    if not with_keys:
+        return bloom
     keys = np.unique(np.concatenate(key_parts)) if key_parts else \
         np.empty(0, dtype=np.int64)
-    return {"bits": acc, "m": m_bits, "k": k}, keys
+    return bloom, keys
+
+
+def build_bloom(ds, col: str, *, m_bits: int, k: int = 7) -> dict:
+    """One-pass distributed build over ``ds[col]``; returns
+    ``{"bits": uint64 words, "m": m_bits, "k": k}`` ready for
+    ``ray.put``.  Size ``m_bits`` ~ 12 bits per expected distinct key
+    for ~1% FP at k=7."""
+    return _build(ds, col, m_bits, k, with_keys=False)
+
+
+def build_bloom_with_keys(ds, col: str, *, m_bits: int, k: int = 7
+                          ) -> tuple[dict, np.ndarray]:
+    """ONE pass producing BOTH the Bloom bitmap and the exact sorted
+    distinct-key array — the query shape at test scale: bloom
+    prefilter + exact-broadcast verify without executing the build
+    side twice.  At true 100-TB scale the exact half is dropped (keys
+    won't fit) and the verify becomes a bucketed join on the bloom
+    survivors."""
+    return _build(ds, col, m_bits, k, with_keys=True)
 
 
 def probe_bloom(values, bloom: dict) -> np.ndarray:
-    """Vectorized membership test — boolean mask, no false negatives."""
-    values = np.asarray(values) if not isinstance(values, np.ndarray) \
-        else values
+    """Vectorized membership test — boolean mask aligned with the
+    input, no false negatives.  Accepts numpy arrays or Arrow
+    arrays/ChunkedArrays; Arrow nulls report non-member (and a
+    nullable int column keeps hashing as int64, never float64)."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        keys, valid = _arrow_keys(values)
+        hit = np.zeros(len(keys), dtype=bool) if not len(keys) else \
+            _test_bits(bloom["bits"],
+                       _positions(keys, bloom["m"], bloom["k"]))
+        if valid is None:
+            return hit
+        out = np.zeros(len(valid), dtype=bool)
+        out[valid] = hit
+        return out
+    values = np.asarray(values)
     if not len(values):
         return np.zeros(0, dtype=bool)
     return _test_bits(bloom["bits"],

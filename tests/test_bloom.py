@@ -47,3 +47,17 @@ def test_empty_build_probe():
     assert len(uniq) == 0
     assert not probe_bloom(np.array([1, 2, 3]), bloom).any()
     assert probe_bloom(np.empty(0, dtype=np.int64), bloom).shape == (0,)
+
+
+def test_nullable_int_column_no_false_negatives():
+    # a nullable int column must not silently hash as float64
+    keys = pa.array([1, None, 3, 5, None, 7], type=pa.int64())
+    ds = rd.from_arrow(pa.table({"k": keys})).repartition(2)
+    bloom, uniq = build_bloom_with_keys(ds, "k", m_bits=1 << 12)
+    assert uniq.tolist() == [1, 3, 5, 7]
+    assert probe_bloom(np.array([1, 3, 5, 7], dtype=np.int64),
+                       bloom).all()
+    # Arrow probe: nulls report non-member, alignment preserved
+    got = probe_bloom(pa.array([None, 1, 99999, 7], type=pa.int64()),
+                      bloom)
+    assert got[0] == False and got[1] and got[3]  # noqa: E712
