@@ -100,6 +100,72 @@ def _load_or_build_evalgrams(out_dir: str, eval_files: list[str], *,
     return merged, fp
 
 
+def _run_sharded(out_dir: str, shards: dict[str, str], fps: dict,
+                 per_shard, manifest_seed: dict, *,
+                 checkpoint_file: str,
+                 max_parallel_shards: int = 4):
+    """Shared resumable-runner scaffold for the audit and the cleaner
+    (one copy of the invariants: output-is-the-checkpoint completeness,
+    fingerprint staleness, tmp-dir atomic shard writes, the locked
+    manifest update, bounded driver-thread parallelism).
+
+    ``fps`` are the fingerprint fields a shard's manifest entry must
+    match to count as complete; ``per_shard(name, tmp_dir) -> dict``
+    writes the shard's outputs into ``tmp_dir`` and returns its verdict
+    (``fps`` are merged in).  Returns (manifest, pending)."""
+    import shutil
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    os.makedirs(os.path.join(out_dir, "shards"), exist_ok=True)
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    manifest = dict(manifest_seed)
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+
+    def _complete(name: str) -> bool:
+        entry = manifest["shards"].get(name)
+        if entry is None or any(entry.get(k) != v
+                                for k, v in fps.items()):
+            return False
+        return os.path.exists(os.path.join(
+            out_dir, "shards", f"shard={name}", checkpoint_file))
+
+    pending = [s for s in sorted(shards) if not _complete(s)]
+    mlock = threading.Lock()
+
+    def _one(name: str) -> None:
+        shard_dir = os.path.join(out_dir, "shards", f"shard={name}")
+        tmp_dir = shard_dir + ".tmp"
+        if os.path.exists(tmp_dir):
+            shutil.rmtree(tmp_dir)
+        os.makedirs(tmp_dir)
+        verdict = {**per_shard(name, tmp_dir), **fps}
+        _atomic_write_json(os.path.join(tmp_dir, checkpoint_file),
+                           verdict)
+        if os.path.exists(shard_dir):
+            shutil.rmtree(shard_dir)
+        os.replace(tmp_dir, shard_dir)
+        with mlock:
+            manifest["shards"][name] = verdict
+            _atomic_write_json(manifest_path, manifest)
+
+    if pending:
+        from ..context import prime_fsspec_http_stub
+        prime_fsspec_http_stub()     # threaded reads race the lazy import
+        with ThreadPoolExecutor(max_workers=max(
+                1, min(max_parallel_shards, len(pending)))) as ex:
+            list(ex.map(_one, pending))
+    return manifest, pending
+
+
+def _finish_run(manifest: dict, out_dir: str, run_entry: dict) -> dict:
+    manifest["runs"].append(run_entry)
+    _atomic_write_json(os.path.join(out_dir, "manifest.json"), manifest)
+    return manifest
+
+
 def run_text_audit(docs_path: str, out_dir: str, *,
                    eval_docs: str | None = None, ngram: int = 8,
                    text_col: str = "text", id_col: str = "doc_id",
@@ -119,15 +185,8 @@ def run_text_audit(docs_path: str, out_dir: str, *,
     replace)."""
     from ..stages.text import decontaminate, word_repetition
 
-    os.makedirs(os.path.join(out_dir, "shards"), exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)   # global-state caches land here
     shards = discover_shards(docs_path)
-    manifest_path = os.path.join(out_dir, "manifest.json")
-    manifest = {"engine_version": __version__, "docs_path": docs_path,
-                "ngram": ngram, "shards": {}, "runs": []}
-    if os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            manifest = json.load(f)
-
     eval_files = sorted(discover_shards(eval_docs).values()) \
         if eval_docs else sorted(shards.values())
     evalgrams, eval_fp = _load_or_build_evalgrams(
@@ -135,22 +194,7 @@ def run_text_audit(docs_path: str, out_dir: str, *,
         self_eval=eval_docs is None)
     eval_ref = ray.put(evalgrams)
 
-    def _complete(name: str) -> bool:
-        entry = manifest["shards"].get(name)
-        if entry is None or entry.get("eval_fp") != eval_fp:
-            return False
-        return os.path.exists(os.path.join(
-            out_dir, "shards", f"shard={name}", "audit.json"))
-
-    pending = [s for s in sorted(shards) if not _complete(s)]
-
-    import shutil
-    import threading
-    from concurrent.futures import ThreadPoolExecutor
-
-    mlock = threading.Lock()
-
-    def _audit_shard(name: str) -> None:
+    def _audit_shard(name: str, tmp_dir: str) -> dict:
         ds = rd.read_parquet(shards[name], columns=[id_col, text_col])
         dec = decontaminate(ds, eval_ref, text_col=text_col,
                             id_col=id_col, n=ngram).to_pandas()
@@ -159,43 +203,27 @@ def run_text_audit(docs_path: str, out_dir: str, *,
         audit = rep.merge(dec, on=id_col, how="left")
         for c in ("n_grams", "n_hits", "contaminated"):
             audit[c] = audit[c].fillna(0).astype(np.int64)
-
-        shard_dir = os.path.join(out_dir, "shards", f"shard={name}")
-        tmp_dir = shard_dir + ".tmp"
-        if os.path.exists(tmp_dir):
-            shutil.rmtree(tmp_dir)
-        os.makedirs(tmp_dir)
         pq.write_table(pa.Table.from_pandas(audit, preserve_index=False),
                        os.path.join(tmp_dir, "audit.parquet"))
-        verdict = {
+        return {
             "n_docs": int(len(audit)),
             "contaminated_docs": int(audit["contaminated"].sum()),
             "max_dup_ratio": float(audit["dup_ratio"].max())
             if len(audit) else 0.0,
-            "eval_fp": eval_fp, "ngram": ngram, "source": shards[name],
+            "ngram": ngram, "source": shards[name],
         }
-        _atomic_write_json(os.path.join(tmp_dir, "audit.json"), verdict)
-        if os.path.exists(shard_dir):
-            shutil.rmtree(shard_dir)
-        os.replace(tmp_dir, shard_dir)
-        with mlock:
-            manifest["shards"][name] = verdict
-            _atomic_write_json(manifest_path, manifest)
 
-    if pending:
-        from ..context import prime_fsspec_http_stub
-        prime_fsspec_http_stub()     # threaded reads race the lazy import
-        with ThreadPoolExecutor(max_workers=max(
-                1, min(max_parallel_shards, len(pending)))) as ex:
-            list(ex.map(_audit_shard, pending))
-
-    manifest["runs"].append({
+    manifest, pending = _run_sharded(
+        out_dir, shards, {"eval_fp": eval_fp}, _audit_shard,
+        {"engine_version": __version__, "docs_path": docs_path,
+         "ngram": ngram, "shards": {}, "runs": []},
+        checkpoint_file="audit.json",
+        max_parallel_shards=max_parallel_shards)
+    return _finish_run(manifest, out_dir, {
         "pending": pending, "eval_fp": eval_fp,
         "total_contaminated": int(sum(
             v["contaminated_docs"] for v in manifest["shards"].values())),
     })
-    _atomic_write_json(manifest_path, manifest)
-    return manifest
 
 
 def _load_or_build_dup_losers(out_dir: str, files: list[str], *,
@@ -292,18 +320,10 @@ def run_corpus_clean(docs_path: str, out_dir: str, *,
     dup-rare uniqueness regime) and every per-shard pass is a pure
     pruned-column map — shards clean independently, in parallel,
     with no cross-shard exchange."""
-    from ..stages.text import (_flat_words, _gram_hashes,
-                               gopher_keep_mask)
+    from ..stages.text import _gram_hashes, gopher_keep_from
 
-    os.makedirs(os.path.join(out_dir, "shards"), exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)   # global-state caches land here
     shards = discover_shards(docs_path)
-    manifest_path = os.path.join(out_dir, "manifest.json")
-    manifest = {"engine_version": __version__, "docs_path": docs_path,
-                "ngram": ngram, "shards": {}, "runs": []}
-    if os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            manifest = json.load(f)
-
     eval_files = sorted(discover_shards(eval_docs).values()) \
         if eval_docs else sorted(shards.values())
     evalgrams, eval_fp = _load_or_build_evalgrams(
@@ -314,29 +334,21 @@ def run_corpus_clean(docs_path: str, out_dir: str, *,
         id_col=id_col)
     state_ref = ray.put((evalgrams, losers))
 
-    def _complete(name: str) -> bool:
-        entry = manifest["shards"].get(name)
-        if entry is None or entry.get("eval_fp") != eval_fp \
-                or entry.get("dup_fp") != dup_fp:
-            return False
-        return os.path.exists(os.path.join(
-            out_dir, "shards", f"shard={name}", "clean.json"))
-
-    pending = [s for s in sorted(shards) if not _complete(s)]
-
-    import shutil
-    import threading
-    from concurrent.futures import ThreadPoolExecutor
-
-    mlock = threading.Lock()
-
-    def _clean_shard(name: str) -> None:
+    def _clean_shard(name: str, tmp_dir: str) -> dict:
         ds = rd.read_parquet(shards[name])
 
         def filt(t: pa.Table) -> pa.Table:
             evalg, rm = ray.get(state_ref)
-            keep, _ = gopher_keep_mask(t[text_col])
-            words, wc = _flat_words(t[text_col])
+            # ONE Arrow split per batch feeds both the quality gate
+            # and the gram pass (the split IS the stage's hot kernel)
+            texts = t[text_col]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            la = pc.split_pattern(pc.fill_null(texts, ""), pattern=" ")
+            wc = np.diff(la.offsets.to_numpy(zero_copy_only=False)
+                         .astype(np.int64))
+            keep, _ = gopher_keep_from(la.values, wc)
+            words = la.values.to_numpy(zero_copy_only=False)
             didx, grams, _ = _gram_hashes(words, wc, ngram)
             if len(grams) and len(evalg):
                 pos = np.searchsorted(evalg, grams)
@@ -355,11 +367,6 @@ def run_corpus_clean(docs_path: str, out_dir: str, *,
                 dup = np.zeros(len(ids), dtype=bool)
             return t.filter(pa.array(keep & (hits == 0) & ~dup))
 
-        shard_dir = os.path.join(out_dir, "shards", f"shard={name}")
-        tmp_dir = shard_dir + ".tmp"
-        if os.path.exists(tmp_dir):
-            shutil.rmtree(tmp_dir)
-        os.makedirs(tmp_dir)
         out = ds.map_batches(filt, batch_format="pyarrow",
                              zero_copy_batch=True)
         out.write_parquet(os.path.join(tmp_dir, "clean.parquet"))
@@ -367,28 +374,18 @@ def run_corpus_clean(docs_path: str, out_dir: str, *,
         n_out = sum(
             pq.read_metadata(f).num_rows for f in glob.glob(
                 os.path.join(tmp_dir, "clean.parquet", "*.parquet")))
-        verdict = {"n_docs": int(n_in), "n_clean": int(n_out),
-                   "eval_fp": eval_fp, "dup_fp": dup_fp,
-                   "ngram": ngram, "source": shards[name]}
-        _atomic_write_json(os.path.join(tmp_dir, "clean.json"), verdict)
-        if os.path.exists(shard_dir):
-            shutil.rmtree(shard_dir)
-        os.replace(tmp_dir, shard_dir)
-        with mlock:
-            manifest["shards"][name] = verdict
-            _atomic_write_json(manifest_path, manifest)
+        return {"n_docs": int(n_in), "n_clean": int(n_out),
+                "ngram": ngram, "source": shards[name]}
 
-    if pending:
-        from ..context import prime_fsspec_http_stub
-        prime_fsspec_http_stub()     # threaded reads race the lazy import
-        with ThreadPoolExecutor(max_workers=max(
-                1, min(max_parallel_shards, len(pending)))) as ex:
-            list(ex.map(_clean_shard, pending))
-
-    manifest["runs"].append({
+    manifest, pending = _run_sharded(
+        out_dir, shards, {"eval_fp": eval_fp, "dup_fp": dup_fp},
+        _clean_shard,
+        {"engine_version": __version__, "docs_path": docs_path,
+         "ngram": ngram, "shards": {}, "runs": []},
+        checkpoint_file="clean.json",
+        max_parallel_shards=max_parallel_shards)
+    return _finish_run(manifest, out_dir, {
         "pending": pending, "eval_fp": eval_fp, "dup_fp": dup_fp,
         "total_clean": int(sum(
             v["n_clean"] for v in manifest["shards"].values())),
     })
-    _atomic_write_json(manifest_path, manifest)
-    return manifest

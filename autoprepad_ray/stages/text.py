@@ -458,6 +458,14 @@ def _quality_parts(texts, stop_arr: pa.Array):
     vals = la.values
     counts = np.diff(la.offsets.to_numpy(zero_copy_only=False)
                      .astype(np.int64))
+    return _quality_parts_from(vals, counts, stop_arr)
+
+
+def _quality_parts_from(vals: pa.Array, counts: np.ndarray,
+                        stop_arr: pa.Array):
+    """:func:`_quality_parts` on an ALREADY-split word stream — for
+    callers (the corpus cleaner) that need both the quality gate and
+    the gram pass off ONE Arrow split per batch."""
     n = len(counts)
     doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
     wl = pc.utf8_length(vals).to_numpy(zero_copy_only=False)
@@ -540,8 +548,17 @@ def gopher_keep_mask(texts) -> tuple[np.ndarray, np.ndarray]:
     """(keep bool mask, word counts) under the DEFAULT Gopher rules of
     :func:`gopher_quality` — the single shared gate the assembly funnel
     and the corpus cleaner both ride, so the two can never drift."""
-    counts, sum_len, alpha_w, stop_h = _quality_parts(texts,
-                                                      _GOPHER_STOPS)
+    return _gopher_rules(*_quality_parts(texts, _GOPHER_STOPS))
+
+
+def gopher_keep_from(vals: pa.Array, counts: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """:func:`gopher_keep_mask` on an already-split word stream."""
+    return _gopher_rules(*_quality_parts_from(vals, counts,
+                                              _GOPHER_STOPS))
+
+
+def _gopher_rules(counts, sum_len, alpha_w, stop_h):
     keep = ((counts >= 10) & (counts <= 100_000)
             & (sum_len >= 3 * counts) & (sum_len <= 10 * counts)
             & (10 * alpha_w >= 8 * counts) & (stop_h >= 2))
