@@ -38,6 +38,25 @@ def read_table(path: str, columns: list[str] | None = None, **kwargs):
     if stripped.endswith((".json", ".jsonl")):
         ds = rd.read_json(path, **kwargs)
         return ds.select_columns(columns) if columns else ds
+    if stripped.endswith((".feather", ".arrow")):
+        # Arrow IPC shards: no native Ray reader — fan one task out per
+        # file (shard-parallel; the format is already columnar, so the
+        # task is a zero-parse mmap + optional column prune)
+        import glob as _glob
+
+        import pyarrow as pa
+
+        files = sorted(_glob.glob(path)) if any(
+            ch in path for ch in "*?[") else [path]
+
+        def _load(t: "pa.Table") -> "pa.Table":
+            import pyarrow.feather as feather
+            tabs = [feather.read_table(p, columns=columns)
+                    for p in t["path"].to_pylist()]
+            return pa.concat_tables(tabs)
+
+        return rd.from_items([{"path": f} for f in files]).map_batches(
+            _load, batch_size=1, batch_format="pyarrow")
     if stripped.endswith(".txt"):
         # line-per-row corpus shards (the rawest LLM-corpus input);
         # one column named "text"

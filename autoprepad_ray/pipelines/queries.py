@@ -4627,3 +4627,81 @@ def sq8_topk_embeddings(sf_dir: str):
                    rerank_factor=4).to_pandas()
     out["cos"] = np.round(out["cos"].astype(float), 6)
     return out
+
+
+@query("feather_roundtrip_supplier", sql="""
+SELECT s_suppkey, s_name, s_nationkey FROM supplier""")
+def feather_roundtrip_supplier(sf_dir: str):
+    """Arrow IPC (feather) source: the supplier table is exported once
+    per sf (cached under /tmp) and read back through io.read_table's
+    IPC path — one task per shard file, zero-parse columnar mmap with
+    column pruning.  Types survive IPC exactly, so parity needs no
+    casts (unlike the CSV path's int re-cast)."""
+    import os
+
+    from .. import io as aio
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    cache_dir = "/tmp/autoprepad_feather"
+    os.makedirs(cache_dir, exist_ok=True)
+    path = f"{cache_dir}/supplier_{tag}.feather"
+    if not os.path.exists(path):
+        import pyarrow.feather as feather
+        import pyarrow.parquet as pq
+        t = pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name", "s_nationkey"])
+        tmp = path + ".tmp"
+        feather.write_feather(t, tmp)
+        os.replace(tmp, path)
+    return aio.read_table(path,
+                          columns=["s_suppkey", "s_name", "s_nationkey"])
+
+
+@query("psi_daily_event_type", sql="""
+WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+dc AS (SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS n
+       FROM e GROUP BY 1, 2),
+cats AS (SELECT DISTINCT event_type FROM events),
+days AS (SELECT DISTINCT day FROM e),
+grid AS (SELECT d.day, c.event_type, COALESCE(dc.n, 0) AS nd
+         FROM days d CROSS JOIN cats c
+         LEFT JOIN dc ON dc.day = d.day AND dc.event_type = c.event_type),
+g AS (SELECT event_type, CAST(SUM(nd) AS BIGINT) AS ng
+      FROM grid GROUP BY 1),
+tot AS (SELECT SUM(ng) AS tg, COUNT(*) AS nb FROM g),
+dt AS (SELECT day, SUM(nd) AS td FROM grid GROUP BY 1)
+SELECT grid.day,
+       ROUND(SUM(((nd + 0.5) / (td + 0.5 * nb)
+                  - (ng + 0.5) / (tg + 0.5 * nb))
+             * LN(((nd + 0.5) / (td + 0.5 * nb))
+                  / ((ng + 0.5) / (tg + 0.5 * nb)))), 6) AS psi
+FROM grid JOIN g USING (event_type) JOIN dt USING (day), tot
+GROUP BY grid.day""")
+def psi_daily_event_type(sf_dir: str):
+    """Daily drift monitor: PSI of each day's event_type mix against
+    the whole-horizon distribution — the per-window drift series a
+    streaming pipeline alerts on (the two-half psi_event_type
+    generalized to a time series).  ONE (day, event_type) census (the
+    shared _value_census fold) feeds every day's PSI; the same
+    +0.5-smoothed kernel as validators/drift.psi_from_counts, r6
+    rounding on both sides absorbing SUM-order residue (the
+    psi_event_type precedent)."""
+    from ..validators.drift import psi_from_counts
+
+    ds = _t(sf_dir, "events", ["ts", "event_type"]).map_batches(
+        lambda t: pa.table({"day": t["ts"].cast(pa.date32()),
+                            "event_type": t["event_type"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    df = _value_census(ds, "day", "event_type")
+    cats = np.sort(df["event_type"].unique())
+    wide = (df.pivot_table(index="day", columns="event_type",
+                           values="cnt", aggfunc="sum", fill_value=0)
+            .reindex(columns=cats, fill_value=0))
+    glob = wide.sum(axis=0).to_numpy(dtype=np.int64)
+    out = pd.DataFrame(
+        [{"day": day, "psi": round(psi_from_counts(
+            row.to_numpy(dtype=np.int64), glob), 6)}
+         for day, row in wide.iterrows()])
+    # DuckDB DATE -> pandas datetime64[us] (the tumbling_window lesson)
+    out["day"] = pd.to_datetime(out["day"]).astype("datetime64[us]")
+    return out

@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "editdist_blocked_pairs_partnames",
     "above_avg_order_customers",
     "sq8_topk_embeddings",
+    "feather_roundtrip_supplier",
+    "psi_daily_event_type",
 ]
 
 IMG_PARTITIONS = 32
