@@ -216,3 +216,28 @@ def test_constant_columns_other_kind_not_flagged(ray_session):
                            include_all=True).to_pydict()
     flags = dict(zip(out["col_name"], out["is_constant"]))
     assert flags == {"blob": 0, "vec": 0, "all_null_blob": 1}
+
+
+def test_value_census_matches_pandas_groupby():
+    """The shared (group, value, cnt) census fold == a plain pandas
+    groupby count on any block layout."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from autoprepad_ray.pipelines.queries import _value_census
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c", "d"], size=n),
+        "v": np.round(rng.normal(100, 30, size=n), 2)})
+    for parts in (1, 7):
+        ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)
+                           ).repartition(parts)
+        got = (_value_census(ds, "g", "v")
+               .sort_values(["g", "v"]).reset_index(drop=True))
+        want = (df.groupby(["g", "v"], as_index=False).size()
+                .rename(columns={"size": "cnt"})
+                .sort_values(["g", "v"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got, want.astype({"cnt": got["cnt"].dtype}))
