@@ -48,6 +48,9 @@ def read_table(path: str, columns: list[str] | None = None, **kwargs):
 
         files = sorted(_glob.glob(path)) if any(
             ch in path for ch in "*?[") else [path]
+        if not files:
+            raise FileNotFoundError(
+                f"no Arrow IPC files match {path!r}")
 
         def _load(t: "pa.Table") -> "pa.Table":
             import pyarrow.feather as feather

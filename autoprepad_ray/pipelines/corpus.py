@@ -27,9 +27,7 @@ import json
 import os
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -123,6 +121,15 @@ def _run_sharded(out_dir: str, shards: dict[str, str], fps: dict,
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             manifest = json.load(f)
+        if manifest.get("kind") != manifest_seed.get("kind"):
+            # audit and cleaner share the shard layout: resuming the
+            # WRONG runner over an out_dir would rmtree+replace every
+            # existing shard output — refuse instead of destroying it
+            raise ValueError(
+                f"{out_dir!r} holds a "
+                f"{manifest.get('kind', 'pre-kind')!r} manifest; this "
+                f"is a {manifest_seed.get('kind')!r} run — use a "
+                "separate --out directory")
 
     def _complete(name: str) -> bool:
         entry = manifest["shards"].get(name)
@@ -216,7 +223,7 @@ def run_text_audit(docs_path: str, out_dir: str, *,
     manifest, pending = _run_sharded(
         out_dir, shards, {"eval_fp": eval_fp}, _audit_shard,
         {"engine_version": __version__, "docs_path": docs_path,
-         "ngram": ngram, "shards": {}, "runs": []},
+         "kind": "audit", "ngram": ngram, "shards": {}, "runs": []},
         checkpoint_file="audit.json",
         max_parallel_shards=max_parallel_shards)
     return _finish_run(manifest, out_dir, {
@@ -239,8 +246,8 @@ def _load_or_build_dup_losers(out_dir: str, files: list[str], *,
     import pickle
 
     from ..functions.strings import md5_fingerprint
-    from ..sketches import hash64
-    from ..stages.text import gopher_keep_mask
+    from ..stages.text import (_candidate_hits, _minid_losers,
+                               _quality_text_state)
     from ..validators.near_dup import _pickled, _tree_counts
 
     fp = _fingerprint(files) + "-dup1"
@@ -251,13 +258,8 @@ def _load_or_build_dup_losers(out_dir: str, files: list[str], *,
     ds = rd.read_parquet(files, columns=[id_col, text_col])
 
     def census(t: pa.Table) -> pa.Table:
-        keep, _ = gopher_keep_mask(t[text_col])
-        texts = pd.Series(pc.fill_null(
-            t[text_col].combine_chunks() if isinstance(
-                t[text_col], pa.ChunkedArray) else t[text_col],
-            "").to_pandas())
-        vals, cnts = np.unique(hash64(texts[keep].to_numpy(dtype=object)),
-                               return_counts=True)
+        keep, _, _, h = _quality_text_state(t, text_col)
+        vals, cnts = np.unique(h[keep], return_counts=True)
         return _pickled((vals, cnts.astype(np.int64)))
 
     vals, cnts = _tree_counts(
@@ -269,16 +271,8 @@ def _load_or_build_dup_losers(out_dir: str, files: list[str], *,
         cand_ref = ray.put(cand)
 
         def collect(t: pa.Table) -> pa.Table:
-            keep, _ = gopher_keep_mask(t[text_col])
-            texts = pd.Series(pc.fill_null(
-                t[text_col].combine_chunks() if isinstance(
-                    t[text_col], pa.ChunkedArray) else t[text_col],
-                "").to_pandas())
-            h = hash64(texts.to_numpy(dtype=object))
-            cb = ray.get(cand_ref)
-            pos = np.searchsorted(cb, h)
-            hit = keep & (pos < len(cb)) & (
-                cb[np.minimum(pos, len(cb) - 1)] == h)
+            keep, _, texts, h = _quality_text_state(t, text_col)
+            hit = _candidate_hits(h, keep, ray.get(cand_ref))
             return _pickled((
                 t[id_col].to_numpy(zero_copy_only=False)[hit],
                 md5_fingerprint(texts[hit]).to_numpy(dtype=object)))
@@ -288,10 +282,8 @@ def _load_or_build_dup_losers(out_dir: str, files: list[str], *,
         loaded = [pickle.loads(r["payload"]) for r in rows]
         ids = np.concatenate([x[0] for x in loaded]).astype(np.int64)
         fps = np.concatenate([x[1] for x in loaded])
-        order = np.lexsort((ids, fps))
-        fps_s, ids_s = fps[order], ids[order]
-        first = np.r_[True, fps_s[1:] != fps_s[:-1]]
-        losers = np.sort(ids_s[~first])
+        order, rm = _minid_losers(ids, fps)
+        losers = np.sort(ids[order][rm])
     tmp = cache + ".tmp.npy"
     np.save(tmp, losers)
     os.replace(tmp, cache)
@@ -320,7 +312,7 @@ def run_corpus_clean(docs_path: str, out_dir: str, *,
     dup-rare uniqueness regime) and every per-shard pass is a pure
     pruned-column map — shards clean independently, in parallel,
     with no cross-shard exchange."""
-    from ..stages.text import _gram_hashes, gopher_keep_from
+    from ..stages.text import _gram_hashes, _split_list, gopher_keep_from
 
     os.makedirs(out_dir, exist_ok=True)   # global-state caches land here
     shards = discover_shards(docs_path)
@@ -340,13 +332,9 @@ def run_corpus_clean(docs_path: str, out_dir: str, *,
         def filt(t: pa.Table) -> pa.Table:
             evalg, rm = ray.get(state_ref)
             # ONE Arrow split per batch feeds both the quality gate
-            # and the gram pass (the split IS the stage's hot kernel)
-            texts = t[text_col]
-            if isinstance(texts, pa.ChunkedArray):
-                texts = texts.combine_chunks()
-            la = pc.split_pattern(pc.fill_null(texts, ""), pattern=" ")
-            wc = np.diff(la.offsets.to_numpy(zero_copy_only=False)
-                         .astype(np.int64))
+            # and the gram pass (stages/text._split_list — the shared
+            # tokenization kernel; the split IS the stage's hot cost)
+            la, wc = _split_list(t[text_col])
             keep, _ = gopher_keep_from(la.values, wc)
             words = la.values.to_numpy(zero_copy_only=False)
             didx, grams, _ = _gram_hashes(words, wc, ngram)
@@ -381,7 +369,7 @@ def run_corpus_clean(docs_path: str, out_dir: str, *,
         out_dir, shards, {"eval_fp": eval_fp, "dup_fp": dup_fp},
         _clean_shard,
         {"engine_version": __version__, "docs_path": docs_path,
-         "ngram": ngram, "shards": {}, "runs": []},
+         "kind": "clean", "ngram": ngram, "shards": {}, "runs": []},
         checkpoint_file="clean.json",
         max_parallel_shards=max_parallel_shards)
     return _finish_run(manifest, out_dir, {

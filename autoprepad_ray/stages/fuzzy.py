@@ -110,16 +110,14 @@ def blocked_editdist_pairs(ds, col: str, *, max_dist: int = 3,
     from ..sketches import hash64
     from ..validators.near_dup import _pickled, _tree_counts
 
-    import pyarrow.compute as pc
-
     def part(t: pa.Table) -> pa.Table:
         vals = t[col]
         if isinstance(vals, pa.ChunkedArray):
             vals = vals.combine_chunks()
-        # nulls canonicalize to "" BEFORE unique (None breaks the
-        # object-array sort — the prefix-dup lesson)
-        u = np.unique(pc.fill_null(vals, "")
-                      .to_numpy(zero_copy_only=False))
+        # SQL NULL semantics: a NULL name never blocks or pairs
+        # (a.blk = c.blk and a < c are both NULL) — drop, don't
+        # canonicalize; None would also break the object-array sort
+        u = np.unique(vals.drop_null().to_numpy(zero_copy_only=False))
         return _pickled((u, np.ones(len(u), dtype=np.int64)))
 
     names, _ = _tree_counts(

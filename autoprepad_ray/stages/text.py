@@ -67,19 +67,27 @@ def lang_id(ds, text_col: str = "text", *, min_score: float = 0.05,
 _GRAM_MULT = np.uint64(0x9E3779B97F4A7C15)   # golden-ratio odd multiplier
 
 
+def _split_list(texts: pa.ChunkedArray | pa.Array):
+    """THE tokenization kernel (combine_chunks + fill_null + one Arrow
+    ``split_pattern``): returns (ListArray, per-doc word counts).  All
+    tokenizing callers ride this one function — split_pattern on a
+    ChunkedArray has no .values/.offsets, and hand-rolled copies keep
+    re-hitting that (the session-5 lesson)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    la = pc.split_pattern(pc.fill_null(texts, ""), pattern=" ")
+    counts = np.diff(la.offsets.to_numpy(zero_copy_only=False)).astype(
+        np.int64)
+    return la, counts
+
+
 def _flat_words(texts: pa.ChunkedArray | pa.Array):
     """Tokenize a string column on single spaces entirely in Arrow C:
     returns (flat word object-array, per-doc word counts).  No per-row
     Python — ``split_pattern`` produces one ListArray whose flattened
     values and offsets drive everything downstream."""
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    texts = pc.fill_null(texts, "")
-    la = pc.split_pattern(texts, pattern=" ")
-    words = la.values.to_numpy(zero_copy_only=False)       # object array
-    counts = np.diff(la.offsets.to_numpy(zero_copy_only=False)).astype(
-        np.int64)
-    return words, counts
+    la, counts = _split_list(texts)
+    return la.values.to_numpy(zero_copy_only=False), counts
 
 
 def _word_counts(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -87,11 +95,7 @@ def _word_counts(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
     the zero-copy offsets-diff view of :func:`_flat_words` for callers
     that only need lengths (keep both passes of a stage on this one
     path so tokenization rules can never diverge between them)."""
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    la = pc.split_pattern(pc.fill_null(texts, ""), pattern=" ")
-    return np.diff(la.offsets.to_numpy(zero_copy_only=False)) \
-        .astype(np.int64)
+    return _split_list(texts)[1]
 
 
 def term_census(ds, *, text_col: str = "text"):
@@ -451,14 +455,8 @@ def _quality_parts(texts, stop_arr: pa.Array):
     over the flat word values segment-summed per doc; counts are tiny
     per doc, so float64 bincount accumulators are exact well past 2^53
     and the int64 casts are lossless."""
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    texts = pc.fill_null(texts, "")
-    la = pc.split_pattern(texts, pattern=" ")
-    vals = la.values
-    counts = np.diff(la.offsets.to_numpy(zero_copy_only=False)
-                     .astype(np.int64))
-    return _quality_parts_from(vals, counts, stop_arr)
+    la, counts = _split_list(texts)
+    return _quality_parts_from(la.values, counts, stop_arr)
 
 
 def _quality_parts_from(vals: pa.Array, counts: np.ndarray,
@@ -526,11 +524,12 @@ def gopher_quality(ds, *, text_col: str = "text", id_col: str = "doc_id",
     def fn(t: pa.Table) -> pa.Table:
         counts, sum_len, alpha_w, stop_h = _quality_parts(
             t[text_col], stop_arr)
-        keep = ((counts >= min_words) & (counts <= max_words)
-                & (sum_len >= min_mean_len * counts)
-                & (sum_len <= max_mean_len * counts)
-                & (alpha_den * alpha_w >= alpha_num * counts)
-                & (stop_h >= min_stop_hits)).astype(np.int64)
+        keep = _gopher_rules(
+            counts, sum_len, alpha_w, stop_h,
+            min_words=min_words, max_words=max_words,
+            min_mean_len=min_mean_len, max_mean_len=max_mean_len,
+            alpha_num=alpha_num, alpha_den=alpha_den,
+            min_stop_hits=min_stop_hits)[0].astype(np.int64)
         return pa.table({id_col: t[id_col],
                          "n_words": pa.array(counts),
                          "sum_word_len": pa.array(sum_len),
@@ -558,10 +557,19 @@ def gopher_keep_from(vals: pa.Array, counts: np.ndarray
                                               _GOPHER_STOPS))
 
 
-def _gopher_rules(counts, sum_len, alpha_w, stop_h):
-    keep = ((counts >= 10) & (counts <= 100_000)
-            & (sum_len >= 3 * counts) & (sum_len <= 10 * counts)
-            & (10 * alpha_w >= 8 * counts) & (stop_h >= 2))
+def _gopher_rules(counts, sum_len, alpha_w, stop_h, *,
+                  min_words: int = 10, max_words: int = 100_000,
+                  min_mean_len: int = 3, max_mean_len: int = 10,
+                  alpha_num: int = 8, alpha_den: int = 10,
+                  min_stop_hits: int = 2):
+    """The ONE statement of the Gopher inequality chain — the
+    SQL-checked gopher_quality query, the assembly funnel and the
+    corpus cleaner all route here, so the rule can never drift."""
+    keep = ((counts >= min_words) & (counts <= max_words)
+            & (sum_len >= min_mean_len * counts)
+            & (sum_len <= max_mean_len * counts)
+            & (alpha_den * alpha_w >= alpha_num * counts)
+            & (stop_h >= min_stop_hits))
     return keep, counts
 
 
@@ -1001,6 +1009,38 @@ def token_budget_resample(ds, *, id_col: str = "doc_id",
         "words_kept": kf["words_kept"].to_numpy(dtype=np.int64)})
 
 
+def _quality_text_state(t: pa.Table, text_col: str):
+    """(gopher keep mask, word counts, pandas texts, hash64 of the
+    np_object text array) — the ONE quality-gated dedup-hash kernel the
+    assembly funnel and the corpus cleaner both ride, pinning the
+    hash-dtype rule (always the object array) in a single place."""
+    from ..sketches import hash64
+
+    keep, counts = gopher_keep_mask(t[text_col])
+    texts = pd.Series(pc.fill_null(t[text_col], "").to_pandas())
+    return keep, counts, texts, hash64(texts.to_numpy(dtype=object))
+
+
+def _candidate_hits(h: np.ndarray, keep: np.ndarray,
+                    cand: np.ndarray) -> np.ndarray:
+    """Mask of quality rows whose text hash is in the sorted candidate
+    array (broadcast searchsorted membership)."""
+    pos = np.searchsorted(cand, h)
+    return keep & (pos < len(cand)) & (
+        cand[np.minimum(pos, len(cand) - 1)] == h)
+
+
+def _minid_losers(ids: np.ndarray, fps: np.ndarray
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Exact per-fingerprint min-id resolution: lexsort by (fp, id),
+    first of each run wins.  Returns (sort order, loser mask in sorted
+    order) so callers slice their own aligned extras."""
+    order = np.lexsort((ids, fps))
+    fps_s = fps[order]
+    first = np.r_[True, fps_s[1:] != fps_s[:-1]] if len(fps_s) else         np.empty(0, dtype=bool)
+    return order, ~first
+
+
 def corpus_assembly_funnel(ds, *, id_col: str = "doc_id",
                            source_col: str = "source",
                            text_col: str = "text",
@@ -1028,7 +1068,6 @@ def corpus_assembly_funnel(ds, *, id_col: str = "doc_id",
     import ray
 
     from ..functions.sampling import split_code
-    from ..sketches import hash64
     from ..functions.strings import md5_fingerprint
     from ..validators.near_dup import _pickled, _merge_count_arrays
 
@@ -1036,17 +1075,14 @@ def corpus_assembly_funnel(ds, *, id_col: str = "doc_id",
         return gopher_keep_mask(t[text_col])
 
     def pass_a(t: pa.Table) -> pa.Table:
-        keep, counts = _keep(t)
+        keep, counts, _, h = _quality_text_state(t, text_col)
         src = np.asarray(t[source_col].to_numpy(zero_copy_only=False),
                          dtype=object)
         g = (pd.DataFrame({"source": src, "n_raw": 1,
                            "n_quality": keep.astype(np.int64),
                            "w_quality": counts * keep})
              .groupby("source", as_index=False).sum())
-        texts = pd.Series(pc.fill_null(t[text_col], "").to_pandas())
-        vals, cnts = np.unique(
-            hash64(texts[keep].to_numpy(dtype=object)),
-            return_counts=True)
+        vals, cnts = np.unique(h[keep], return_counts=True)
         return _pickled((g, vals, cnts))
 
     parts = ds.map_batches(pass_a, batch_format="pyarrow",
@@ -1067,13 +1103,8 @@ def corpus_assembly_funnel(ds, *, id_col: str = "doc_id",
         cand_ref = ray.put(cand)
 
         def pass_b(t: pa.Table) -> pa.Table:
-            keep, counts = _keep(t)
-            texts = pd.Series(pc.fill_null(t[text_col], "").to_pandas())
-            h = hash64(texts.to_numpy(dtype=object))
-            cb = ray.get(cand_ref)
-            pos = np.searchsorted(cb, h)
-            hit = keep & (pos < len(cb)) & (
-                cb[np.minimum(pos, len(cb) - 1)] == h)
+            keep, counts, texts, h = _quality_text_state(t, text_col)
+            hit = _candidate_hits(h, keep, ray.get(cand_ref))
             return _pickled((
                 t[id_col].to_numpy(zero_copy_only=False)[hit],
                 np.asarray(t[source_col].to_numpy(
@@ -1089,11 +1120,8 @@ def corpus_assembly_funnel(ds, *, id_col: str = "doc_id",
         nws = np.concatenate([x[2] for x in loaded]).astype(np.int64)
         fps = np.concatenate([x[3] for x in loaded])
         # exact per-md5 min-id: lexsort by (fp, id), first of each run wins
-        order = np.lexsort((ids, fps))
-        fps_s, ids_s = fps[order], ids[order]
-        first = np.r_[True, fps_s[1:] != fps_s[:-1]]
-        rm = ~first
-        removed_ids = np.sort(ids_s[rm])
+        order, rm = _minid_losers(ids, fps)
+        removed_ids = np.sort(ids[order][rm])
         rem_adjust = (pd.DataFrame({"source": srcs[order][rm],
                                     "n_rm": 1, "w_rm": nws[order][rm]})
                       .groupby("source", as_index=False).sum())

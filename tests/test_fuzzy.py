@@ -54,10 +54,13 @@ def test_block_pair_cap_raises(ray_session):
 
 
 
-def test_null_names_tolerated(ray_session):
+def test_null_names_dropped(ray_session):
+    # SQL oracle semantics: NULL never blocks or pairs
     t = pa.table({"p_name": pa.array(["hot gear", None, "big gear"],
                                      pa.string())})
     ds = rd.from_arrow(t).repartition(2)
     out = blocked_editdist_pairs(ds, "p_name", max_dist=3).to_pandas()
-    assert ("big gear", "hot gear") in set(
-        map(tuple, out[["name_a", "name_b"]].values))
+    pairs = set(map(tuple, out[["name_a", "name_b"]].values))
+    assert ("big gear", "hot gear") in pairs
+    assert not any(a is None or b is None or a == "" or b == ""
+                   for a, b in pairs)
