@@ -4705,3 +4705,97 @@ def psi_daily_event_type(sf_dir: str):
     # DuckDB DATE -> pandas datetime64[us] (the tumbling_window lesson)
     out["day"] = pd.to_datetime(out["day"]).astype("datetime64[us]")
     return out
+
+
+# ---------------------------------------------------------------------------
+# batch: round-5 session-7 — cross-table / distributional validation widening
+
+
+@query("fd_violations_part_supp", sql="""
+SELECT l_partkey,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_dep,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY 1
+HAVING COUNT(DISTINCT l_suppkey) > 1
+ORDER BY 1""")
+def fd_violations_part_supp(sf_dir: str):
+    """Functional-dependency violation scan (does l_partkey determine
+    l_suppkey?): every determinant value mapping to >1 distinct
+    dependent value, with its distinct-dependent and row counts — the
+    cross-column constraint check AutoPrepAD's single-column flags
+    cannot express (reference scope: pipelines/control.py:89-107).
+    ONE (determinant, dependent) exact census (the shared _value_census
+    fold — bounded by distinct PAIR cardinality, not rows; columns with
+    unbounded pair spaces belong on the HLL profile path instead) and a
+    driver re-group.  Both columns are non-null in this fixture, so
+    census counts == SQL COUNT semantics."""
+    df = _value_census(
+        _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]),
+        "l_partkey", "l_suppkey")
+    g = (df.groupby("l_partkey")
+         .agg(n_dep=("l_suppkey", "size"), n_rows=("cnt", "sum"))
+         .reset_index())
+    g = g[g["n_dep"] > 1].sort_values("l_partkey").reset_index(drop=True)
+    return pa.table({"l_partkey": _i64(g["l_partkey"]),
+                     "n_dep": _i64(g["n_dep"]),
+                     "n_rows": _i64(g["n_rows"])})
+
+
+@query("benford_totalprice", sql="""
+WITH tot AS (SELECT COUNT(*) AS n FROM orders),
+dig AS (SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100, 0)
+                                 AS BIGINT) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS digit,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1)
+SELECT dig.digit, CAST(dig.n AS BIGINT) AS n,
+       ROUND(tot.n * (LN(dig.digit + 1) - LN(dig.digit)) / LN(10),
+             6) AS expected
+FROM dig, tot ORDER BY 1""")
+def benford_totalprice(sf_dir: str):
+    """Benford first-digit audit of o_totalprice: observed count per
+    leading digit next to the Benford-law expectation n*log10(1+1/d).
+    Digit extraction is the exact integer-cents string path on both
+    sides (drift.first_digit_counts); the expectation mirrors the SQL
+    arithmetic term by term — (ln(d+1)-ln(d))/ln(10) on tiny integers,
+    where numpy and DuckDB ln agree to the ulp (the BM25 precedent) —
+    with r6 rounding absorbing residue.  Verified value-exact at sf
+    0.001 / 0.01 / 0.1 before the oracle was wired."""
+    counts = drift.first_digit_counts(
+        _t(sf_dir, "orders", ["o_totalprice"]), "o_totalprice")
+    n_tot = int(counts.sum())
+    digs = np.flatnonzero(counts)
+    exp = np.round(
+        n_tot * (np.log(digs + 1.0) - np.log(digs.astype(np.float64)))
+        / np.log(10.0), 6)
+    return pa.table({"digit": _i64(digs), "n": _i64(counts[digs]),
+                     "expected": pa.array(exp, type=pa.float64())})
+
+
+@query("reconcile_order_totals", sql="""
+WITH lo AS (SELECT l_orderkey,
+                   list_sum(list(l_extendedprice * (1 - l_discount)
+                                 * (1 + l_tax)
+                                 ORDER BY l_linenumber)) AS recomputed
+            FROM lineitem GROUP BY 1)
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o.o_totalprice - lo.recomputed), 2) AS total_diff
+FROM orders o JOIN lo ON o.o_orderkey = lo.l_orderkey
+GROUP BY 1 ORDER BY 1""")
+def reconcile_order_totals_q(sf_dir: str):
+    """Cross-table totals reconciliation: o_totalprice vs the
+    recomputed lineitem charge roll-up, per priority class — see
+    validators/reconcile for the one-pass-per-table packed-slice fold
+    (per-order rows never materialize; the per-order recompute is the
+    ORDER-exact reduceat family == list_sum ORDER BY l_linenumber).
+    Verified value-exact at sf 0.001 / 0.01 / 0.1 before the oracle
+    was wired."""
+    from ..validators.reconcile import reconcile_order_totals
+
+    return reconcile_order_totals(
+        _t(sf_dir, "orders",
+           ["o_orderkey", "o_totalprice", "o_orderpriority"]),
+        _t(sf_dir, "lineitem",
+           ["l_orderkey", "l_linenumber", "l_extendedprice",
+            "l_discount", "l_tax"]))

@@ -19,6 +19,7 @@ import pickle
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..sketches import ValueCounts
 
@@ -232,3 +233,34 @@ def ks_numeric(ds_ref, ds_cur, col: str, *, max_exact: int = 2_000_000) -> float
         return float(np.max(np.abs(np.cumsum(ca) / ca.sum()
                                    - np.cumsum(cb) / cb.sum())))
     return ks_from_valuecounts(va, vb)
+
+
+def first_digit_counts(ds, col: str, *, scale: float = 100.0
+                       ) -> np.ndarray:
+    """Benford first-significant-digit census of a positive decimal
+    column: counts[d] for d in 0..9 (0 stays empty for positive data).
+
+    The digit is extracted EXACTLY the way the SQL oracle does —
+    round(|x| * scale) to int64 (snapping 2-decimal money to integer
+    cents; the product sits ~1e-9 off an integer so round-half modes
+    cannot disagree), cast to string, first code unit — all Arrow
+    kernels, no Python per row.  Streaming per-block bincount partials,
+    driver fold (blocks x <=10 scalar rows).  The digit-law audit the
+    reference's single-column outlier flags never see (novel-fraud
+    screening; Benford 1938 is public knowledge)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.abs(pc.cast(t[col], pa.float64())), scale)), pa.int64())
+        digit = pc.cast(pc.utf8_slice_codeunits(
+            pc.cast(cents, pa.string()), 0, 1), pa.int64())
+        g = pa.table({"digit": digit,
+                      "n": pa.array(np.ones(len(digit), np.int64))}) \
+            .group_by(["digit"]).aggregate([("n", "sum")])
+        return pa.table({"digit": g["digit"], "n": g["n_sum"]})
+
+    total = np.zeros(10, dtype=np.int64)
+    for r in ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all():
+        total[r["digit"]] += r["n"]
+    return total
