@@ -4799,3 +4799,205 @@ def reconcile_order_totals_q(sf_dir: str):
         _t(sf_dir, "lineitem",
            ["l_orderkey", "l_linenumber", "l_extendedprice",
             "l_discount", "l_tax"]))
+
+
+# ---------------------------------------------------------------------------
+# reshaping + corpus-vocabulary telemetry (round-5 session-7)
+
+
+_MELT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query("unpivot_lineitem_measures", sql=" UNION ALL ".join(
+    f"SELECT l_orderkey, l_linenumber, '{c}' AS measure, "
+    f"CAST({c} AS DOUBLE) AS value FROM lineitem"
+    for c in _MELT_MEASURES))
+def unpivot_lineitem_measures(sf_dir: str):
+    """Unpivot/melt (wide -> long), the inverse of the pivot operator:
+    each lineitem row emits one (keys, measure, value) row per measure
+    column.  Pure per-block reshaping — zero arithmetic, so float
+    parity is trivially exact — and the measure-name column is ONE
+    Arrow take-broadcast per measure, never a per-row Python list.
+    Streams block-local at any scale (no exchange at all)."""
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        parts = []
+        for c in _MELT_MEASURES:
+            name = pa.array([c], type=pa.string()).take(
+                np.zeros(n, dtype=np.int32))
+            parts.append(pa.table({
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "measure": name,
+                "value": pc.cast(t[c], pa.float64())}))
+        return pa.concat_tables(parts)
+
+    return (_t(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber"] + _MELT_MEASURES)
+            .map_batches(melt, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
+@query("suffix_dup_docs", sql="""
+WITH d AS (SELECT DISTINCT reverse(COALESCE(text, '')) AS t
+           FROM documents),
+s AS (SELECT t, LEAD(t) OVER (ORDER BY t) AS nxt FROM d),
+p AS (SELECT t,
+             CAST(CASE WHEN nxt IS NOT NULL AND len(nxt) > len(t)
+                        AND left(nxt, len(t)) = t
+                   THEN 1 ELSE 0 END AS BIGINT) AS suffix_dup
+      FROM s)
+SELECT doc_id, suffix_dup
+FROM documents JOIN p ON reverse(COALESCE(documents.text, '')) = p.t""")
+def suffix_dup_docs(sf_dir: str):
+    """Head-truncation duplicates (doc text is a strict SUFFIX of some
+    other doc — the dropped-header / mid-page-crawl twin of prefix
+    dedup): reverse the text and the suffix test IS the prefix test,
+    so the whole sorted-successor machinery is reused verbatim with
+    zero new kernel code.  Arrow ``utf8_reverse`` (codepoint order)
+    and DuckDB ``reverse`` agree on this corpus (ASCII; they can
+    differ only on combining-character clusters)."""
+    from ..stages.dedup import prefix_dup_flags
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "text": pc.utf8_reverse(pc.fill_null(t["text"], ""))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return prefix_dup_flags(ds, flag_col="suffix_dup")
+
+
+def _source_word_sets(sf_dir: str):
+    """Distinct (source, word) pairs folded to the driver: per-block
+    Arrow group_by distinct partials, 32-way tree level, final fold.
+    The exchange is bounded by |sources| x |vocabulary| per block —
+    never by token count — which is exactly the floor any cross-source
+    vocabulary-overlap statistic needs."""
+    from ..stages.text import _flat_words
+
+    def partial(t: pa.Table) -> pa.Table:
+        words, counts = _flat_words(t["text"])
+        src = np.repeat(np_object(t["source"]), counts)
+        keep = words != ""
+        g = pa.table({"source": pa.array(src[keep]),
+                      "w": pa.array(words[keep])}
+                     ).group_by(["source", "w"]).aggregate([])
+        return g
+
+    def merge(t: pa.Table) -> pa.Table:
+        return t.group_by(["source", "w"]).aggregate([])
+
+    rows = (_t(sf_dir, "documents", ["source", "text"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(merge, batch_size=65536,
+                         batch_format="pyarrow")).take_all()
+    df = pd.DataFrame(rows)
+    return df.drop_duplicates() if len(df) else pd.DataFrame(
+        {"source": [], "w": []})
+
+
+@query("vocab_jaccard_sources", sql="""
+WITH sw AS (SELECT DISTINCT source, w FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents) WHERE w <> ''),
+sz AS (SELECT source, COUNT(*) AS n FROM sw GROUP BY 1),
+pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                 a.n AS na, b.n AS nb
+          FROM sz a JOIN sz b ON a.source < b.source),
+inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                 COUNT(*) AS n_inter
+          FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+          GROUP BY 1, 2)
+SELECT p.source_a, p.source_b,
+       CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+       CAST(p.na + p.nb - COALESCE(i.n_inter, 0) AS BIGINT) AS n_union,
+       CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+           / (p.na + p.nb - COALESCE(i.n_inter, 0)) AS jaccard
+FROM pairs p LEFT JOIN inter i
+     ON i.source_a = p.source_a AND i.source_b = p.source_b
+ORDER BY 1, 2""")
+def vocab_jaccard_sources(sf_dir: str):
+    """Pairwise vocabulary Jaccard between sources (corpus-mixture
+    telemetry: which slices speak the same language?).  The distributed
+    part is a distinct (source, word) census; the driver builds one
+    boolean incidence matrix and gets EVERY pairwise intersection from
+    a single matmul — intersection/union counts are exact ints, and
+    jaccard is one IEEE division of those ints (deterministic, so
+    SQL-exact with no rounding at all)."""
+    sw = _source_word_sets(sf_dir)
+    srcs = np.array(sorted(sw["source"].unique()), dtype=object)
+    words = {w: i for i, w in enumerate(sw["w"].unique())}
+    m = np.zeros((len(srcs), len(words)), dtype=np.int64)
+    si = pd.Series(np.arange(len(srcs)), index=srcs)
+    m[si[sw["source"]].to_numpy(),
+      sw["w"].map(words).to_numpy()] = 1
+    inter = m @ m.T
+    sizes = m.sum(axis=1)
+    ia, ib = np.triu_indices(len(srcs), k=1)
+    n_inter = inter[ia, ib]
+    n_union = sizes[ia] + sizes[ib] - n_inter
+    return pa.table({
+        "source_a": pa.array(srcs[ia]), "source_b": pa.array(srcs[ib]),
+        "n_inter": _i64(n_inter), "n_union": _i64(n_union),
+        "jaccard": pa.array(n_inter.astype(np.float64)
+                            / n_union.astype(np.float64))})
+
+
+@query("vocab_growth_docs", sql="""
+WITH fw AS (SELECT w, MIN(doc_id) AS first_doc FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents) WHERE w <> '' GROUP BY 1),
+mx AS (SELECT MAX(doc_id) AS m FROM documents),
+th AS (SELECT (CAST(1 AS BIGINT) << g) AS threshold
+       FROM (SELECT unnest(generate_series(0, 62)) AS g), mx
+       WHERE (CAST(1 AS BIGINT) << g) <= mx.m)
+SELECT th.threshold,
+       CAST(COUNT(*) FILTER (WHERE fw.first_doc <= th.threshold)
+            AS BIGINT) AS vocab_size
+FROM th, fw GROUP BY 1 ORDER BY 1""")
+def vocab_growth_docs(sf_dir: str):
+    """Heaps-law vocabulary-growth curve: distinct-word count among
+    docs with id <= each power-of-two threshold (is the corpus still
+    discovering vocabulary, or saturated?).  Distributed side is a
+    word -> MIN(doc_id) census (per-block Arrow group_by min +
+    tree merge — vocabulary-bounded, token-count-free); the driver
+    bucketizes first-seen ids against the thresholds with one
+    searchsorted.  All-integer, SQL-exact."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..stages.text import _flat_words
+        words, counts = _flat_words(t["text"])
+        ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False),
+                        counts)
+        keep = words != ""
+        g = pa.table({"w": pa.array(words[keep]),
+                      "first_doc": pa.array(ids[keep])}
+                     ).group_by("w").aggregate([("first_doc", "min")])
+        return pa.table({"w": g["w"], "first_doc": g["first_doc_min"],
+                         "max_doc": pa.array(
+                             np.full(g.num_rows, ids.max() if len(ids)
+                                     else -1, dtype=np.int64))})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("w").aggregate([("first_doc", "min"),
+                                       ("max_doc", "max")])
+        return pa.table({"w": g["w"], "first_doc": g["first_doc_min"],
+                         "max_doc": g["max_doc_max"]})
+
+    rows = (_t(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(merge, batch_size=65536,
+                         batch_format="pyarrow")).take_all()
+    df = pd.DataFrame(rows)
+    first = df.groupby("w")["first_doc"].min().to_numpy()
+    max_doc = int(df["max_doc"].max())
+    ks = np.arange(0, 63, dtype=np.int64)
+    th = (np.int64(1) << ks)
+    th = th[th <= max_doc]
+    first.sort()
+    vocab = np.searchsorted(first, th, side="right")
+    return pa.table({"threshold": _i64(th),
+                     "vocab_size": _i64(vocab)})

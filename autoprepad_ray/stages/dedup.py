@@ -643,7 +643,7 @@ def _prefix_succ_probe(t: pa.Table, text_col: str, last: str):
 
 @ray.remote
 def _prefix_emit(t: pa.Table, text_col: str, id_col: str,
-                 boundary_succ) -> pa.Table:
+                 boundary_succ, flag_col: str = "prefix_dup") -> pa.Table:
     from ..functions.strings import elementwise_starts_with
 
     a = t[text_col].to_numpy(zero_copy_only=False)
@@ -663,11 +663,11 @@ def _prefix_emit(t: pa.Table, text_col: str, id_col: str,
             runs[have], succ[have], strict=True).astype(np.int64)
     lens = np.diff(np.concatenate([starts, [n]]))
     return pa.table({id_col: t[id_col],
-                     "prefix_dup": pa.array(np.repeat(flag_runs, lens))})
+                     flag_col: pa.array(np.repeat(flag_runs, lens))})
 
 
 def prefix_dup_flags(ds, *, text_col: str = "text",
-                     id_col: str = "doc_id"):
+                     id_col: str = "doc_id", flag_col: str = "prefix_dup"):
     """Truncation-duplicate detection: flag every document whose text
     is a strict PREFIX of some other document's text (the partial-
     fetch / cut-off page duplicates exact hashing misses — the
@@ -702,7 +702,7 @@ def prefix_dup_flags(ds, *, text_col: str = "text",
         ds.map_batches(_denull, batch_format="pyarrow",
                        zero_copy_batch=True), [text_col])
     if not refs:
-        return typed_empty(s, [id_col], {"prefix_dup": pa.int64()})
+        return typed_empty(s, [id_col], {flag_col: pa.int64()})
     lasts = ray.get([_prefix_block_meta.remote(r, text_col)
                      for r in refs])
     succs = []
@@ -715,6 +715,6 @@ def prefix_dup_flags(ds, *, text_col: str = "text",
                 break
         succs.append(probe)
     succs = [ray.get(p) if p is not None else None for p in succs]
-    out = [_prefix_emit.remote(r, text_col, id_col, succs[i])
+    out = [_prefix_emit.remote(r, text_col, id_col, succs[i], flag_col)
            for i, r in enumerate(refs)]
     return rd.from_arrow_refs(out)
