@@ -4868,83 +4868,6 @@ def suffix_dup_docs(sf_dir: str):
     return prefix_dup_flags(ds, flag_col="suffix_dup")
 
 
-def _source_word_sets(sf_dir: str):
-    """Distinct (source, word) pairs folded to the driver: per-block
-    Arrow group_by distinct partials, 32-way tree level, final fold.
-    The exchange is bounded by |sources| x |vocabulary| per block —
-    never by token count — which is exactly the floor any cross-source
-    vocabulary-overlap statistic needs."""
-    from ..stages.text import _flat_words
-
-    def partial(t: pa.Table) -> pa.Table:
-        words, counts = _flat_words(t["text"])
-        src = np.repeat(np_object(t["source"]), counts)
-        keep = words != ""
-        g = pa.table({"source": pa.array(src[keep]),
-                      "w": pa.array(words[keep])}
-                     ).group_by(["source", "w"]).aggregate([])
-        return g
-
-    def merge(t: pa.Table) -> pa.Table:
-        return t.group_by(["source", "w"]).aggregate([])
-
-    rows = (_t(sf_dir, "documents", ["source", "text"])
-            .map_batches(partial, batch_format="pyarrow",
-                         zero_copy_batch=True)
-            .map_batches(merge, batch_size=65536,
-                         batch_format="pyarrow")).take_all()
-    df = pd.DataFrame(rows)
-    return df.drop_duplicates() if len(df) else pd.DataFrame(
-        {"source": [], "w": []})
-
-
-@query("vocab_jaccard_sources", sql="""
-WITH sw AS (SELECT DISTINCT source, w FROM (
-        SELECT source, unnest(string_split(text, ' ')) AS w
-        FROM documents) WHERE w <> ''),
-sz AS (SELECT source, COUNT(*) AS n FROM sw GROUP BY 1),
-pairs AS (SELECT a.source AS source_a, b.source AS source_b,
-                 a.n AS na, b.n AS nb
-          FROM sz a JOIN sz b ON a.source < b.source),
-inter AS (SELECT a.source AS source_a, b.source AS source_b,
-                 COUNT(*) AS n_inter
-          FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
-          GROUP BY 1, 2)
-SELECT p.source_a, p.source_b,
-       CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
-       CAST(p.na + p.nb - COALESCE(i.n_inter, 0) AS BIGINT) AS n_union,
-       CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
-           / (p.na + p.nb - COALESCE(i.n_inter, 0)) AS jaccard
-FROM pairs p LEFT JOIN inter i
-     ON i.source_a = p.source_a AND i.source_b = p.source_b
-ORDER BY 1, 2""")
-def vocab_jaccard_sources(sf_dir: str):
-    """Pairwise vocabulary Jaccard between sources (corpus-mixture
-    telemetry: which slices speak the same language?).  The distributed
-    part is a distinct (source, word) census; the driver builds one
-    boolean incidence matrix and gets EVERY pairwise intersection from
-    a single matmul — intersection/union counts are exact ints, and
-    jaccard is one IEEE division of those ints (deterministic, so
-    SQL-exact with no rounding at all)."""
-    sw = _source_word_sets(sf_dir)
-    srcs = np.array(sorted(sw["source"].unique()), dtype=object)
-    words = {w: i for i, w in enumerate(sw["w"].unique())}
-    m = np.zeros((len(srcs), len(words)), dtype=np.int64)
-    si = pd.Series(np.arange(len(srcs)), index=srcs)
-    m[si[sw["source"]].to_numpy(),
-      sw["w"].map(words).to_numpy()] = 1
-    inter = m @ m.T
-    sizes = m.sum(axis=1)
-    ia, ib = np.triu_indices(len(srcs), k=1)
-    n_inter = inter[ia, ib]
-    n_union = sizes[ia] + sizes[ib] - n_inter
-    return pa.table({
-        "source_a": pa.array(srcs[ia]), "source_b": pa.array(srcs[ib]),
-        "n_inter": _i64(n_inter), "n_union": _i64(n_union),
-        "jaccard": pa.array(n_inter.astype(np.float64)
-                            / n_union.astype(np.float64))})
-
-
 @query("vocab_growth_docs", sql="""
 WITH fw AS (SELECT w, MIN(doc_id) AS first_doc FROM (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w
@@ -5001,3 +4924,67 @@ def vocab_growth_docs(sf_dir: str):
     vocab = np.searchsorted(first, th, side="right")
     return pa.table({"threshold": _i64(th),
                      "vocab_size": _i64(vocab)})
+
+
+# ---------------------------------------------------------------------------
+# co-occurrence graph construction + triangle counting (round-5 session-7)
+
+
+_COPART_KNN_SQL = """
+WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+w AS (SELECT a.s AS u, b.s AS v, COUNT(*) AS shared
+      FROM e a JOIN e b ON a.p = b.p AND a.s <> b.s GROUP BY 1, 2),
+r AS (SELECT u, v, shared,
+             ROW_NUMBER() OVER (PARTITION BY u
+                                ORDER BY shared DESC, v) AS rk FROM w),
+kn AS (SELECT u, v, shared FROM r WHERE rk <= 10),
+m AS (SELECT a.u, a.v, a.shared FROM kn a
+      JOIN kn b ON a.u = b.v AND a.v = b.u WHERE a.u < a.v)
+"""
+
+
+@query("copart_mutual_knn_suppliers", sql=_COPART_KNN_SQL + """
+SELECT u AS supp_a, v AS supp_b, CAST(shared AS BIGINT) AS shared
+FROM m ORDER BY 1, 2""")
+def copart_mutual_knn_suppliers(sf_dir: str):
+    """Mutual k-NN co-occurrence graph over suppliers: weight = number
+    of distinct parts two suppliers both ship; keep (u, v) iff each is
+    among the other's 10 strongest partners (ties by partner id — the
+    same ROW_NUMBER ORDER BY shared DESC, v on both sides).  A fixed
+    absolute weight threshold degenerates across scale factors (the
+    sf0.1 graph is complete at >= 1 shared part); the per-node top-k
+    rule is scale-free.  All-integer, SQL-exact."""
+    from ..stages.cooccur import cooccur_weights, mutual_knn
+
+    u, v, w = cooccur_weights(
+        _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]),
+        part_col="l_partkey", node_col="l_suppkey")
+    mu, mv, mw = mutual_knn(u, v, w, k=10)
+    return pa.table({"supp_a": _i64(mu), "supp_b": _i64(mv),
+                     "shared": _i64(mw)})
+
+
+@query("copart_triangles_suppliers", sql=_COPART_KNN_SQL + """,
+t AS (SELECT a.u AS x, a.v AS y, b.v AS z
+      FROM m a JOIN m b ON a.v = b.u
+      JOIN m c ON c.u = a.u AND c.v = b.v)
+SELECT node AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+    SELECT x AS node FROM t
+    UNION ALL SELECT y FROM t
+    UNION ALL SELECT z FROM t)
+GROUP BY 1 ORDER BY 1""")
+def copart_triangles_suppliers(sf_dir: str):
+    """Per-supplier triangle participation on the mutual k-NN co-part
+    graph (local clustering signal; nodes in >= 1 triangle).  Wedge
+    probes are searchsorted membership tests against the broadcast
+    sorted edge keys, fanned out over edge slices — bounded by
+    k^2 * |nodes| on a mutual k-NN graph, never by |lineitem|."""
+    from ..stages.cooccur import (cooccur_weights, mutual_knn,
+                                  triangle_counts)
+
+    u, v, w = cooccur_weights(
+        _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]),
+        part_col="l_partkey", node_col="l_suppkey")
+    mu, mv, _ = mutual_knn(u, v, w, k=10)
+    nodes, ntri = triangle_counts(mu, mv)
+    return pa.table({"s_suppkey": _i64(nodes), "n_tri": _i64(ntri)})
