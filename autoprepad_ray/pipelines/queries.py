@@ -4988,3 +4988,35 @@ def copart_triangles_suppliers(sf_dir: str):
     mu, mv, _ = mutual_knn(u, v, w, k=10)
     nodes, ntri = triangle_counts(mu, mv)
     return pa.table({"s_suppkey": _i64(nodes), "n_tri": _i64(ntri)})
+
+
+@query("training_shuffle_positions", sql="""
+SELECT doc_id,
+       ROW_NUMBER() OVER (
+           ORDER BY ((doc_id % 1000003) * 2654435761) % 4294967296,
+                    doc_id) AS shuffle_pos
+FROM documents""")
+def training_shuffle_positions(sf_dir: str):
+    """Deterministic global training shuffle: every doc gets a stable
+    pseudo-random position (ORDER BY a stateless integer hash, ties by
+    id) — the reproducible, resumable alternative to random_shuffle()
+    for ordering a corpus before training.  The hash is the repo's
+    split-hash arithmetic (functions/sampling.split_code family: pure
+    int64 products, no overflow below 2^63, ids >= 0 for SQL %
+    parity); positions come from the sorted-block metadata-prefix rank
+    pass (stages/rank.dense_rank with a constant partition and the
+    unique (hash, id) composite, so DENSE_RANK == ROW_NUMBER) — one
+    sort exchange, then O(blocks) driver ints, rows never leave the
+    object store."""
+    from ..stages.rank import dense_rank
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((ids % 1000003) * 2654435761) % 4294967296
+        return pa.table({"g": np.zeros(len(ids), dtype=np.int64),
+                         "h": h, "doc_id": ids})
+
+    keyed = _t(sf_dir, "documents", ["doc_id"]).map_batches(
+        key, batch_format="pyarrow", zero_copy_batch=True)
+    return dense_rank(keyed, ["g", "h", "doc_id"], partition_col="g",
+                      keep_cols=["doc_id"], out_col="shuffle_pos")
