@@ -5020,3 +5020,165 @@ def training_shuffle_positions(sf_dir: str):
         key, batch_format="pyarrow", zero_copy_batch=True)
     return dense_rank(keyed, ["g", "h", "doc_id"], partition_col="g",
                       keep_cols=["doc_id"], out_col="shuffle_pos")
+
+
+@query("systematic_sample_docs", sql="""
+WITH d AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+           FROM documents),
+c AS (SELECT doc_id, n_words,
+             CAST(SUM(n_words) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_words
+      FROM d)
+SELECT doc_id, n_words, cum_words
+FROM c WHERE cum_words // 257 > (cum_words - n_words) // 257""")
+def systematic_sample_docs(sf_dir: str):
+    """Weighted systematic sampling by token count: walk the corpus in
+    doc_id order and keep every document whose running word total
+    crosses a multiple of the 257-word stride — deterministic
+    weight-proportional thinning with zero RNG state (reference's
+    fixed-fraction sample, dataframes.py:259-266, made reproducible at
+    scale).  One sort exchange + the metadata-prefix pattern
+    (stages/rank.systematic_sample); all-integer, so the SQL window-SUM
+    oracle (CAST to BIGINT per the HUGEINT rule) is exact."""
+    from ..stages.rank import systematic_sample
+
+    def wc(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        la = pc.split_pattern(pc.fill_null(texts, ""), pattern=" ")
+        nw = np.diff(la.offsets.to_numpy(zero_copy_only=False)
+                     .astype(np.int64))
+        return pa.table({"doc_id": t["doc_id"], "n_words": pa.array(nw)})
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        wc, batch_format="pyarrow", zero_copy_batch=True)
+    return systematic_sample(ds, ["doc_id"], weight_col="n_words",
+                             stride=257,
+                             keep_cols=["doc_id", "n_words"],
+                             out_col="cum_words")
+
+
+@query("snapshot_diff_user_counts", sql=f"""
+WITH a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events
+           WHERE ts < TIMESTAMP '2024-01-16' GROUP BY user_id),
+b AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY user_id)
+SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_old,
+       CAST(COALESCE(b.n, 0) AS BIGINT) AS n_new,
+       CASE WHEN a.user_id IS NULL THEN 'added'
+            WHEN b.user_id IS NULL THEN 'removed'
+            WHEN a.n = b.n THEN 'unchanged' ELSE 'changed' END AS status
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id""")
+def snapshot_diff_user_counts(sf_dir: str):
+    """CDC-style snapshot diff: classify every user as added / removed
+    / changed / unchanged between the first and second half-month of
+    events (split at the repo's HALF_TS) by per-user row count — the
+    incremental-load reconciliation check.  One streaming pass: packed
+    (2*user + half) count partials through the census tree merge,
+    driver pivots O(users) ints (validators/reconcile.
+    snapshot_diff_counts)."""
+    from ..validators.reconcile import snapshot_diff_counts
+
+    return snapshot_diff_counts(
+        _t(sf_dir, "events", ["user_id", "ts"]),
+        key_col="user_id", ts_col="ts", cut="2024-01-16")
+
+
+@query("dup_cluster_size_histogram", sql="""
+WITH g AS (SELECT md5(text) AS fp, CAST(COUNT(*) AS BIGINT) AS sz
+           FROM documents GROUP BY fp)
+SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs
+FROM g GROUP BY sz""")
+def dup_cluster_size_histogram_q(sf_dir: str):
+    """Exact-dup cluster-size distribution over documents (dedup-stage
+    sizing telemetry): census-pruned 64-bit hash counts, exact md5
+    resolution only for candidate rows, singletons counted from the
+    census — all-integer.  See stages/text.dup_cluster_size_histogram."""
+    from ..stages.text import dup_cluster_size_histogram
+
+    return dup_cluster_size_histogram(_t(sf_dir, "documents", ["text"]))
+
+
+@query("resample_daily_locf_events", sql="""
+WITH nv AS (SELECT user_id, ts, event_id, value FROM events
+            WHERE value IS NOT NULL),
+v AS (SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM nv),
+vd AS (SELECT user_id, day, value FROM v WHERE rn = 1),
+b AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM vd
+      GROUP BY user_id),
+g AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+             AS day
+      FROM b)
+SELECT g.user_id, g.day,
+       LAST_VALUE(vd.value IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+FROM g LEFT JOIN vd ON g.user_id = vd.user_id AND g.day = vd.day""")
+def resample_daily_locf_events(sf_dir: str):
+    """Calendar resampling to a regular daily grid with
+    last-observation-carried-forward — the classic time-series
+    preprocessing step behind the reference's TimeSeriesImputer
+    (TimeSeriesImputer.py:36-43), made key-deterministic: per user,
+    take the last non-null value of each active day (ordered by ts,
+    event_id), build the user's own min..max daily grid, forward-fill.
+    The ffill groupby(user).map_groups shape; LOCF is selection-only,
+    so float parity is free (file-header rules).  Grid volume is
+    bounded by users x horizon days, never by event count."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["value"])),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def locf(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        last = g.groupby(g["ts"].dt.floor("D"))["value"].last()
+        grid = pd.date_range(last.index.min(), last.index.max(),
+                             freq="D")
+        v = last.reindex(grid).ffill()
+        return pd.DataFrame({
+            "user_id": np.full(len(grid), g["user_id"].iloc[0],
+                               dtype=np.int64),
+            "day": pd.Series(grid).astype("datetime64[us]"),
+            "value_locf": v.to_numpy()})
+
+    return ds.groupby("user_id").map_groups(locf, batch_format="pandas")
+
+
+@query("pareto_frontier_orders", sql="""
+WITH g AS (SELECT o_totalprice AS p, MAX(o_orderdate) AS dmax
+           FROM orders GROUP BY p),
+r AS (SELECT p, dmax,
+             MAX(dmax) OVER (ORDER BY p DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS mprev
+      FROM g)
+SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+FROM orders o JOIN r ON o.o_totalprice = r.p
+WHERE o.o_orderdate = r.dmax
+  AND (r.mprev IS NULL OR o.o_orderdate > r.mprev)""")
+def pareto_frontier_orders(sf_dir: str):
+    """Exact 2-D skyline (Pareto frontier) of orders maximizing
+    (o_totalprice, o_orderdate) — "no other order is both at least as
+    expensive and at least as recent, strictly better on one" — the
+    multi-objective worst-first cut (reference presentation sort,
+    runs.py:429-435, generalized).  Map-side per-block frontiers + one
+    tiny driver fold (stages/topk.skyline_2d): no exchange, frontier
+    of a union == frontier of the per-block frontiers.  Comparisons
+    only, so float parity is free; the SQL oracle is the O(n log n)
+    window form (per-price max date vs the exclusive running max over
+    strictly higher prices), not a quadratic NOT EXISTS."""
+    from ..stages.topk import skyline_2d
+
+    return skyline_2d(
+        _t(sf_dir, "orders", ["o_orderkey", "o_totalprice",
+                              "o_orderdate"]),
+        x_col="o_totalprice", y_col="o_orderdate",
+        keep_cols=["o_orderkey", "o_totalprice", "o_orderdate"])

@@ -180,3 +180,55 @@ def dense_rank(ds, keys: list[str], *, partition_col: str,
                              part_keys, part_bases, keep_cols, out_col)
            for i, r in enumerate(refs)]
     return rd.from_arrow_refs(out)
+
+
+@ray.remote
+def _block_weight_sum(t: pa.Table, weight_col: str) -> int:
+    w = t[weight_col].to_numpy(zero_copy_only=False)
+    return int(w.astype(np.int64).sum())
+
+
+@ray.remote
+def _systematic_emit(t: pa.Table, weight_col: str, offset: int,
+                     stride: int, keep_cols: list[str],
+                     out_col: str) -> pa.Table:
+    """Select the rows where the global cumulative weight crosses a
+    stride boundary — pure integer floor division, exact on any block
+    layout because ``offset`` rebases the local cumsum globally."""
+    w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    cum = offset + np.cumsum(w)
+    keep = (cum // stride) > ((cum - w) // stride)
+    idx = pa.array(np.flatnonzero(keep))
+    cols = {c: t[c].take(idx) for c in keep_cols}
+    cols[out_col] = pa.array(cum[keep])
+    return pa.table(cols)
+
+
+def systematic_sample(ds, keys: list[str], *, weight_col: str,
+                      stride: int, keep_cols: list[str],
+                      out_col: str = "cum_weight"):
+    """Weighted SYSTEMATIC sampling: walk the corpus in ``keys`` order
+    accumulating integer ``weight_col`` (token counts), keep every row
+    in which the running total crosses a multiple of ``stride`` — the
+    deterministic, single-pass alternative to weighted random sampling
+    for thinning a corpus to a token budget (every kept row "owns" the
+    stride boundary it crossed, so expected inclusion probability is
+    proportional to weight, with zero RNG state to reproduce).
+
+    The grouped analogue of the reference's fixed-fraction row
+    sampling (/root/reference/pipelines/dataframes.py:259-266), made
+    scale-deterministic.  Shape: one sort exchange (the total order),
+    then the metadata-prefix pattern — per-block weight sums fold to
+    O(blocks) driver ints, and one independent task per block emits
+    its crossings.  All-integer, so SQL window-SUM parity is exact
+    with no float rules."""
+    s, refs, _ = sorted_blocks(ds, keys)
+    if not refs:
+        return typed_empty(s, keep_cols, {out_col: pa.int64()})
+    sums = ray.get([_block_weight_sum.remote(r, weight_col)
+                    for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(sums)]).astype(np.int64)
+    out = [_systematic_emit.remote(r, weight_col, int(offsets[i]),
+                                   stride, keep_cols, out_col)
+           for i, r in enumerate(refs)]
+    return rd.from_arrow_refs(out)

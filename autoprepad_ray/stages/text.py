@@ -1332,3 +1332,79 @@ def crossdoc_gram_coverage(ds, *, n: int = 3, text_col: str = "text",
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def dup_cluster_size_histogram(ds, *, text_col: str = "text"):
+    """Exact-duplicate CLUSTER-SIZE distribution: how many duplicate
+    groups of each size the corpus contains (size 1 = unique docs) —
+    the telemetry a dedup stage reports to size its work and catch
+    mirror blowups (one size-50k cluster is a very different corpus
+    from 50k size-2 clusters; the reference's duplicate check reports
+    only a flat count, AnomalyValueChecker.py:63-77).
+
+    Same census-prune shape as ``dup_doc_ratio_by_source``: a 64-bit
+    text-hash census tree-merges per-block partials; only rows whose
+    hash count >= 2 are collected and resolved on EXACT md5 strings
+    (a 64-bit collision only adds a candidate, never a wrong size);
+    every row the census saw exactly once is a size-1 cluster counted
+    from the census alone — singleton rows never move.  All-integer
+    output: (cluster_size, n_clusters, n_docs)."""
+    import pickle
+
+    import ray
+
+    from ..sketches import hash64
+    from ..validators.near_dup import _pickled, _tree_counts
+    from ..functions.strings import md5_fingerprint
+
+    def census(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t[text_col], "").to_pandas()
+        return _pickled(np.unique(hash64(texts.to_numpy(dtype=object)),
+                                  return_counts=True))
+
+    vals, cnts = _tree_counts(ds.map_batches(
+        census, batch_format="pyarrow", zero_copy_batch=True))
+    total = int(cnts.sum())
+    empty = pd.DataFrame({"cluster_size": pd.Series([], dtype=np.int64),
+                          "n_clusters": pd.Series([], dtype=np.int64),
+                          "n_docs": pd.Series([], dtype=np.int64)})
+    if total == 0:
+        return empty
+    cand = np.sort(vals[cnts >= 2].astype(np.uint64))
+    if len(cand) == 0:
+        return pd.DataFrame({"cluster_size": np.array([1], np.int64),
+                             "n_clusters": np.array([total], np.int64),
+                             "n_docs": np.array([total], np.int64)})
+    cand_ref = ray.put(cand)
+
+    def collect(t: pa.Table) -> pa.Table:
+        cand_b = ray.get(cand_ref)
+        texts = pc.fill_null(t[text_col], "").to_pandas()
+        h = hash64(texts.to_numpy(dtype=object))
+        pos = np.searchsorted(cand_b, h)
+        hit = (cand_b[np.minimum(pos, len(cand_b) - 1)] == h)
+        fps = md5_fingerprint(texts[hit]) if hit.any() else \
+            pd.Series([], dtype=object)
+        return _pickled(fps.to_numpy(dtype=object))
+
+    parts = ds.map_batches(collect, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    fp_all = np.concatenate([pickle.loads(r["payload"]) for r in parts]) \
+        if parts else np.empty(0, object)
+    # exact md5 group sizes among the candidates; everything else is a
+    # size-1 cluster counted straight off the census totals
+    _, ucnt = np.unique(fp_all, return_counts=True)
+    sizes, n_clusters = np.unique(ucnt, return_counts=True)
+    sizes = sizes.astype(np.int64)
+    n_clusters = n_clusters.astype(np.int64)
+    singletons = total - len(fp_all)
+    if singletons:
+        if len(sizes) and sizes[0] == 1:
+            n_clusters[0] += singletons
+        else:
+            sizes = np.concatenate([[1], sizes]).astype(np.int64)
+            n_clusters = np.concatenate([[singletons],
+                                         n_clusters]).astype(np.int64)
+    return pd.DataFrame({"cluster_size": sizes,
+                         "n_clusters": n_clusters,
+                         "n_docs": sizes * n_clusters})

@@ -48,3 +48,84 @@ def top_k(ds, keys: list[str], *, descending: list[bool], k: int,
         return out
     return (out.sort_values(keys, ascending=[not d for d in descending])
             .head(k).reset_index(drop=True))
+
+
+def _as_sortable_i64(a: "np.ndarray"):
+    """datetime64/timedelta64 -> int64 view so negation is legal; other
+    numerics pass through."""
+    import numpy as np
+
+    a = np.asarray(a)
+    if a.dtype.kind in "Mm":
+        return a.view("i8")
+    return a
+
+
+def _skyline_mask(x, y):
+    """Boolean mask of the 2-D maxima (skyline) of (x, y): a row is
+    kept iff no other row is >= on both coordinates and > on at least
+    one.  Exact (x, y) duplicates are all kept — neither dominates the
+    other.  Vectorized: sort by (x desc, y desc); a row survives iff
+    its y equals its x-group's max AND that max strictly exceeds the
+    running y-max over all strictly-larger x groups."""
+    import numpy as np
+
+    x = _as_sortable_i64(x)
+    y = _as_sortable_i64(y)
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    o = np.lexsort((-y, -x))
+    xs, ys = x[o], y[o]
+    newx = np.r_[True, xs[1:] != xs[:-1]]
+    gid = np.cumsum(newx) - 1
+    gmax = ys[newx]                      # y desc within a group
+    run = np.maximum.accumulate(gmax)
+    prev = np.empty_like(run)
+    prev[0] = np.iinfo(np.int64).min if run.dtype.kind in "iu" \
+        else -np.inf
+    prev[1:] = run[:-1]
+    keep_sorted = (ys == gmax[gid]) & (ys > prev[gid])
+    mask = np.zeros(n, dtype=bool)
+    mask[o] = keep_sorted
+    return mask
+
+
+def skyline_2d(ds, *, x_col: str, y_col: str, keep_cols: list[str]):
+    """Distributed exact 2-D skyline (Pareto frontier, maximize both
+    coordinates) — the multi-objective generalization of top-k: "no
+    row strictly better on one axis without being worse on the other".
+
+    Scale shape mirrors ``top_k``: the skyline of a union is contained
+    in the union of per-block skylines, so each block cuts itself to
+    its own frontier map-side (no exchange; expected O(log n) survivors
+    per block on non-degenerate data), and the driver resolves the
+    tiny survivor union with one more mask.  Arrow column types are
+    preserved end-to-end (the fold concatenates the blocks' own Arrow
+    tables — no pandas ns-timestamp round trip).
+
+    Nulls in x/y are dropped (a null coordinate cannot be compared,
+    matching SQL comparison semantics where NULL never dominates)."""
+    import numpy as np
+
+    import ray
+
+    def cut(t: pa.Table) -> pa.Table:
+        t = t.select(keep_cols)
+        ok = pc.and_(pc.is_valid(t[x_col]), pc.is_valid(t[y_col]))
+        t = t.filter(ok)
+        mask = _skyline_mask(t[x_col].to_numpy(zero_copy_only=False),
+                             t[y_col].to_numpy(zero_copy_only=False))
+        return t.take(pa.array(np.flatnonzero(mask)))
+
+    mat = ds.map_batches(cut, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+    parts = [p for p in ray.get(mat.to_arrow_refs()) if p.num_rows]
+    if not parts:
+        sch = ds.schema()
+        types = dict(zip(sch.names, sch.types))
+        return pa.table({c: pa.array([], types[c]) for c in keep_cols})
+    u = pa.concat_tables(parts).combine_chunks()
+    mask = _skyline_mask(u[x_col].to_numpy(zero_copy_only=False),
+                         u[y_col].to_numpy(zero_copy_only=False))
+    return u.take(pa.array(np.flatnonzero(mask)))

@@ -156,3 +156,53 @@ def reconcile_order_totals(orders_ds, lineitem_ds, *,
     out["n_orders"] = out["n_orders"].astype(np.int64)
     out["total_diff"] = out["total_diff"].astype(np.float64)
     return out
+
+
+def snapshot_diff_counts(ds, *, key_col: str, ts_col: str, cut,
+                         out_key: str | None = None):
+    """Snapshot-diff (CDC-style) reconciliation: classify every key as
+    added / removed / changed / unchanged between the per-key row
+    counts of two time windows (before vs on-or-after ``cut``) — the
+    check a warehouse runs to validate an incremental load against the
+    previous snapshot.  Single-table sibling of
+    ``reconcile_order_totals``; the reference has no cross-snapshot
+    notion at all (its fit/transform is one frame,
+    /root/reference/pipelines/control.py:89-107).
+
+    Shape: ONE streaming pass — per-block ``np.unique`` counts over the
+    packed int64 key ``2*key + is_new`` ride the census tree merge
+    (validators/near_dup._tree_counts), so the exchange is the packed
+    count partials, never rows; the driver pivots O(distinct keys)
+    ints into the full-outer old/new frame (keys at web scale would
+    emit via the same partials sharded — documented trade, census
+    family).  All-integer counts + a string CASE: SQL-exact."""
+    from .near_dup import _pickled, _tree_counts
+
+    cut64 = np.datetime64(cut, "us").astype(np.int64)
+
+    def census(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if keys.size and (keys.min() < 0 or keys.max() >= 2**62):
+            raise ValueError("snapshot_diff_counts packs 2*key+half: "
+                             "keys must be in [0, 2^62)")
+        ts = t[ts_col].to_numpy(zero_copy_only=False).view("i8")
+        packed = keys * 2 + (ts >= cut64)
+        return _pickled(np.unique(packed, return_counts=True))
+
+    vals, cnts = _tree_counts(ds.map_batches(
+        census, batch_format="pyarrow", zero_copy_batch=True))
+    keys = vals >> 1
+    half = (vals & 1).astype(bool)
+    uu = np.unique(keys)
+    n_old = np.zeros(len(uu), dtype=np.int64)
+    n_new = np.zeros(len(uu), dtype=np.int64)
+    idx = np.searchsorted(uu, keys)
+    n_old[idx[~half]] = cnts[~half]
+    n_new[idx[half]] = cnts[half]
+    status = np.where(
+        n_old == 0, "added",
+        np.where(n_new == 0, "removed",
+                 np.where(n_old == n_new, "unchanged", "changed")))
+    return pd.DataFrame({(out_key or key_col): uu,
+                         "n_old": n_old, "n_new": n_new,
+                         "status": pd.Series(status, dtype=object)})
