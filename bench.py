@@ -112,6 +112,20 @@ BENCH_QUERIES = [
     "sq8_topk_embeddings",
     "feather_roundtrip_supplier",
     "psi_daily_event_type",
+    "fd_violations_part_supp",
+    "benford_totalprice",
+    "reconcile_order_totals",
+    "unpivot_lineitem_measures",
+    "suffix_dup_docs",
+    "vocab_growth_docs",
+    "copart_mutual_knn_suppliers",
+    "copart_triangles_suppliers",
+    "training_shuffle_positions",
+    "systematic_sample_docs",
+    "snapshot_diff_user_counts",
+    "dup_cluster_size_histogram",
+    "resample_daily_locf_events",
+    "pareto_frontier_orders",
 ]
 
 IMG_PARTITIONS = 32
