@@ -4751,7 +4751,7 @@ dig AS (SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100, 0)
 SELECT dig.digit, CAST(dig.n AS BIGINT) AS n,
        ROUND(tot.n * (LN(dig.digit + 1) - LN(dig.digit)) / LN(10),
              6) AS expected
-FROM dig, tot ORDER BY 1""")
+FROM dig, tot WHERE dig.digit BETWEEN 1 AND 9 ORDER BY 1""")
 def benford_totalprice(sf_dir: str):
     """Benford first-digit audit of o_totalprice: observed count per
     leading digit next to the Benford-law expectation n*log10(1+1/d).
@@ -4765,6 +4765,10 @@ def benford_totalprice(sf_dir: str):
         _t(sf_dir, "orders", ["o_totalprice"]), "o_totalprice")
     n_tot = int(counts.sum())
     digs = np.flatnonzero(counts)
+    # Benford's law is defined on leading digits 1-9: amounts whose
+    # cents round to 0 produce digit 0, where LN(0) has no value on
+    # either side — excluded from the report (the total n keeps them)
+    digs = digs[digs >= 1]
     exp = np.round(
         n_tot * (np.log(digs + 1.0) - np.log(digs.astype(np.float64)))
         / np.log(10.0), 6)
@@ -4898,10 +4902,20 @@ def vocab_growth_docs(sf_dir: str):
         g = pa.table({"w": pa.array(words[keep]),
                       "first_doc": pa.array(ids[keep])}
                      ).group_by("w").aggregate([("first_doc", "min")])
-        return pa.table({"w": g["w"], "first_doc": g["first_doc_min"],
+        base = pa.table({"w": g["w"], "first_doc": g["first_doc_min"],
                          "max_doc": pa.array(
                              np.full(g.num_rows, ids.max() if len(ids)
                                      else -1, dtype=np.int64))})
+        if not len(ids):
+            return base
+        # sentinel row carries the block's doc-id max even when every
+        # doc in the block tokenizes to zero kept words ("" never
+        # survives the keep filter, so it cannot collide with a word)
+        sent = pa.table({
+            "w": pa.array([""], type=pa.string()),
+            "first_doc": pa.array([np.iinfo(np.int64).max]),
+            "max_doc": pa.array([np.int64(ids.max())])})
+        return pa.concat_tables([base, sent]) if g.num_rows else sent
 
     def merge(t: pa.Table) -> pa.Table:
         g = t.group_by("w").aggregate([("first_doc", "min"),
@@ -4915,8 +4929,11 @@ def vocab_growth_docs(sf_dir: str):
             .map_batches(merge, batch_size=65536,
                          batch_format="pyarrow")).take_all()
     df = pd.DataFrame(rows)
-    first = df.groupby("w")["first_doc"].min().to_numpy()
+    if df.empty:
+        return pa.table({"threshold": _i64([]), "vocab_size": _i64([])})
     max_doc = int(df["max_doc"].max())
+    df = df[df["w"] != ""]              # drop max-doc sentinel rows
+    first = df.groupby("w")["first_doc"].min().to_numpy()
     ks = np.arange(0, 63, dtype=np.int64)
     th = (np.int64(1) << ks)
     th = th[th <= max_doc]
@@ -5024,7 +5041,8 @@ def training_shuffle_positions(sf_dir: str):
 
 @query("systematic_sample_docs", sql="""
 WITH d AS (SELECT doc_id,
-                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+                  CAST(len(string_split(COALESCE(text, ''), ' '))
+                       AS BIGINT) AS n_words
            FROM documents),
 c AS (SELECT doc_id, n_words,
              CAST(SUM(n_words) OVER (ORDER BY doc_id
@@ -5045,13 +5063,9 @@ def systematic_sample_docs(sf_dir: str):
     from ..stages.rank import systematic_sample
 
     def wc(t: pa.Table) -> pa.Table:
-        texts = t["text"]
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        la = pc.split_pattern(pc.fill_null(texts, ""), pattern=" ")
-        nw = np.diff(la.offsets.to_numpy(zero_copy_only=False)
-                     .astype(np.int64))
-        return pa.table({"doc_id": t["doc_id"], "n_words": pa.array(nw)})
+        from ..stages.text import _word_counts
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_words": pa.array(_word_counts(t["text"]))})
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         wc, batch_format="pyarrow", zero_copy_batch=True)
@@ -5089,7 +5103,8 @@ def snapshot_diff_user_counts(sf_dir: str):
 
 
 @query("dup_cluster_size_histogram", sql="""
-WITH g AS (SELECT md5(text) AS fp, CAST(COUNT(*) AS BIGINT) AS sz
+WITH g AS (SELECT md5(COALESCE(text, '')) AS fp,
+                  CAST(COUNT(*) AS BIGINT) AS sz
            FROM documents GROUP BY fp)
 SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
        CAST(SUM(sz) AS BIGINT) AS n_docs

@@ -87,14 +87,20 @@ def _pair_census(inc_ref, lo: int, hi: int, splits: np.ndarray):
         st = starts[sizes == m]
         idx = st[:, None] + np.arange(int(m))[None, :]
         iu, ju = np.triu_indices(int(m), 1)
-        # chunk so the (k, m(m-1)/2) pair matrix stays ~32 MB
-        step = max(1, 4_000_000 // max(1, len(iu)))
-        for c in range(0, len(st), step):
-            ic = idx[c:c + step]
-            a = nodes[ic[:, iu].ravel()]
-            b = nodes[ic[:, ju].ravel()]
-            lo_n, hi_n = np.minimum(a, b), np.maximum(a, b)
-            keys.append((lo_n << 32) | hi_n)
+        # chunk BOTH axes so the pair transient stays ~32 MB even when
+        # a single hub group's m(m-1)/2 alone exceeds the budget
+        budget = 4_000_000
+        pair_step = min(len(iu), budget)
+        grp_step = max(1, budget // pair_step)
+        for c in range(0, len(st), grp_step):
+            ic = idx[c:c + grp_step]
+            for p0 in range(0, len(iu), pair_step):
+                isel = iu[p0:p0 + pair_step]
+                jsel = ju[p0:p0 + pair_step]
+                a = nodes[ic[:, isel].ravel()]
+                b = nodes[ic[:, jsel].ravel()]
+                lo_n, hi_n = np.minimum(a, b), np.maximum(a, b)
+                keys.append((lo_n << 32) | hi_n)
     if not keys:
         e = np.empty(0, dtype=np.int64)
         cells = [(e, e)] * (len(splits) + 1)
@@ -135,6 +141,9 @@ def cooccur_weights(ds, *, part_col: str, node_col: str,
         e = np.empty(0, dtype=np.int64)
         return e, e, e
     inc = np.unique(np.concatenate(parts))      # sorted by (group, node)
+    if not len(inc):                 # every block was empty
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e
     grp = inc >> np.int64(32)
     # group-aligned slice boundaries for the expansion tasks
     cuts = np.linspace(0, len(inc), expand_tasks + 1).astype(np.int64)
@@ -177,6 +186,9 @@ def mutual_knn(u: np.ndarray, v: np.ndarray, shared: np.ndarray, *,
     partners AND u is among v's (ties broken by partner id ascending —
     ROW_NUMBER() OVER (ORDER BY shared DESC, v)).  Returns (u, v,
     shared) with u < v, k*|nodes|-bounded."""
+    u = _check_range(u, "node ids")
+    v = _check_range(v, "node ids")
+    shared = np.asarray(shared)
     if not len(u):
         return u, v, shared
     # symmetrize, then rank within each source node
@@ -237,10 +249,12 @@ def triangle_counts(u: np.ndarray, v: np.ndarray, *,
     sum(deg_greater^2) <= k^2 * |nodes| on a mutual k-NN graph."""
     from ..validators.near_dup import _merge_count_arrays
 
+    u = _check_range(u, "node ids")
+    v = _check_range(v, "node ids")
     if not len(u):
         e = np.empty(0, dtype=np.int64)
         return e, e
-    edges = np.sort((u << 32) | v)
+    edges = np.sort((u << np.int64(32)) | v)
     # greater-neighbor CSR: for each node a, sorted list of b > a
     src, dst = edges >> np.int64(32), edges & _MASK32
     csr_nodes, counts = np.unique(src, return_counts=True)

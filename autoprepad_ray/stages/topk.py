@@ -58,6 +58,13 @@ def _as_sortable_i64(a: "np.ndarray"):
     a = np.asarray(a)
     if a.dtype.kind in "Mm":
         return a.view("i8")
+    if a.dtype == np.uint64:
+        # order-preserving shift into int64 (astype would wrap > 2^63)
+        return (a - np.uint64(1 << 63)).view(np.int64)
+    if a.dtype.kind in "iub":
+        # narrow/unsigned ints must widen: comparisons below assume a
+        # dtype wide enough that no caller value is at the type edge
+        return a.astype(np.int64, copy=False)
     return a
 
 
@@ -75,17 +82,20 @@ def _skyline_mask(x, y):
     n = len(x)
     if n == 0:
         return np.zeros(0, dtype=bool)
-    o = np.lexsort((-y, -x))
+    # (x desc, y desc) via reversed ascending lexsort — negating the
+    # keys would wrap unsigned/extreme values
+    o = np.lexsort((y, x))[::-1]
     xs, ys = x[o], y[o]
     newx = np.r_[True, xs[1:] != xs[:-1]]
     gid = np.cumsum(newx) - 1
     gmax = ys[newx]                      # y desc within a group
     run = np.maximum.accumulate(gmax)
-    prev = np.empty_like(run)
-    prev[0] = np.iinfo(np.int64).min if run.dtype.kind in "iu" \
-        else -np.inf
-    prev[1:] = run[:-1]
-    keep_sorted = (ys == gmax[gid]) & (ys > prev[gid])
+    # group survives iff its y-max strictly exceeds the running y-max
+    # of all strictly-larger x groups; the first group always does
+    # (no sentinel — a sentinel value can collide at the dtype edge)
+    strict = np.ones(len(gmax), dtype=bool)
+    strict[1:] = gmax[1:] > run[:-1]
+    keep_sorted = (ys == gmax[gid]) & strict[gid]
     mask = np.zeros(n, dtype=bool)
     mask[o] = keep_sorted
     return mask

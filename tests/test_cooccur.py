@@ -106,3 +106,36 @@ def test_cooccur_range_guard(ray_session):
     # the guard raises inside the map task; Ray surfaces RayTaskError
     with pytest.raises(ray.exceptions.RayTaskError, match="32 bits"):
         cooccur_weights(ds, part_col="g", node_col="n")
+
+def test_cooccur_weights_all_empty_blocks(ray_session):
+    # every block empty (upstream filter removed all rows) — the empty
+    # payload rows must fold to the empty triple, not IndexError
+    t = pa.table({"g": pa.array([], pa.int64()),
+                  "n": pa.array([], pa.int64())})
+    u, v, w = cooccur_weights(rd.from_arrow(t), part_col="g",
+                              node_col="n")
+    assert len(u) == len(v) == len(w) == 0
+
+
+def test_mutual_knn_direct_range_guard():
+    # direct callers (not via cooccur_weights) hit the same 32-bit
+    # packing — the guard must fire, not silently corrupt pair keys
+    big = np.array([1 << 40], dtype=np.int64)
+    one = np.array([1], dtype=np.int64)
+    with pytest.raises(ValueError, match="32 bits"):
+        mutual_knn(big, one, one, k=2)
+    with pytest.raises(ValueError, match="32 bits"):
+        triangle_counts(one, big)
+
+
+def test_pair_census_hub_group_chunked(ray_session):
+    # one hub group whose pair count alone exceeds any small budget:
+    # weights must still be exact (inner pair-axis chunking)
+    m = 120                              # 7140 pairs in one group
+    g = np.zeros(m, dtype=np.int64)
+    n = np.arange(m, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"g": g, "n": n}))
+    u, v, w = cooccur_weights(ds, part_col="g", node_col="n",
+                              expand_tasks=2)
+    assert len(u) == m * (m - 1) // 2
+    assert (w == 1).all()

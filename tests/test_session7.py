@@ -119,3 +119,27 @@ def test_snapshot_diff_statuses(ray_session):
     with pytest.raises(Exception, match="2\\^62"):
         snapshot_diff_counts(rd.from_arrow(bad), key_col="user_id",
                              ts_col="ts", cut="2024-01-16")
+
+
+@pytest.mark.parametrize("xd,yd", [(np.int32, np.int32),
+                                   (np.int16, np.uint8),
+                                   (np.uint64, np.uint64)])
+def test_skyline_mask_narrow_and_unsigned_dtypes(xd, yd):
+    # the r5 sentinel bug: prev[0] = int64.min wrapped in narrow or
+    # unsigned dtypes, silently dropping frontier rows
+    x = np.array([5, 4], dtype=xd)
+    y = np.array([2, 1], dtype=yd)
+    got = _skyline_mask(x, y)
+    np.testing.assert_array_equal(got, [True, False])
+    rng = np.random.default_rng(7)
+    xr = rng.integers(0, 6, 80).astype(xd)
+    yr = rng.integers(0, 6, 80).astype(yd)
+    np.testing.assert_array_equal(
+        _skyline_mask(xr, yr),
+        _naive_skyline(xr.astype(np.int64), yr.astype(np.int64)))
+
+
+def test_skyline_mask_uint64_above_int64_range():
+    x = np.array([(1 << 63) + 5, (1 << 63) + 4], dtype=np.uint64)
+    y = np.array([1, 2], dtype=np.uint64)
+    np.testing.assert_array_equal(_skyline_mask(x, y), [True, True])
