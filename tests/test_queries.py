@@ -241,3 +241,38 @@ def test_value_census_matches_pandas_groupby():
                 .sort_values(["g", "v"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(
             got, want.astype({"cnt": got["cnt"].dtype}))
+
+
+def test_null_text_oracle_parity(ray_session, tmp_path):
+    """The documents fixture is null-free, so null/empty-text parity
+    between engine and oracle is exercised here on a planted corpus:
+    2 NULL texts and 2 empty texts (canonicalized to one cluster on
+    both sides per the COALESCE(text,'') convention), duplicate texts,
+    and normal docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    texts = (["alpha beta gamma", "beta gamma", "alpha beta gamma",
+              "delta", "epsilon zeta eta theta iota"]
+             + [None, None, "", ""]
+             + ["word%d word%d" % (i, i + 1) for i in range(7)]
+             # long docs so the 257-word systematic stride actually
+             # samples rows (a 0-row Dataset has no schema to compare)
+             + [" ".join("t%d" % w for w in rng.integers(0, 40, 60))
+                for _ in range(12)])
+    t = pa.table({
+        "doc_id": pa.array(np.arange(1, len(texts) + 1), pa.int64()),
+        "text": pa.array(texts, pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path / 'documents.parquet'}')")
+    for name in ("dup_cluster_size_histogram", "systematic_sample_docs",
+                 "vocab_growth_docs"):
+        got = _canon(_to_pandas(QUERIES[name](str(tmp_path))))
+        exp = _canon(con.execute(ORACLES[name]).df())
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False), name
+        for c in got.columns:
+            assert got[c].dtype.kind == exp[c].dtype.kind, (name, c)
