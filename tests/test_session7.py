@@ -143,3 +143,22 @@ def test_skyline_mask_uint64_above_int64_range():
     x = np.array([(1 << 63) + 5, (1 << 63) + 4], dtype=np.uint64)
     y = np.array([1, 2], dtype=np.uint64)
     np.testing.assert_array_equal(_skyline_mask(x, y), [True, True])
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.tuples(st.integers(-100, 100), st.integers(-100, 100)),
+                min_size=1, max_size=60),
+       st.sampled_from([np.int64, np.int32, np.int16, np.float64]))
+def test_skyline_mask_hypothesis(pairs, dtype):
+    x = np.array([p[0] for p in pairs])
+    y = np.array([p[1] for p in pairs])
+    if dtype != np.float64:
+        x = x.astype(dtype); y = y.astype(dtype)
+    else:
+        x = x.astype(np.float64); y = y.astype(np.float64)
+    np.testing.assert_array_equal(
+        _skyline_mask(x, y),
+        _naive_skyline(x.astype(np.int64), y.astype(np.int64)))
