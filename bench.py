@@ -126,6 +126,51 @@ BENCH_QUERIES = [
     "dup_cluster_size_histogram",
     "resample_daily_locf_events",
     "pareto_frontier_orders",
+    # session-9: the remaining registry entries, so the bench suite IS
+    # the full 145-query registry.  image_validation_verdicts and
+    # phash_neardup_pairs are the two exclusions — they re-run the
+    # F-IMG pipeline that the dedicated image benchmark above already
+    # times (double-counting ~25 s of decode for no new signal).
+    "mad_flags_events",
+    "robust_scale_quantity",
+    "distinct_counts_lineitem",
+    "orphan_suppkeys",
+    "top_customers",
+    "psi_event_type",
+    "doc_fingerprints",
+    "text_quality_docs",
+    "token_totals_by_lang",
+    "pattern_shapes_customer",
+    "nan_canonicalize_sources",
+    "simhash_neardup_docs",
+    "embed_neardup_planted",
+    "langid_docs",
+    "hll_distinct_lineitem",
+    "mode_orderpriority",
+    "z_flags_events",
+    "missing_bitpattern_lineitem",
+    "histogram_events_value",
+    "bit_patterns_partnames",
+    "mixed_experiment_metrics",
+    "join_order_revenue_by_status",
+    "tukey_flags_pooled_lineitem",
+    "ivf_topk_embeddings",
+    "csv_roundtrip_region",
+    "text_roundtrip_nation",
+    "word_repetition_docs",
+    "user_event_sequences",
+    "cube_pricing_levels",
+    "left_join_customer_orders",
+    "quota_sample_docs",
+    "full_outer_user_day_activity",
+    "cross_join_region_nation",
+    "setops_orderkeys_by_flag",
+    "json_extract_events_props",
+    "session_stats_events",
+    "cohort_retention_events",
+    "funnel_stages_events",
+    "event_transition_counts",
+    "hll_distinct_users_per_day",
 ]
 
 IMG_PARTITIONS = 32
