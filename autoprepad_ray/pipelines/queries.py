@@ -304,7 +304,10 @@ WHERE l_suppkey NOT IN
 GROUP BY l_suppkey""")
 def orphan_suppkeys(sf_dir: str):
     """Referential integrity anti-join: lineitem supplier keys with no
-    matching row in a filtered supplier dimension (tagged-union groupby)."""
+    matching row in a filtered supplier dimension (tagged-union
+    partials folded by the hash-partitioned flat-task shuffle —
+    ``referential.orphans(strategy='fold')`` — with the orphan filter
+    inside the fold tasks, so matched keys never leave them)."""
     def keep_non_mod3(t: pa.Table) -> pa.Table:
         keys = t["s_suppkey"].to_numpy(zero_copy_only=False)
         return (t.filter(pa.array(keys % 3 != 0))
@@ -313,7 +316,8 @@ def orphan_suppkeys(sf_dir: str):
     left = _t(sf_dir, "lineitem", ["l_suppkey"])
     right = _t(sf_dir, "supplier", ["s_suppkey"]).map_batches(
         keep_non_mod3, batch_format="pyarrow")
-    orp = referential.orphans(left, right, "l_suppkey", direction="left")
+    orp = referential.orphans(left, right, "l_suppkey", direction="left",
+                              strategy="fold")
     return pa.table({"l_suppkey": orp["l_suppkey"],
                      "left_n": orp["left_n"].cast(pa.int64())})
 
@@ -393,8 +397,14 @@ ORDER BY SUM(o.o_totalprice) DESC, o.o_custkey LIMIT 10""")
 def top_customers(sf_dir: str):
     """Top-k revenue customers: partial+final groupby, then a broadcast
     dimension lookup (customer put in the object store ONCE) — no
-    row-shuffle join."""
-    from ray.data.aggregate import Sum
+    row-shuffle join.  The per-customer fold rides
+    ``stages.groupfold.grouped_fold`` (hash-partitioned flat-task
+    shuffle, no Ray sort-groupby) with the top-10 cut applied INSIDE
+    each fold slice, so only num_parts x 10 candidate rows ever leave
+    the fold — ROUND(SUM, 2) on the 2-decimal o_totalprice keeps the
+    reduceat fold order exactly on the oracle's decimal grid."""
+    from ..stages.groupfold import grouped_fold
+    from ..stages.topk import top_k
 
     orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = _t(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
@@ -405,14 +415,19 @@ def top_customers(sf_dir: str):
              .aggregate([("o_totalprice", "sum"), ([], "count_all")]))
         return g.rename_columns(["o_custkey", "s_price", "n_orders"])
 
-    agg = (orders.map_batches(partial, batch_format="pyarrow",
-                              zero_copy_batch=True)
-           .groupby("o_custkey")
-           .aggregate(Sum("s_price", alias_name="s_price"),
-                      Sum("n_orders", alias_name="n_orders")))
-    # map-side per-block cut + tiny driver fold (stages/topk) — no
-    # range-partitioned sort of the aggregated stream
-    from ..stages.topk import top_k
+    def cut10(t: pa.Table) -> pa.Table:
+        if t.num_rows <= 10:
+            return t
+        return t.take(pc.sort_indices(
+            t, sort_keys=[("s_price", "descending"),
+                          ("o_custkey", "ascending")])[:10])
+
+    agg = grouped_fold(orders, partial,
+                       {"s_price": "sum", "n_orders": "sum"},
+                       key="o_custkey",
+                       types={"s_price": pa.float64(),
+                              "n_orders": pa.int64()},
+                       cut=cut10)
     top = top_k(agg, ["s_price", "o_custkey"],
                 descending=[True, False], k=10)
 
@@ -1382,9 +1397,12 @@ def join_order_revenue_by_status(sf_dir: str):
     """Large-large equi-join (explicit hash-bucketed join, ONE shuffle
     keyed on hash(l_orderkey) % B) followed by a partial+final grouped
     aggregate — the engine's big-side join pattern (the broadcast path
-    for small sides is queries.top_customers)."""
-    from ray.data.aggregate import Sum
-
+    for small sides is queries.top_customers).  The final fold is over
+    THREE status groups, so it rides the dozens-of-groups rule
+    (pricing_summary's shape): per-block partials + one tree-merge
+    level + a driver fold, never a Ray sort-groupby exchange for 3
+    output rows.  ROUND(SUM, 2) snaps the order-sensitive revenue sum
+    to the decimal grid on both engines, so fold order is free."""
     from ..stages.join import bucketed_join
 
     left = _t(sf_dir, "lineitem",
@@ -1400,25 +1418,28 @@ def join_order_revenue_by_status(sf_dir: str):
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
-            return pd.DataFrame({"o_orderstatus": [], "rev": [], "n": []})
+            return pd.DataFrame({"o_orderstatus": pd.Series([], dtype=object),
+                                 "rev": pd.Series([], dtype=np.float64),
+                                 "n": pd.Series([], dtype=np.int64)})
         df = df.assign(rev=df["l_extendedprice"] * (1 - df["l_discount"]))
         g = df.groupby("o_orderstatus", as_index=False).agg(
             rev=("rev", "sum"), n=("rev", "size"))
         return g
 
-    agg = (joined.map_batches(partial, batch_format="pandas")
-           .groupby("o_orderstatus")
-           .aggregate(Sum("rev", alias_name="rev"),
-                      Sum("n", alias_name="n")))
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_orderstatus", as_index=False).agg(
+            rev=("rev", "sum"), n=("n", "sum"))
 
-    def final(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "o_orderstatus": t["o_orderstatus"],
-            "revenue": pa.array(np.round(
-                t["rev"].to_numpy(zero_copy_only=False), 2)),
-            "n_items": t["n"].cast(pa.int64())})
-
-    return agg.map_batches(final, batch_format="pyarrow")
+    rows = (joined.map_batches(partial, batch_format="pandas")
+            .map_batches(merge, batch_size=65536, batch_format="pandas")
+            ).take_all()
+    df = (pd.DataFrame(rows)
+          .groupby("o_orderstatus", as_index=False)
+          .agg(rev=("rev", "sum"), n=("n", "sum")))
+    return pd.DataFrame({
+        "o_orderstatus": df["o_orderstatus"],
+        "revenue": np.round(df["rev"].to_numpy(dtype=np.float64), 2),
+        "n_items": df["n"].astype(np.int64)})
 
 
 @query("tukey_flags_pooled_lineitem", sql="""
@@ -2863,55 +2884,59 @@ def full_outer_user_day_activity(sf_dir: str):
     """Full-outer join on a composite key: per-(user, day) purchase
     activity vs error activity — the churn/cohort comparison where
     BOTH one-sided cases carry signal (days with purchases but no
-    errors and vice versa must survive null-extended).  The composite
-    key packs into one int64 (user_id << 20 | epoch_day) so the same
-    ONE-shuffle bucketed co-partition applies (stages/join.
-    bucketed_join how='outer'); outer semantics are free per-bucket
-    because key-hash co-partitioning is complete.  Counts are int64;
-    the one-sided nulls surface identically on both engines."""
-    from ray.data.aggregate import Sum
+    errors and vice versa must survive null-extended).
 
-    from ..stages.join import bucketed_join
+    Both join inputs derive from the SAME fact table grouped by the
+    same composite key (user_id << 20 | epoch_day), so the outer join
+    fuses away entirely: one read computes per-block (uk, n_purchase,
+    n_error) partials and ONE grouped sum folds them — where the
+    oracle runs two grouped scans plus a full-outer exchange, the
+    engine runs one scan and one exchange.  The null-extension
+    semantics survive the fusion because a group only exists when it
+    has >= 1 purchase-or-error row, so a zero count is exactly the
+    oracle's "no row on that side" — decode maps 0 back to NULL.
+    Counts are int64; exact parity."""
+    from ray.data.aggregate import Sum
 
     day_us = np.int64(86_400_000_000)
     shift = np.int64(1 << 20)                  # epoch day < 2^20
 
-    def side(ty: str, out: str):
-        def partial(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.equal(t["event_type"], ty))
-            ts = t["ts"].to_numpy(zero_copy_only=False) \
-                .astype("datetime64[us]").view(np.int64)
-            uid = t["user_id"].to_numpy(zero_copy_only=False)
-            uk = uid * shift + ts // day_us
-            g = (pa.table({"uk": pa.array(uk)}).group_by("uk")
-                 .aggregate([([], "count_all")]))
-            return pa.table({"uk": g["uk"],
-                             out: g["count_all"].cast(pa.int64())})
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"],
+                              value_set=pa.array(["purchase", "error"])))
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        uk = uid * shift + ts // day_us
+        is_p = pc.equal(t["event_type"], "purchase") \
+            .to_numpy(zero_copy_only=False)
+        g = (pa.table({"uk": pa.array(uk),
+                       "n_purchase": pa.array(is_p.astype(np.int64)),
+                       "n_error": pa.array((~is_p).astype(np.int64))})
+             .group_by("uk").aggregate([("n_purchase", "sum"),
+                                        ("n_error", "sum")]))
+        return g.rename_columns(["uk", "n_purchase", "n_error"])
 
-        return (_t(sf_dir, "events", ["user_id", "ts", "event_type"])
-                .map_batches(partial, batch_format="pyarrow",
-                             zero_copy_batch=True)
-                .groupby("uk").aggregate(Sum(out, alias_name=out)))
-
-    joined = bucketed_join(
-        side("purchase", "n_purchase"), side("error", "n_error"), "uk",
-        how="outer",
-        # both sides are computed aggregates whose schemas are known
-        # statically — a hint avoids executing them just for .schema()
-        schema_hint=(pa.schema([("uk", pa.int64()),
-                                ("n_purchase", pa.int64())]),
-                     pa.schema([("uk", pa.int64()),
-                                ("n_error", pa.int64())])))
+    agg = (_t(sf_dir, "events", ["user_id", "ts", "event_type"])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("uk")
+           .aggregate(Sum("n_purchase", alias_name="n_purchase"),
+                      Sum("n_error", alias_name="n_error")))
 
     def decode(t: pa.Table) -> pa.Table:
         uk = t["uk"].to_numpy(zero_copy_only=False)
-        return pa.table({"user_id": pa.array(uk // shift),
-                         "day": pa.array(uk % shift),
-                         "n_purchase": t["n_purchase"],
-                         "n_error": t["n_error"]})
+        null = pa.scalar(None, pa.int64())
+        np_c = t["n_purchase"].combine_chunks().cast(pa.int64())
+        ne_c = t["n_error"].combine_chunks().cast(pa.int64())
+        return pa.table({
+            "user_id": pa.array(uk // shift),
+            "day": pa.array(uk % shift),
+            "n_purchase": pc.if_else(pc.equal(np_c, 0), null, np_c),
+            "n_error": pc.if_else(pc.equal(ne_c, 0), null, ne_c)})
 
-    return joined.map_batches(decode, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    return agg.map_batches(decode, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
 @query("cross_join_region_nation", sql="""
@@ -2960,11 +2985,14 @@ def setops_orderkeys_by_flag(sf_dir: str):
     in_a AND in_r is the intersection, in_a AND NOT in_r the
     difference.  Shaped as ONE grouped max over membership flags:
     per-block pyarrow group_by collapses each block to one row per
-    key before the single Ray groupby folds the partials — the
-    exchange carries distinct (key, 2 bits) rows, never raw
-    lineitems, which beats materializing two DISTINCT sets and
-    joining them (two shuffles) at any scale."""
-    from ray.data.aggregate import Max
+    key, then ``stages.groupfold.grouped_fold`` hash-partitions the
+    distinct (key, 2 bits) partials and folds each slice with one
+    maximum.reduceat — the flat-task shuffle moves every partial byte
+    once and skips the Ray sort-groupby's flat multi-second exchange
+    (5.5 s -> ~1.5 s solo at sf0.1); raw lineitems never move, which
+    beats materializing two DISTINCT sets and joining them (two
+    shuffles) at any scale."""
+    from ..stages.groupfold import grouped_fold
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_in(t["l_returnflag"],
@@ -2978,12 +3006,9 @@ def setops_orderkeys_by_flag(sf_dir: str):
         return pa.table({"l_orderkey": g["l_orderkey"],
                          "in_a": g["in_a_max"], "in_r": g["in_r_max"]})
 
-    return (_t(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
-            .map_batches(partial, batch_format="pyarrow",
-                         zero_copy_batch=True)
-            .groupby("l_orderkey")
-            .aggregate(Max("in_a", alias_name="in_a"),
-                       Max("in_r", alias_name="in_r")))
+    return grouped_fold(
+        _t(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]),
+        partial, {"in_a": "max", "in_r": "max"}, key="l_orderkey")
 
 
 @query("json_extract_events_props", sql="""

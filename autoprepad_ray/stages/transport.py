@@ -45,6 +45,11 @@ def _scatter_task(num_slices: int, kind: str | None, *blocks):
     out: list[list[bytes]] = [[] for _ in range(num_slices)]
     for b in blocks:
         t = b
+        if t.num_rows == 0:
+            # Ray emits 0-row blocks with an EMPTY schema (no columns)
+            # for input splits whose map UDF never ran — they carry no
+            # payload and would KeyError on the column lookups below
+            continue
         if kind is not None:
             t = t.filter(pc.equal(t["kind"], kind))
         sl = t["slice"].to_numpy(zero_copy_only=False)

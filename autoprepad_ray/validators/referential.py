@@ -56,6 +56,12 @@ def orphans(left_ds, right_ds, key_cols: list[str] | str, *,
     - ``shuffle``: tagged-union groupby over per-block key-count
       partials — the 10^12-row path (the exchange moves distinct keys,
       never rows).
+    - ``fold`` (single int64 key only): same tagged-union partials, but
+      the final fold rides ``stages.groupfold.grouped_fold`` — a
+      hash-partitioned flat-task shuffle with the orphan filter applied
+      INSIDE each fold slice, so matched keys never leave the fold
+      tasks.  Skips the Ray sort-groupby's flat multi-second exchange;
+      same 10^12-row scaling argument (distinct keys move once).
 
     Either way the result (orphan keys — small by construction) is
     returned as an Arrow table.
@@ -75,15 +81,11 @@ def orphans(left_ds, right_ds, key_cols: list[str] | str, *,
     if strategy == "broadcast":
         return _orphans_broadcast_counts(left_ds, right_ds, key_cols,
                                          direction)
-    from ray.data.aggregate import Sum
     tagged = (left_ds.map_batches(_side_partial(key_cols, 0),
                                   batch_format="pyarrow", zero_copy_batch=True)
               .union(right_ds.map_batches(_side_partial(key_cols, 1),
                                           batch_format="pyarrow",
                                           zero_copy_batch=True)))
-    agg = tagged.groupby(key_cols).aggregate(
-        Sum("left_n", alias_name="left_n"),
-        Sum("right_n", alias_name="right_n"))
 
     def filt(t: pa.Table) -> pa.Table:
         lz = pc.equal(t["left_n"], 0)
@@ -96,7 +98,19 @@ def orphans(left_ds, right_ds, key_cols: list[str] | str, *,
             mask = pc.or_(lz, rz)
         return t.filter(mask)
 
-    out = agg.map_batches(filt, batch_format="pyarrow")
+    if strategy == "fold":
+        if len(key_cols) != 1:
+            raise ValueError("strategy='fold' needs a single int64 key")
+        from ..stages.groupfold import grouped_fold
+        out = grouped_fold(tagged, lambda t: t,
+                           {"left_n": "sum", "right_n": "sum"},
+                           key=key_cols[0], cut=filt)
+    else:
+        from ray.data.aggregate import Sum
+        agg = tagged.groupby(key_cols).aggregate(
+            Sum("left_n", alias_name="left_n"),
+            Sum("right_n", alias_name="right_n"))
+        out = agg.map_batches(filt, batch_format="pyarrow")
     batches = list(out.iter_batches(batch_size=65536,
                                     batch_format="pyarrow"))
     if not batches:
