@@ -33,7 +33,7 @@ import ray
 import ray.data as rd
 
 from ..functions import strings as sfn
-from ..sketches import np_object
+from ..sketches import ValueCounts, np_object
 from ..functions.dates import date_encode
 from ..profile import profile_dataset
 from ..validators import drift, referential, row_checks as rc, uniqueness
@@ -1472,7 +1472,17 @@ def tukey_flags_pooled_lineitem(sf_dir: str):
     TukeyTransformer.py:37-38) — sane only after per-column robust
     scaling (configuration.py:193), reproduced exactly: scale each
     column by its own median/IQR, then ONE pooled fence pair shared by
-    every column."""
+    every column.
+
+    The pooled quantiles REPLAY from the per-column profiles instead
+    of a second profiling pass over the scaled stream: scaling is a
+    monotonic elementwise float64 transform, so applying it to each
+    column's exact (value, count) census yields bit-identical doubles
+    in already-sorted order, and the merged census feeds the same
+    ValueCounts.quantile replay the streamed pooled profile would run
+    — ONE profile pass + ONE flag pass (was three executions; the
+    overflow fallback below keeps the streamed path for columns past
+    the exact-census scale contract)."""
     cols = ["l_quantity", "l_extendedprice"]
     ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"] + cols)
     prof = profile_dataset(ds, columns=cols)
@@ -1480,26 +1490,45 @@ def tukey_flags_pooled_lineitem(sf_dir: str):
                  prof[c].quantile(0.75) - prof[c].quantile(0.25))
              for c in cols}
 
-    def rescale(t: pa.Table) -> pa.Table:
-        out = {"l_orderkey": t["l_orderkey"],
-               "l_linenumber": t["l_linenumber"]}
+    if all(prof[c].exact_quantiles for c in cols):
+        parts = []
         for c in cols:
-            v = t[c].cast(pa.float64()).to_numpy(zero_copy_only=False)
+            vals, cnts = prof[c].values.sorted_arrays()
             med, iqr = scale[c]
-            out[f"{c}_scaled"] = pa.array((v - med) / iqr)
-        return pa.table(out)
+            parts.append(((vals.astype(np.float64) - med) / iqr,
+                          cnts.astype(np.int64)))
+        from ..validators.near_dup import _merge_count_arrays
+        pool_vals, pool_cnts = _merge_count_arrays(parts)
+        vc = ValueCounts.from_items(pool_vals, pool_cnts,
+                                    max_items=len(pool_vals) + 1)
+        q1, q3 = vc.quantile(0.25), vc.quantile(0.75)
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    else:
+        def rescale(t: pa.Table) -> pa.Table:
+            out = {}
+            for c in cols:
+                v = t[c].cast(pa.float64()).to_numpy(zero_copy_only=False)
+                med, iqr = scale[c]
+                out[f"{c}_scaled"] = pa.array((v - med) / iqr)
+            return pa.table(out)
 
-    scaled = ds.map_batches(rescale, batch_format="pyarrow",
-                            zero_copy_batch=True)
-    pooled_prof = profile_dataset(
-        scaled, columns=[f"{c}_scaled" for c in cols], pooled=True)
-    states = rc.fence_states(pooled_prof,
-                             [f"{c}_scaled" for c in cols], mode="pooled")
-    lo, hi = states[f"{cols[0]}_scaled"].lo, states[f"{cols[0]}_scaled"].hi
+        pooled_prof = profile_dataset(
+            ds.map_batches(rescale, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            columns=[f"{c}_scaled" for c in cols], pooled=True)
+        states = rc.fence_states(pooled_prof,
+                                 [f"{c}_scaled" for c in cols],
+                                 mode="pooled")
+        st = states[f"{cols[0]}_scaled"]
+        lo, hi = st.lo, st.hi
 
     def flag(t: pa.Table) -> pa.Table:
-        sq = t["l_quantity_scaled"].to_numpy(zero_copy_only=False)
-        sp = t["l_extendedprice_scaled"].to_numpy(zero_copy_only=False)
+        med_q, iqr_q = scale["l_quantity"]
+        med_p, iqr_p = scale["l_extendedprice"]
+        sq = (t["l_quantity"].cast(pa.float64())
+              .to_numpy(zero_copy_only=False) - med_q) / iqr_q
+        sp = (t["l_extendedprice"].cast(pa.float64())
+              .to_numpy(zero_copy_only=False) - med_p) / iqr_p
         return pa.table({
             "l_orderkey": t["l_orderkey"],
             "l_linenumber": t["l_linenumber"],
@@ -1508,7 +1537,8 @@ def tukey_flags_pooled_lineitem(sf_dir: str):
             "price_tukey_pooled": pa.array(
                 ((sp < lo) | (sp > hi)).astype(np.int64))})
 
-    return scaled.map_batches(flag, batch_format="pyarrow")
+    return ds.map_batches(flag, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 @query("ivf_topk_embeddings")
@@ -3180,34 +3210,62 @@ FROM f JOIN c USING (user_id) GROUP BY 1, 2""")
 def cohort_retention_events(sf_dir: str):
     """Cohort retention matrix: users grouped by their first-active
     day, counted on every later active day — the engagement table
-    behind every retention curve.  A user's cohort is a fact INSIDE
-    its own group, so one groupby(user).map_groups emits the distinct
-    (cohort, active_day) rows per user (no join against a cohort
-    table, no broadcast that breaks at 10^9 users) and a tiny second
-    groupby sums distinct-user contributions.  Day arithmetic is
-    int64 floor division — exact."""
-    from ray.data.aggregate import Sum
+    behind every retention curve.  Rides the deduped-pair census
+    shape (sliding_distinct_users_7d): per-block np.unique over
+    packed (user << 20 | day) composites + 32-way tree merge dedupe
+    the (user, day) pairs WITHOUT a row shuffle; the sorted packed
+    array then yields every user's cohort (first day of its run) and
+    the (cohort, day) counts in four vectorized ops.  The pair set is
+    bounded by |user base| x horizon days — independent of event row
+    count — so the driver fold is scale-safe (no groupby(user)
+    exchange, no per-user Python).  Day arithmetic is int64 floor
+    division — exact."""
+    import pickle
 
     ds = _t(sf_dir, "events", ["user_id", "ts"])
     day_us = np.int64(86_400_000_000)
+    shift = np.int64(1 << 20)                   # epoch day < 2^20
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        days = np.unique(g["ts"].to_numpy().astype("datetime64[us]")
-                         .view(np.int64) // day_us)
-        return pd.DataFrame({
-            "cohort": np.full(len(days), days.min(), dtype=np.int64),
-            "day": days.astype(np.int64),
-            "one": np.ones(len(days), dtype=np.int64)})
+    def pairs(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        day = ts // day_us
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(uid) and (uid.min() < 0 or uid.max() >= 1 << 43
+                         or (len(day) and day.max() >= shift)):
+            raise ValueError("user_id/day outside the (user << 20 | "
+                             "day) packing range")
+        packed = np.unique(uid * shift + day)
+        return pa.table({"payload": pa.array([pickle.dumps(packed)],
+                                             pa.large_binary())})
 
-    per = ds.groupby("user_id").map_groups(per_user,
-                                           batch_format="pandas")
-    agg = per.groupby(["cohort", "day"]).aggregate(
-        Sum("one", alias_name="n_users"))
-    return agg.map_batches(
-        lambda t: pa.table({"cohort": t["cohort"],
-                            "day": t["day"],
-                            "n_users": t["n_users"].cast(pa.int64())}),
-        batch_format="pyarrow", zero_copy_batch=True)
+    def merge(t: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate(
+            [pickle.loads(p) for p in t["payload"].to_pylist()]))
+        return pa.table({"payload": pa.array([pickle.dumps(u)],
+                                             pa.large_binary())})
+
+    rows = (ds.map_batches(pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(merge, batch_size=32, batch_format="pyarrow")
+            ).take_all()
+    packed = np.unique(np.concatenate(
+        [pickle.loads(r["payload"]) for r in rows])) if rows else \
+        np.empty(0, dtype=np.int64)
+    if not len(packed):
+        return pd.DataFrame({"cohort": pd.Series([], dtype=np.int64),
+                             "day": pd.Series([], dtype=np.int64),
+                             "n_users": pd.Series([], dtype=np.int64)})
+    uid = packed // shift
+    day = packed % shift
+    first = np.r_[True, uid[1:] != uid[:-1]]
+    # broadcast each user-run's first (= minimum) day across the run
+    idx = np.arange(len(uid))
+    cohort = day[np.maximum.accumulate(np.where(first, idx, 0))]
+    key, n = np.unique(cohort * shift + day, return_counts=True)
+    return pd.DataFrame({"cohort": (key // shift).astype(np.int64),
+                         "day": (key % shift).astype(np.int64),
+                         "n_users": n.astype(np.int64)})
 
 
 @query("funnel_stages_events", sql="""
@@ -3269,34 +3327,48 @@ SELECT prev, event_type AS next, CAST(COUNT(*) AS BIGINT) AS n
 FROM o WHERE prev IS NOT NULL GROUP BY prev, next""")
 def event_transition_counts(sf_dir: str):
     """Markov transition counts over per-user event sequences (the
-    behavior-model / sequence-prior table).  Bigrams are a per-user
-    ordered fact: map_groups emits each user's (prev, next) partial
-    counts, and a tiny final groupby folds users — the exchange
-    carries at most types^2 rows per user, never raw events.  Int
-    counts — exact parity."""
-    from ray.data.aggregate import Sum
-
+    behavior-model / sequence-prior table).  Rides the sorted-block
+    metadata-prefix pattern (stages/rank.sorted_blocks): ONE global
+    sort by (user, ts, event_id) is the only exchange; each sorted
+    block counts its in-block bigrams vectorized (a same-user mask
+    over adjacent rows, never per-user Python) and reports its first/
+    last (user, type) scalars; the driver folds the <= types^2-key
+    censuses and adds one boundary bigram per adjacent block pair
+    whose runs share a user.  Int counts — exact parity."""
     ds = _t(sf_dir, "events", ["event_id", "user_id", "ts",
                                "event_type"])
+    from ..stages.rank import sorted_blocks
 
-    def bigrams(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        ty = g["event_type"].to_numpy()
-        if len(ty) < 2:
-            return pd.DataFrame({"prev": [], "next": [], "one": []})
-        return (pd.DataFrame({"prev": ty[:-1], "next": ty[1:],
-                              "one": np.ones(len(ty) - 1,
-                                             dtype=np.int64)})
-                .groupby(["prev", "next"], as_index=False).sum())
+    @ray.remote
+    def block_census(t: pa.Table):
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ty = np_object(t["event_type"].to_numpy(zero_copy_only=False))
+        mask = uid[1:] == uid[:-1]
+        census = (pd.DataFrame({"prev": ty[:-1][mask],
+                                "next": ty[1:][mask]})
+                  .groupby(["prev", "next"], as_index=False)
+                  .size())
+        return (census, int(uid[0]), ty[0], int(uid[-1]), ty[-1])
 
-    per = ds.groupby("user_id").map_groups(bigrams,
-                                           batch_format="pandas")
-    agg = per.groupby(["prev", "next"]).aggregate(
-        Sum("one", alias_name="n"))
-    return agg.map_batches(
-        lambda t: pa.table({"prev": t["prev"], "next": t["next"],
-                            "n": t["n"].cast(pa.int64())}),
-        batch_format="pyarrow", zero_copy_batch=True)
+    _, refs, _counts = sorted_blocks(ds, ["user_id", "ts", "event_id"])
+    if not refs:
+        return pd.DataFrame({"prev": pd.Series([], dtype=object),
+                             "next": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype=np.int64)})
+    parts = ray.get([block_census.remote(r) for r in refs])
+    frames = [p[0] for p in parts]
+    # one boundary bigram per adjacent block pair within a user run
+    bprev = [p[4] for p, q in zip(parts[:-1], parts[1:]) if p[3] == q[1]]
+    bnext = [q[2] for p, q in zip(parts[:-1], parts[1:]) if p[3] == q[1]]
+    if bprev:
+        frames.append(pd.DataFrame({"prev": bprev, "next": bnext,
+                                    "size": np.ones(len(bprev),
+                                                    dtype=np.int64)}))
+    df = (pd.concat(frames, ignore_index=True)
+          .groupby(["prev", "next"], as_index=False)
+          .agg(n=("size", "sum")))
+    return pd.DataFrame({"prev": df["prev"], "next": df["next"],
+                         "n": df["n"].astype(np.int64)})
 
 
 @query("hll_distinct_users_per_day")
