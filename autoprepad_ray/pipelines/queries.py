@@ -1433,6 +1433,11 @@ def join_order_revenue_by_status(sf_dir: str):
     rows = (joined.map_batches(partial, batch_format="pandas")
             .map_batches(merge, batch_size=65536, batch_format="pandas")
             ).take_all()
+    if not rows:
+        return pd.DataFrame({
+            "o_orderstatus": pd.Series([], dtype=object),
+            "revenue": pd.Series([], dtype=np.float64),
+            "n_items": pd.Series([], dtype=np.int64)})
     df = (pd.DataFrame(rows)
           .groupby("o_orderstatus", as_index=False)
           .agg(rev=("rev", "sum"), n=("n", "sum")))
@@ -2003,6 +2008,39 @@ def _value_census(ds, group_col: str, value_col: str) -> pd.DataFrame:
             ).take_all()
     return (pd.DataFrame(rows)
             .groupby([group_col, value_col], as_index=False)["cnt"].sum())
+
+
+def _packed_pair_census(ds, pack_fn) -> np.ndarray:
+    """Globally deduped int64 composite census: per-block ``np.unique``
+    over ``pack_fn``'s packed pairs, a 32-block pickled-payload tree
+    merge (payload streams keep batch_size=32 — one row per block),
+    and one driver fold.  The result is bounded by distinct-PAIR
+    cardinality, never row count — the shared scaffold under
+    sliding_distinct_users_7d and cohort_retention_events.
+    ``pack_fn(t: pa.Table) -> np.ndarray[int64]`` owns the packing and
+    its loud range guards."""
+    import pickle
+
+    def pairs(t: pa.Table) -> pa.Table:
+        packed = np.unique(pack_fn(t))
+        return pa.table({"payload": pa.array([pickle.dumps(packed)],
+                                             pa.large_binary())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        parts = [pickle.loads(p) for p in t["payload"].to_pylist()]
+        u = np.unique(np.concatenate(parts)) if parts else \
+            np.empty(0, dtype=np.int64)
+        return pa.table({"payload": pa.array([pickle.dumps(u)],
+                                             pa.large_binary())})
+
+    rows = (ds.map_batches(pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(merge, batch_size=32, batch_format="pyarrow")
+            ).take_all()
+    if not rows:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(
+        [pickle.loads(r["payload"]) for r in rows]))
 
 
 @query("group_quantiles_events", sql="""
@@ -3220,38 +3258,22 @@ def cohort_retention_events(sf_dir: str):
     count — so the driver fold is scale-safe (no groupby(user)
     exchange, no per-user Python).  Day arithmetic is int64 floor
     division — exact."""
-    import pickle
-
     ds = _t(sf_dir, "events", ["user_id", "ts"])
     day_us = np.int64(86_400_000_000)
     shift = np.int64(1 << 20)                   # epoch day < 2^20
 
-    def pairs(t: pa.Table) -> pa.Table:
+    def pack(t: pa.Table) -> np.ndarray:
         ts = t["ts"].to_numpy(zero_copy_only=False) \
             .astype("datetime64[us]").view(np.int64)
         day = ts // day_us
         uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(uid) and (uid.min() < 0 or uid.max() >= 1 << 43
-                         or (len(day) and day.max() >= shift)):
+                         or day.min() < 0 or day.max() >= shift):
             raise ValueError("user_id/day outside the (user << 20 | "
                              "day) packing range")
-        packed = np.unique(uid * shift + day)
-        return pa.table({"payload": pa.array([pickle.dumps(packed)],
-                                             pa.large_binary())})
+        return uid * shift + day
 
-    def merge(t: pa.Table) -> pa.Table:
-        u = np.unique(np.concatenate(
-            [pickle.loads(p) for p in t["payload"].to_pylist()]))
-        return pa.table({"payload": pa.array([pickle.dumps(u)],
-                                             pa.large_binary())})
-
-    rows = (ds.map_batches(pairs, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .map_batches(merge, batch_size=32, batch_format="pyarrow")
-            ).take_all()
-    packed = np.unique(np.concatenate(
-        [pickle.loads(r["payload"]) for r in rows])) if rows else \
-        np.empty(0, dtype=np.int64)
+    packed = _packed_pair_census(ds, pack)
     if not len(packed):
         return pd.DataFrame({"cohort": pd.Series([], dtype=np.int64),
                              "day": pd.Series([], dtype=np.int64),
@@ -3984,38 +4006,23 @@ def sliding_distinct_users_7d(sf_dir: str):
     the window length, never the data size."""
     ds = _t(sf_dir, "events", ["ts", "user_id"])
 
-    import pickle
-
-    def pairs(t: pa.Table) -> pa.Table:
+    def pack(t: pa.Table) -> np.ndarray:
         ts = t["ts"].to_numpy(zero_copy_only=False) \
             .astype("datetime64[us]").astype(np.int64)
         day = ts // 86_400_000_000
         uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         # pack (day, user) into one int64: user must fit 32 unsigned
-        # bits or the dedup key silently collides — fail loudly instead
-        if len(uid) and (uid.min() < 0 or uid.max() >= 1 << 32):
-            raise ValueError("user_id outside [0, 2^32) breaks the "
-                             "(day << 32 | user) pair packing")
-        packed = np.unique((day << 32) | uid)
-        return pa.table({"payload": pa.array([pickle.dumps(packed)],
-                                             pa.large_binary())})
+        # bits and day must be non-negative (a pre-epoch ts would
+        # corrupt the packing) — fail loudly instead
+        if len(uid) and (uid.min() < 0 or uid.max() >= 1 << 32
+                         or day.min() < 0 or day.max() >= 1 << 31):
+            raise ValueError("user_id/day outside the (day << 32 | "
+                             "user) pair packing range")
+        return (day << 32) | uid
 
-    def merge(t: pa.Table) -> pa.Table:
-        u = np.unique(np.concatenate(
-            [pickle.loads(p) for p in t["payload"].to_pylist()]))
-        return pa.table({"payload": pa.array([pickle.dumps(u)],
-                                             pa.large_binary())})
-
-    # payload rows (one pickled array per block, 32-block fan-in) — the
-    # deduped pair stream reaches the driver as a few arrays, never as
-    # per-pair Python rows
-    rows = (ds.map_batches(pairs, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .map_batches(merge, batch_size=32, batch_format="pyarrow")
-            ).take_all()
-    packed = np.unique(np.concatenate(
-        [pickle.loads(r["payload"]) for r in rows])) if rows else \
-        np.empty(0, dtype=np.int64)
+    # the deduped pair stream reaches the driver as a few pickled
+    # arrays (shared _packed_pair_census scaffold), never per-pair rows
+    packed = _packed_pair_census(ds, pack)
     day = packed >> 32
     uid = packed & 0xFFFFFFFF
     obs_days = np.unique(day)

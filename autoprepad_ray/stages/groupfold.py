@@ -50,6 +50,12 @@ def _pack_partial(t: pa.Table, key: str, num_parts: int) -> pa.Table:
     """Split a block-local partial table into per-slice pickled
     column-array payloads, sliced by the key hash."""
     keys = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+    if not len(keys):
+        # a partial_fn can filter a whole batch away — the sentinel
+        # bounds construction below would index into the empty array
+        return pa.table({"slice": pa.array([], type=pa.int64()),
+                         "payload": pa.array([],
+                                             type=pa.large_binary())})
     cols = {n: t[n].to_numpy(zero_copy_only=False)
             for n in t.column_names if n != key}
     sl = (splitmix64(keys.view(np.uint64))

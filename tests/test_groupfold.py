@@ -81,6 +81,29 @@ def test_grouped_fold_cut_runs_per_slice():
     assert len(out) > 0
 
 
+def test_grouped_fold_partial_filters_whole_batch_away():
+    # a partial_fn that filters some batches to 0 rows must not break
+    # the pack step (regression: the sentinel bounds construction
+    # indexed into the empty slice array)
+    df = pd.DataFrame({"k": np.arange(40, dtype=np.int64) % 4,
+                       "a": np.arange(40, dtype=np.int64),
+                       "x": np.zeros(40)})
+    # block 0 holds only k in {0,1}, block 1 only k in {2,3}
+    b0 = df[df["k"] < 2]
+    b1 = df[df["k"] >= 2]
+    ds = rd.from_arrow([pa.Table.from_pandas(b, preserve_index=False)
+                        for b in (b0, b1)])
+
+    def filtering_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["k"], 2))  # empties block 0
+        return _partial(t)
+
+    out = (grouped_fold(ds, filtering_partial, REDUCERS, key="k",
+                        types=TYPES, num_parts=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, _expected(df[df["k"] >= 2]))
+
+
 def test_grouped_fold_negative_and_extreme_keys():
     rng = np.random.default_rng(5)
     keys = np.array([-(2**62), -3, 0, 7, 2**62] * 40, dtype=np.int64)
