@@ -250,3 +250,51 @@ def test_score_stats_from_profile_matches_threshold_pass():
     # fast path declines multi-column states (joint dist not derivable)
     assert rc.score_stats_from_profile(prof, {"a": states["x"],
                                               "b": states["x"]}) is None
+
+
+def test_tukey_pooled_overflow_fallback(tmp_path, monkeypatch):
+    """Force the census-overflow (streamed pooled profile) arm of
+    tukey_flags_pooled_lineitem — the scale branch the sf sweeps never
+    hit — and pin its flags against the exact-census arm on a corpus
+    whose fence margins dwarf any t-digest quantile error (inliers sit
+    at ~50% of fence width, planted outliers at ~1000x)."""
+    import functools
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from autoprepad_ray import profile as prof_mod
+    from autoprepad_ray.pipelines import queries as Q
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    qty = rng.integers(1, 65, n).astype(np.float64)
+    price = rng.integers(1, 65, n).astype(np.float64) * 10.0
+    out_idx = rng.choice(n, 20, replace=False)
+    price[out_idx] *= 1000.0            # unmistakable Tukey outliers
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+        "l_linenumber": pa.array(np.ones(n, dtype=np.int64)),
+        "l_quantity": pa.array(qty),
+        "l_extendedprice": pa.array(price)}),
+        str(tmp_path / "lineitem.parquet"))
+
+    run = Q.REGISTRY["tukey_flags_pooled_lineitem"].fn
+    exact = run(str(tmp_path)).to_pandas() \
+        .sort_values("l_orderkey").reset_index(drop=True)
+    assert exact["price_tukey_pooled"].sum() == 20    # planted rows flagged
+    assert exact["quantity_tukey_pooled"].sum() == 0  # uniform: no outliers
+
+    calls = []
+    base = prof_mod.profile_dataset
+
+    def overflowing(ds, **kw):
+        kw["max_exact"] = 8             # 64 distinct values >> 8: overflow
+        calls.append(kw.get("pooled", False))
+        return base(ds, **kw)
+
+    monkeypatch.setattr(Q, "profile_dataset", overflowing)
+    fb = run(str(tmp_path)).to_pandas() \
+        .sort_values("l_orderkey").reset_index(drop=True)
+    assert calls == [False, True]       # per-column pass + pooled fallback
+    pd.testing.assert_frame_equal(fb, exact)
