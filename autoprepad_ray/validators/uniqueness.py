@@ -104,8 +104,14 @@ def _duplicate_keys_shuffle(ds, cols: list[str], min_count: int) -> pa.Table:
         batch_format="pyarrow")
     batches = list(out.iter_batches(batch_size=65536,
                                     batch_format="pyarrow"))
-    return pa.concat_tables(batches) if batches else pa.table(
-        {c: pa.array([]) for c in cols + ["n"]})
+    if batches:
+        return pa.concat_tables(batches)
+    # typed empty from the SOURCE schema — pa.array([]) would yield
+    # null-typed columns and the two paths would disagree on schema
+    t0 = ds.schema()
+    return pa.table(
+        {c: pa.array([], type=t0.types[t0.names.index(c)])
+         for c in cols} | {"n": pa.array([], type=pa.int64())})
 
 
 def distinct_counts(ds, cols: list[str]) -> dict[str, int]:

@@ -276,3 +276,37 @@ def test_null_text_oracle_parity(ray_session, tmp_path):
         pd.testing.assert_frame_equal(got, exp, check_dtype=False), name
         for c in got.columns:
             assert got[c].dtype.kind == exp[c].dtype.kind, (name, c)
+
+
+def test_duplicate_keys_shuffle_arm_matches_fast(ray_session):
+    """Force the dup-heavy groupby arm (max_collect exceeded — the
+    scale regime small sweeps never reach) and pin it value- AND
+    dtype-equal to the broadcast fast arm, including the typed-empty
+    schema both arms must share."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from autoprepad_ray.validators.uniqueness import (
+        _duplicate_keys_shuffle, duplicate_keys)
+
+    rng = np.random.default_rng(3)
+    keys = np.repeat(np.arange(40, dtype=np.int64), 5)
+    rng.shuffle(keys)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys),
+        "s": pa.array([str(k % 7) for k in keys])})).repartition(6)
+
+    for cols in (["k"], ["k", "s"]):
+        fast = duplicate_keys(ds, cols).to_pandas() \
+            .sort_values(cols).reset_index(drop=True)
+        slow = duplicate_keys(ds, cols, max_collect=10).to_pandas() \
+            .sort_values(cols).reset_index(drop=True)
+        assert len(fast) == 40
+        pd.testing.assert_frame_equal(fast, slow)
+
+    # 0-result schema parity: the shuffle arm's empty must carry SOURCE
+    # types, not pa.null() (the fast arm's typed-empty is the contract)
+    empty_fast = duplicate_keys(ds, ["k"], min_count=99)
+    empty_slow = _duplicate_keys_shuffle(ds, ["k"], min_count=99)
+    assert empty_slow.num_rows == 0
+    assert empty_slow.schema == empty_fast.schema
