@@ -2975,7 +2975,12 @@ def full_outer_user_day_activity(sf_dir: str):
         ts = t["ts"].to_numpy(zero_copy_only=False) \
             .astype("datetime64[us]").view(np.int64)
         uid = t["user_id"].to_numpy(zero_copy_only=False)
-        uk = uid * shift + ts // day_us
+        day = ts // day_us
+        if len(uid) and (uid.min() < 0 or day.min() < 0
+                         or day.max() >= 1 << 20):
+            raise ValueError("user_id/day outside the (user << 20 | day) "
+                             "packing range")
+        uk = uid * shift + day
         is_p = pc.equal(t["event_type"], "purchase") \
             .to_numpy(zero_copy_only=False)
         g = (pa.table({"uk": pa.array(uk),

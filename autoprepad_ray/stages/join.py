@@ -279,6 +279,10 @@ def asof_join(left, right, *, on: str, left_ts: str, right_ts: str,
         rkc = np.searchsorted(uk, rk).astype(np.int64)
         lkc = np.searchsorted(uk, lk).astype(np.int64)
         allt = np.sort(np.concatenate([rt, lt]))
+        if len(allt) >= 1 << 32:        # ranks must fit the low 32 bits
+            raise ValueError(
+                f"asof_join bucket holds {len(allt)} rows >= 2^32; "
+                "raise num_buckets")
         rtr = np.searchsorted(allt, rt, side="left").astype(np.int64)
         ltr = np.searchsorted(allt, lt, side="left").astype(np.int64)
         pos = np.searchsorted((rkc << 32) | rtr, (lkc << 32) | ltr,
@@ -415,6 +419,10 @@ def range_join(left, right, *, on: str, left_ts: str, right_start: str,
         order = np.lexsort((rt, rkc))
         rkc_s, rt_s, re_s = rkc[order], rt[order], re_[order]
         allt = np.sort(np.concatenate([rt_s, lt]))
+        if len(allt) >= 1 << 32:        # ranks must fit the low 32 bits
+            raise ValueError(
+                f"range_join bucket holds {len(allt)} rows >= 2^32; "
+                "raise num_buckets")
         rtr = np.searchsorted(allt, rt_s, side="left").astype(np.int64)
         ltr = np.searchsorted(allt, lt, side="left").astype(np.int64)
         lo = np.searchsorted(rkc_s, lkc, side="left")
