@@ -837,6 +837,11 @@ def cc_orders_sharing_part(sf_dir: str):
 
     def mk_edges(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["l_quantity"], 1.0))
+        if t.num_rows and (pc.max(t["l_orderkey"]).as_py() >= part_off
+                           or pc.min(t["l_partkey"]).as_py() < 0):
+            raise ValueError("orderkey >= 2^40 (or negative partkey) "
+                             "breaks the bipartite node encoding; "
+                             "raise part_off")
         return pa.table({
             "src": t["l_orderkey"],
             "dst": pc.add(t["l_partkey"], pa.scalar(part_off, pa.int64()))})
